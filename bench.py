@@ -1,0 +1,78 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion with the `noop` sink (full physical
+execution, no driver collect — the honest way to time a distributed plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from encodesrv_spark.plans.registry import all_queries
+from encodesrv_spark.session import get_spark
+
+# Headline set: the reference-shaped poll/claim pipeline, the TPC-H-shaped
+# analytics, and (as they land) the LLM-pipeline extension operators.
+HEADLINE = [
+    "poll_topk",
+    "claim_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "q6_forecast_revenue",
+    "order_priority_semi",
+    "top_customers_per_nation",
+    "progress_pct",
+    "dedup_exact",
+    "dedup_minhash",
+    "neardup_jaccard",
+    "embedding_knn",
+    "lang_id",
+    "quality_score",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # warm the JVM/codegen path outside the measured window
+    qs["q6_forecast_revenue"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

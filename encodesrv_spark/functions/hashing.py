@@ -41,3 +41,23 @@ def seeded_hash64(col: Column | str, seed: int) -> Column:
 
 def seeded_hash64_sql(expr: str, seed: int) -> str:
     return stable_hash64_sql(f"concat('{seed}:', {expr})")
+
+
+# Kirsch-Mitzenmacher double hashing: k hash functions from two base
+# hashes, h_i = (h1 + i * (h2 mod 2^40)) mod 2^60.  The moduli keep
+# every intermediate < 2^61 — no int64 overflow under ANSI arithmetic
+# in either engine.  One md5 each for h1/h2 instead of k md5s per key.
+_KM_MOD2 = 1 << 40
+_KM_MOD = 1 << 60
+
+
+def km_hash64(h1: Column, h2: Column, i: int) -> Column:
+    if i == 0:
+        return h1 % F.lit(_KM_MOD)
+    return (h1 + F.lit(i) * (h2 % F.lit(_KM_MOD2))) % F.lit(_KM_MOD)
+
+
+def km_hash64_sql(h1: str, h2: str, i: int) -> str:
+    if i == 0:
+        return f"({h1} % {_KM_MOD})"
+    return f"(({h1} + {i} * ({h2} % {_KM_MOD2})) % {_KM_MOD})"

@@ -1,0 +1,175 @@
+"""Deduplication operators for document corpora.
+
+Four families, all shuffle-conscious:
+
+* exact        — group by content hash (128-bit md5), never by the full
+                 text: at 100 TB the shuffle carries 16-byte keys, not
+                 document bodies.
+* n-gram Jaccard — shingle-inverted-index self-join: only documents
+                 sharing a shingle ever meet, so the quadratic pair
+                 space is never materialized.
+* MinHash/LSH  — constant-size signatures (k hashes) per document, then
+                 band-bucket join: candidate pairs are generated only
+                 inside matching bands. The scale path for near-dedup.
+* SimHash      — bitwise majority fingerprint; Hamming-near documents
+                 collide on the fingerprint value.
+
+Hashes are the cross-engine md5-derived family from
+encodesrv_spark.functions.hashing so every operator is DuckDB-oracle
+checkable (SURVEY.md §5 strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from encodesrv_spark.functions.hashing import km_hash64, stable_hash64
+from encodesrv_spark.functions.text import distinct_tokens, word_shingles
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups keyed by md5(text).
+
+    Returns (text_hash, keeper_doc_id, n_copies): keeper is the lowest
+    doc_id in the group — the row a dedup pass would retain.
+    """
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_index(docs: DataFrame, k: int) -> DataFrame:
+    """Inverted index (doc_id, shingle) over distinct k-word shingles."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", k))).alias("sh"),
+    )
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by exact shingle-set Jaccard similarity.
+
+    Self-join on the shingle inverted index (only co-shingled pairs are
+    generated), count shared shingles per pair, then
+    J = |A∩B| / (|A| + |B| - |A∩B|).  Hash the shingles before the join
+    so the shuffle keys are fixed-width ints, not strings.
+    """
+    idx = shingle_index(docs, k).select(
+        "doc_id", stable_hash64("sh").alias("h")
+    )
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFrame:
+    """MinHash signature per document: h_i = min over shingles of the
+    i-th Kirsch-Mitzenmacher hash (two md5s per shingle, k derived
+    functions).  One explode + one grouped aggregation — the signature
+    is constant-size however large the document set, which is what
+    makes the LSH join scale."""
+    idx = shingle_index(docs, k).select(
+        "doc_id",
+        stable_hash64("sh").alias("b1"),
+        stable_hash64(F.concat(F.lit("m:"), F.col("sh"))).alias("b2"),
+    )
+    aggs = [
+        F.min(km_hash64(F.col("b1"), F.col("b2"), i)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return idx.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 3, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: signatures split
+    into bands of `band_size` hashes; documents agreeing on ANY full
+    band become a candidate pair.  The join key is (band_id, band_hash)
+    so only same-band-value documents shuffle together."""
+    sig = minhash_signatures(docs, k, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"h{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over distinct tokens.
+
+    Expanded as (token × bit) rows with a grouped bit-majority vote —
+    linear in corpus size, fully shuffled by (doc_id, bit) so it
+    parallelizes; kept explode-based (rather than a pandas UDF) so the
+    DuckDB oracle can reproduce it bit-for-bit.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(distinct_tokens("text")).alias("tok")
+    ).select("doc_id", stable_hash64("tok").alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        toks.select("doc_id", "h", bit)
+        # +1 vote when bit b of the token hash is set, -1 otherwise
+        .select("doc_id", "b", F.expr("2 * (shiftright(h, b) & 1) - 1").alias("v"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,76 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched pandas stages.
+
+The pattern: media bytes ride along as a `binary` column (or stay
+path-addressed and load inside the stage via spark.read.format
+("binaryFile") at the source); decode / feature-extract / resize /
+frame-sample run as mapInPandas stages — one Arrow batch in, one out,
+never row-at-a-time Python.
+
+The container has no image/audio codecs, so the actual decode is a
+deterministic fake (`fake_decode_meta`) with the REAL Spark plumbing —
+schema contract, Arrow batching, partition preservation — in place; a
+production build swaps `fake_decode_meta` for PIL/ffmpeg calls
+(marked below).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, checksum string, width int, height int, n_frames int"
+)
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, str, int, int, int]:
+    """Deterministic stand-in for a media decode.
+
+    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload))
+    — unavailable in this container, so dimensions derive arithmetically
+    from the payload so the DuckDB oracle can verify the plumbing
+    end-to-end.
+    """
+    n = len(payload)
+    checksum = hashlib.md5(payload).hexdigest()
+    width = (n % 64 + 1) * 16
+    height = (n % 36 + 1) * 16
+    n_frames = n // 100 + 1
+    return n, checksum, width, height, n_frames
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, payload binary).
+
+    Arrow ships each partition as pandas batches; output partitioning
+    follows input (no shuffle). At 100 TB, payload bytes never leave
+    the executor that read them.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [m[0] for m in metas],
+                    "checksum": [m[1] for m in metas],
+                    "width": [m[2] for m in metas],
+                    "height": [m[3] for m in metas],
+                    "n_frames": [m[4] for m in metas],
+                }
+            )
+
+    return with_payload.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def documents_as_binary(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as the opaque media payload
+    (the testdata has no real media files)."""
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))

@@ -1,0 +1,135 @@
+"""Embedding similarity search.
+
+* brute-force cosine top-k — the correctness baseline: broadcast the
+  (small) query set against the candidate corpus; cosine is computed
+  with higher-order array functions (zip_with + aggregate), entirely
+  JVM-side, so the probe is one narrow pass over the corpus with no
+  Python exchange.
+* random-hyperplane LSH — the scale path: each vector maps to a
+  small bucket id (sign pattern of dot products with fixed random
+  planes); ANN search joins query↔candidate only within a bucket.
+  Plane constants derive deterministically from the cross-engine hash,
+  so the DuckDB oracle reproduces the exact same buckets.
+
+At 100 TB the corpus side stays partitioned (optionally bucketed by the
+LSH bucket id at write time so probes are partition-pruned); only
+queries and plane constants broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — same accumulation order DuckDB's
+    list_inner_product uses, so doubles agree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(sq_norm(a) * sq_norm(b))
+
+
+def brute_force_knn(
+    embeddings: DataFrame, n_query_vecs: int = 8, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id < n_query_vecs (broadcast),
+    candidates = full corpus. Similarity is rounded to 4 dp BEFORE
+    ranking so the cut is deterministic; vec_id breaks remaining ties."""
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    q = e.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def hyperplane(i: int, dims: int = 64) -> list[float]:
+    """Deterministic pseudo-random plane i: component j is derived from
+    md5(f"{i},{j}") exactly like functions.hashing.stable_hash64, mapped
+    to [-1, 1]. Reproducible in SQL, no RNG state."""
+    out = []
+    for j in range(dims):
+        h = int(hashlib.md5(f"{i},{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def lsh_bucket(emb: Column, n_planes: int = 8, dims: int = 64) -> Column:
+    """Sign-pattern bucket id in [0, 2^n_planes)."""
+    acc = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in hyperplane(i, dims)])
+        acc = acc + F.when(dot(emb, plane) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def lsh_bucket_sql(emb_expr: str, n_planes: int = 8, dims: int = 64) -> str:
+    """DuckDB expression computing the identical bucket id."""
+    terms = []
+    for i in range(n_planes):
+        lits = ", ".join(repr(c) for c in hyperplane(i, dims))
+        terms.append(
+            f"(CASE WHEN list_inner_product({emb_expr}, [{lits}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def lsh_ann(
+    embeddings: DataFrame, n_query_vecs: int = 8, k: int = 3, n_planes: int = 8
+) -> DataFrame:
+    """Approximate NN: candidates restricted to the query's LSH bucket,
+    then exact cosine top-k inside the bucket."""
+    e = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+    ).withColumn("bucket", lsh_bucket(F.col("emb"), n_planes))
+    q = e.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -1,5 +1,577 @@
 """LLM-data-pipeline queries: dedup, similarity search, text analysis,
-multimodal plumbing, event-stream analytics.  Populated incrementally —
-see operators/ for the implementations."""
+multimodal plumbing, event-stream analytics.
+
+Implementations live in operators/ and functions/; this module binds
+them to the registry with DuckDB oracles.  Shared SQL fragments are
+built programmatically so the Spark plan and the oracle stay locked to
+the same constants (hash seeds, LSH planes, thresholds).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from encodesrv_spark.catalog import load_table
+from encodesrv_spark.functions import text as T
+from encodesrv_spark.functions.hashing import km_hash64_sql, stable_hash64_sql
+from encodesrv_spark.operators import dedup, multimodal, similarity
+from encodesrv_spark.plans.registry import register
+from encodesrv_spark.session import prep
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+_TOKS = r"string_split_regex(text, '\s+')"
+
+# distinct 3-word shingles of `text`, as a FROM-able fragment
+_SHINGLES3 = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+        i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')
+    ))) AS s
+    FROM documents
+"""
+
+_SIG8 = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"min({km_hash64_sql('b1', 'b2', i)}) AS h{i}" for i in range(8)
+    )
+    + f""" FROM (
+        SELECT doc_id, {stable_hash64_sql('s')} AS b1,
+               {stable_hash64_sql("concat('m:', s)")} AS b2
+        FROM ({_SHINGLES3})
+    ) GROUP BY doc_id"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS text_hash,
+               min(doc_id)::BIGINT AS keeper_doc_id,
+               count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by 128-bit content hash — the shuffle carries
+    16-byte keys, not document bodies (100 TB posture)."""
+    prep(spark)
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "neardup_jaccard",
+    oracle=f"""
+        WITH idx AS (
+            SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
+        ),
+        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(common * 1.0 / (sa.c + sb.c - common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(common * 1.0 / (sa.c + sb.c - common), 4) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted-index
+    self-join — only co-shingled documents ever meet."""
+    prep(spark)
+    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash",
+    oracle=_SIG8,
+    tags=("llm", "dedup"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes over 3-word shingles): constant-size
+    sketch per document regardless of corpus size."""
+    prep(spark)
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"), k=3, n_hashes=8)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+        WITH sig AS ({_SIG8}),
+        bands AS (
+            SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1, concat(h2::VARCHAR, '_', h3::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 2, concat(h4::VARCHAR, '_', h5::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 3, concat(h6::VARCHAR, '_', h7::VARCHAR) FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over MinHash signatures (4 bands × 2 hashes):
+    candidate pairs only materialize inside matching band buckets."""
+    prep(spark)
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, n_hashes=8, band_size=2
+    )
+
+
+@register(
+    "simhash32",
+    oracle=f"""
+        WITH th AS (
+            SELECT doc_id, {stable_hash64_sql('tok')} AS h
+            FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+            FROM th, (SELECT unnest(generate_series(0, 31)) AS b) bits
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (bitwise majority over token hashes);
+    Hamming-near documents land on near-equal fingerprints."""
+    prep(spark)
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_EMB = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+
+
+@register(
+    "embedding_knn",
+    oracle=f"""
+        WITH e AS ({_EMB}),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 8),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_inner_product(q.qemb, e.emb) /
+                         sqrt(list_inner_product(q.qemb, q.qemb)
+                              * list_inner_product(e.emb, e.emb)), 4) AS cos_sim
+            FROM e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               )::BIGINT AS rnk
+        FROM scored
+        QUALIFY rnk <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline): broadcast query
+    set, JVM-side zip_with/aggregate arithmetic, one pass over corpus."""
+    prep(spark)
+    return similarity.brute_force_knn(
+        load_table(spark, sf_dir, "embeddings"), n_query_vecs=8, k=5
+    )
+
+
+@register(
+    "embedding_lsh_buckets",
+    oracle=f"""
+        WITH e AS ({_EMB})
+        SELECT {similarity.lsh_bucket_sql('emb')} AS bucket,
+               count(*)::BIGINT AS n_vecs,
+               min(vec_id)::BIGINT AS min_vec_id
+        FROM e GROUP BY 1
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram — the partition/bucket key
+    the ANN path joins on (deterministic planes, oracle-reproducible)."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return (
+        e.withColumn("bucket", similarity.lsh_bucket(F.col("emb")))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@register(
+    "embedding_ann_lsh",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, emb, {similarity.lsh_bucket_sql('emb')} AS bucket
+            FROM ({_EMB})
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+              FROM e WHERE vec_id < 8),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_inner_product(q.qemb, e.emb) /
+                         sqrt(list_inner_product(q.qemb, q.qemb)
+                              * list_inner_product(e.emb, e.emb)), 4) AS cos_sim
+            FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               )::BIGINT AS rnk
+        FROM scored
+        QUALIFY rnk <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: candidates restricted to the query's LSH bucket, exact
+    cosine re-rank inside — the scale path (bucket id doubles as a
+    write-time bucketing/partition key at 100 TB)."""
+    prep(spark)
+    return similarity.lsh_ann(
+        load_table(spark, sf_dir, "embeddings"), n_query_vecs=8, k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _lang_scores_sql() -> str:
+    # NB: DuckDB standard string literals do NOT process backslashes —
+    # the regex goes in verbatim, single-backslashed.
+    cols = []
+    for lang in T.LANG_STOPWORDS:
+        cols.append(
+            f"len(regexp_extract_all(text, '{T.stopword_pattern(lang)}'))::BIGINT AS s_{lang}"
+        )
+    return ", ".join(cols)
+
+
+def _lang_case_sql() -> str:
+    langs = list(T.LANG_STOPWORDS)
+    arms = []
+    for lang in langs:
+        others = ", ".join(f"s_{o}" for o in langs if o != lang)
+        arms.append(
+            f"WHEN s_{lang} > 0 AND s_{lang} >= greatest({others}) THEN '{lang}'"
+        )
+    return "CASE " + " ".join(arms) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, lang AS labeled_lang, {_lang_scores_sql()}
+            FROM documents
+        )
+        SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr,
+               {_lang_case_sql()} AS pred_lang
+        FROM s
+    """,
+    tags=("llm", "text"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language occurrence scores via
+    regexp_count (codegen'd), deterministic argmax with fixed tie order."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            T.lang_score("text", lang).cast("long").alias(f"s_{lang}")
+            for lang in T.LANG_STOPWORDS
+        ],
+        T.predicted_lang("text").alias("pred_lang"),
+    )
+    return out
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_m,
+                   len({_TOKS})::BIGINT AS n_tokens,
+                   len(list_distinct({_TOKS}))::BIGINT AS n_types,
+                   len(regexp_extract_all(text, '\\b(?:the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_chars_m, n_tokens, n_types,
+               round(n_types * 1.0 / n_tokens, 4) AS ttr,
+               round(0.4 * least(n_tokens / 150.0, 1.0)
+                     + 0.3 * (n_types * 1.0 / n_tokens)
+                     + 0.3 * least(n_stop / 20.0, 1.0), 4) AS score
+        FROM m
+    """,
+    tags=("llm", "text"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: length, token counts, type-token
+    ratio (lexical diversity), stopword coverage → composite score."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    n_types = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = T.lang_score("text", "en").cast("long")
+    ttr = n_types * F.lit(1.0) / n_tokens
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(
+            0.4 * F.least(n_tokens / F.lit(150.0), F.lit(1.0))
+            + 0.3 * ttr
+            + 0.3 * F.least(n_stop / F.lit(20.0), F.lit(1.0)),
+            4,
+        ).alias("score"),
+    )
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKS})::BIGINT AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens,
+               length(text)::BIGINT AS n_chars_m,
+               round(length(text) * 1.0 / len({_TOKS}), 4) AS chars_per_token
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (letter-runs / digit-runs / single punctuation)."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(T.tokens("text")).cast("long")
+    bpe = F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).cast("long")
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.round(F.length("text") * F.lit(1.0) / ws, 4).alias("chars_per_token"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len({_TOKS}) - 4, 0)),
+                i -> array_to_string(list_slice({_TOKS}, i, i + 4), ' ')
+            ))) AS s
+            FROM documents
+        ),
+        h AS (SELECT doc_id, {stable_hash64_sql('s')} AS h FROM sh)
+        SELECT doc_id,
+               count(*)::BIGINT AS n_shingles,
+               min(h) AS min_h,
+               bit_xor(h)::BIGINT AS xor_h
+        FROM h GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-gram fingerprint: min-hash + xor-fold over shingle
+    hashes — an order-insensitive content signature."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    from encodesrv_spark.functions.hashing import stable_hash64
+    from encodesrv_spark.functions.text import word_shingles
+
+    idx = d.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 5))).alias("s")
+    ).select("doc_id", stable_hash64("s").alias("h"))
+    return idx.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.min("h").alias("min_h"),
+        F.expr("bit_xor(h)").alias("xor_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas over binary payloads)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id,
+               strlen(text)::BIGINT AS n_bytes,
+               md5(text) AS checksum,
+               ((strlen(text) % 64 + 1) * 16)::INTEGER AS width,
+               ((strlen(text) % 36 + 1) * 16)::INTEGER AS height,
+               (strlen(text) // 100 + 1)::INTEGER AS n_frames
+        FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the real mapInPandas /
+    Arrow path (decode stubbed deterministically — container has no
+    codecs; see operators.multimodal.fake_decode_meta)."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.documents_as_binary(d))
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (the batch shapes of the streaming operators)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               count(*)::BIGINT AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("llm", "events"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation — identical frame to the streaming
+    window(ts, '1 hour') version in streaming/ (same grouping keys)."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+        WITH x AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        s AS (
+            SELECT user_id, event_id, tus,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS session_id
+            FROM x
+        )
+        SELECT user_id, session_id,
+               count(*)::BIGINT AS n_events,
+               min(tus) AS start_us,
+               max(tus) AS end_us,
+               (max(tus) - min(tus))::BIGINT AS duration_us
+        FROM s GROUP BY user_id, session_id
+    """,
+    tags=("llm", "events"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    of session starts. Uses exact epoch-µs integers end-to-end (µs is
+    the precision both engines share), so the cross-engine comparison
+    has zero float risk. The streaming twin is session_window(ts,
+    '30 minutes') in streaming/."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts_ns DIV 1000")
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    gap_us = 1_800_000_000  # 30 min
+    x = e.select(
+        "user_id",
+        "event_id",
+        "tus",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = x.select(
+        "user_id", "event_id", "tus", F.sum("is_new").over(w2).alias("session_id")
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("tus").alias("start_us"),
+        F.max("tus").alias("end_us"),
+        (F.max("tus") - F.min("tus")).cast("long").alias("duration_us"),
+    )
+
+
+@register(
+    "events_json",
+    oracle="""
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               round(avg(regexp_extract(props, '"k":\\s*(\\d+)', 1)::INT), 4) AS avg_k,
+               max(regexp_extract(props, '"k":\\s*(\\d+)', 1)::INT)::INTEGER AS max_k
+        FROM events GROUP BY 1
+    """,
+    tags=("llm", "events"),
+)
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON field extraction + aggregation
+    (get_json_object on Spark; the oracle proves the values, not the
+    parser)."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
