@@ -1,0 +1,207 @@
+"""The external-process operator (U1-U5): the reference's per-job
+pipeline — copy → loudness analysis → encode pass(es) → MP4Box →
+publish — as a mapInPandas stage over claimed-job rows.
+
+Design (SURVEY.md §3.2 "Spark shape", §7.3.4):
+
+* One Arrow batch of job rows in; per row the stage pipeline runs via
+  subprocess against executor-local scratch; one result row out with
+  terminal status + published size + a stage log.
+* Binaries are injectable (`ProcessConfig`) so tests stub ffmpeg with
+  deterministic file ops — the reference has no tests precisely
+  because its pipeline is welded to real binaries.
+* Idempotent publish: output staged under a job-keyed scratch dir,
+  moved to destination last, so Spark task retries cannot leave
+  partial destinations (reference stages via _TempDest the same way,
+  job.py:179,282-309).
+* Progress (ST7): per-stage markers appended to the `log` column;
+  side-channel status rows are the scheduler's job (tasks must not
+  mutate driver state mid-flight).
+
+Long encodes vs task retries: run this stage with speculation disabled
+and a generous task timeout; publishes are idempotent per job id.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+import tempfile
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from encodesrv_spark.functions.argv import assemble_argv, synthesize_params
+
+RESULT_SCHEMA = (
+    "id long, video_id long, final_status string, size long, passes_run int, log string"
+)
+
+LOUDNESS_RE = re.compile(r"I:\s*(-?\d+\.?\d*) LUFS")
+
+
+def default_copy(src: str, dst: str) -> None:
+    """Stand-in for the reference's `pv` monitored copy (job.py:68-78)."""
+    shutil.copyfile(src, dst)
+
+
+def stub_encode(argv: list[str], cwd: str) -> None:
+    """Test stub: 'encode' = copy input to output with a marker suffix.
+
+    Understands the -i/-y argv contract produced by assemble_argv.
+    Production config points `encode` at a real subprocess runner.
+    """
+    src = argv[argv.index("-i") + 1]
+    dst = argv[argv.index("-y") + 1]
+    with open(src, "rb") as f:
+        data = f.read()
+    with open(dst, "wb") as f:
+        f.write(data + b"|encoded")
+
+
+def subprocess_encode(argv: list[str], cwd: str) -> None:
+    """Production runner (reference job.py:246-257): non-zero exit
+    raises → the row lands in '<server> - Error'."""
+    subprocess.run(argv, cwd=cwd, check=True, capture_output=True)
+
+
+@dataclass
+class ProcessConfig:
+    """Injectable toolchain + policy for the process operator."""
+
+    server: str = "Encode Server"
+    encode: Callable[[list[str], str], None] = stub_encode
+    copy: Callable[[str, str], None] = default_copy
+    analyze_loudness: Callable[[str], str] | None = None  # path -> ffmpeg stderr text
+    apply_mp4box: Callable[[str], None] | None = None
+    scratch_root: str | None = None
+    target_lufs_default: float = -23.0
+    fail_fast: bool = False  # tests: re-raise instead of Error status
+
+
+def _loudness_gain(stderr_text: str, target: float) -> float | None:
+    """F8+F9: extract integrated LUFS, return linear gain
+    (reference job.py:201-208)."""
+    m = LOUDNESS_RE.search(stderr_text)
+    if not m:
+        return None
+    measured = float(m.group(1))
+    return 10.0 ** ((target - measured) / 20.0)
+
+
+def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
+    """Execute one claimed job end-to-end (reference job.py:117-338)."""
+    log: list[str] = []
+    scratch = tempfile.mkdtemp(
+        prefix=f"encode--{row['id']}--", dir=cfg.scratch_root
+    )
+    passes_run = 0
+    size = None
+    try:
+        src = row["source_file"]
+        if not os.path.exists(src):
+            # reference job.py:132-137: missing source → Error
+            raise FileNotFoundError(src)
+
+        args = synthesize_params(row, row, scratch, pass_no=1)
+        # 1. monitored copy source → scratch (S7/U4)
+        cfg.copy(src, args["_SourceFile"])
+        log.append("copied")
+
+        # 2. optional loudness analysis (U2; gated on normalise_level,
+        #    reference job.py:196-215 — note the reference's
+        #    `is not ''` identity-check bug is fixed here: empty/NULL
+        #    really does skip the stage)
+        norm = row.get("normalise_level")
+        if norm not in (None, ""):
+            if cfg.analyze_loudness is not None:
+                stderr_text = cfg.analyze_loudness(args["_SourceFile"])
+                gain = _loudness_gain(stderr_text, float(norm))
+                if gain is not None:
+                    extra = f"-af volume={gain}"
+                    row = {**row, "args_audio": f"{row.get('args_audio') or ''} {extra}".strip()}
+                    log.append(f"loudness gain={gain:.6f}")
+
+        # 3. encode passes (U1/F18)
+        n_passes = int(row.get("pass_count") or 1)
+        for p in range(1, n_passes + 1):
+            args = synthesize_params(row, row, scratch, pass_no=p)
+            argv = assemble_argv(args)
+            cfg.encode(argv, scratch)
+            passes_run = p
+            log.append(f"pass {p}")
+
+        # 4. optional MP4Box interleave (U3)
+        if row.get("apply_mp4box") and cfg.apply_mp4box is not None:
+            cfg.apply_mp4box(args["_TempDest"])
+            log.append("mp4box")
+
+        # 5. publish: mkdir -p + staged move (S12/S13)
+        dest = row["destination_file"]
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        seq = re.search(r"%([0-9]+)d", dest)
+        if seq:
+            # file-sequence publish (thumbnails): copy every scratch
+            # output matching the printf pattern (job.py:298-306)
+            pat = re.compile(re.sub(r"%([0-9]+)d", r"\\d+", os.path.basename(dest)))
+            outputs = sorted(
+                f for f in os.listdir(scratch) if pat.fullmatch(f)
+            )
+            size = 0
+            for i, fname in enumerate(outputs):
+                cfg.copy(
+                    os.path.join(scratch, fname),
+                    os.path.join(os.path.dirname(dest), fname),
+                )
+                size += os.path.getsize(os.path.join(scratch, fname))
+            log.append(f"moved {len(outputs)} files")
+        else:
+            cfg.copy(args["_TempDest"], dest)
+            size = os.path.getsize(dest)
+            log.append("moved file")
+
+        status = "Done"
+        # 6. scratch cleanup; failure → 'Encoded' not 'Done' (job.py:326-331)
+        try:
+            shutil.rmtree(scratch)
+        except OSError:
+            status = "Encoded"
+        return {
+            "id": row["id"],
+            "video_id": row.get("video_id"),
+            "final_status": status,
+            "size": size,
+            "passes_run": passes_run,
+            "log": ";".join(log),
+        }
+    except Exception as exc:  # any stage failure → Error status row
+        if cfg.fail_fast:
+            raise
+        shutil.rmtree(scratch, ignore_errors=True)
+        return {
+            "id": row["id"],
+            "video_id": row.get("video_id"),
+            "final_status": f"{cfg.server} - Error",
+            "size": None,
+            "passes_run": passes_run,
+            "log": ";".join(log + [f"error: {type(exc).__name__}: {exc}"]),
+        }
+
+
+def run_claimed_jobs(claimed_with_format: DataFrame, cfg: ProcessConfig) -> DataFrame:
+    """mapInPandas over claimed jobs (already broadcast-joined to their
+    format row). Repartition by id upstream to spread jobs across
+    executor cores (ST8 — Spark's scheduler replaces the thread pool)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [run_job_row(r, cfg) for r in pdf.to_dict("records")]
+            if results:
+                yield pd.DataFrame(results)
+
+    return claimed_with_format.mapInPandas(run, RESULT_SCHEMA)

@@ -1,0 +1,122 @@
+"""The control loop (§3.1): poll → claim → execute → publish, as
+micro-batch cycles over a JobStore.
+
+Maps the reference's daemon loop (encodesrv/__init__.py:54-141) onto
+Spark:
+
+* threads + queue.Queue      → Spark task scheduling over the claimed
+                               batch (repartition spreads jobs over cores)
+* per-row UPDATE statements  → keyed upserts on the JobStore
+* 60 s sleep / 300 s backoff → injectable clock+sleeper (testable);
+                               the Structured Streaming twin uses
+                               trigger(processingTime='60 seconds')
+* >1 day watchdog            → driver-side staleness check (ST6)
+
+Admission control (ST2): the reference claims `1 - qsize` jobs per
+poll — at most one per minute.  That throttle is an artifact of its
+single-queue design (SURVEY §7.3.3); here the claim limit is
+`max_concurrent - in_flight`, preserving the backpressure *intent*
+(never over-claim) without the accidental 1/min ceiling.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from encodesrv_spark.jobs import state
+from encodesrv_spark.jobs.process import ProcessConfig, run_claimed_jobs
+from encodesrv_spark.jobs.state import JobStore
+
+
+@dataclass
+class SchedulerConfig:
+    server: str = "Encode Server"
+    mount_prefix: str = ""
+    max_concurrent: int = 4
+    poll_interval_s: float = 60.0
+    backoff_s: float = 300.0
+    watchdog: timedelta = timedelta(days=1)
+
+
+@dataclass
+class Scheduler:
+    spark: SparkSession
+    jobs: JobStore
+    formats: DataFrame
+    video_files: JobStore | None = None
+    process_cfg: ProcessConfig = field(default_factory=ProcessConfig)
+    cfg: SchedulerConfig = field(default_factory=SchedulerConfig)
+    clock: Callable[[], datetime] = datetime.utcnow
+    sleeper: Callable[[float], None] = time.sleep
+
+    def startup_reset(self) -> int:
+        """ST5 crash recovery: my in-flight, non-Error rows →
+        'Not Encoding'."""
+        updates = state.crash_reset_updates(self.jobs.read(), self.cfg.server)
+        n = updates.count()
+        if n:
+            self.jobs.upsert(updates, ["status"])
+        return n
+
+    def run_cycle(self, free_slots: int | None = None) -> DataFrame | None:
+        """One poll→claim→execute→publish micro-batch.  Returns the
+        result frame (or None when nothing was claimed)."""
+        if free_slots is None:
+            free_slots = self.cfg.max_concurrent
+        current = self.jobs.read()
+        candidates = state.poll_candidates(current, free_slots)
+        claimed = state.rewrite_mounts(candidates, self.cfg.mount_prefix)
+        # cache: claimed is used for the claim upsert AND the execution
+        claimed = claimed.cache()
+        if claimed.count() == 0:
+            claimed.unpersist()
+            return None
+        self.jobs.upsert(state.claim_updates(claimed, self.cfg.server), ["status"])
+
+        # J1: broadcast FK join to formats, NULL→'' coalesce done by
+        # the argv layer; repartition so each job row is its own task
+        # unit (the Spark analog of the reference's thread pool, ST8)
+        with_fmt = claimed.join(
+            F.broadcast(self.formats), claimed.format_id == self.formats.id_fmt
+        ).repartition(max(free_slots, 1), "id")
+        results = run_claimed_jobs(with_fmt, self.process_cfg).cache()
+        results.count()  # materialize before the store mutates
+
+        # terminal status upserts (S8 sink)
+        self.jobs.upsert(
+            results.select("id", F.col("final_status").alias("status")), ["status"]
+        )
+        # video_files publish (J2/S11)
+        if self.video_files is not None:
+            vf_updates = state.video_files_updates(
+                results.filter(F.col("final_status").isin("Done", "Encoded"))
+            )
+            if vf_updates.count():
+                self.video_files.upsert(vf_updates, ["is_enabled", "size"])
+        claimed.unpersist()
+        return results
+
+    def loop(self, max_cycles: int) -> None:
+        """The daemon loop with backoff + watchdog (ST6).  `max_cycles`
+        bounds the run (the reference loops forever)."""
+        last_success = self.clock()
+        for _ in range(max_cycles):
+            try:
+                self.run_cycle()
+                last_success = self.clock()
+                self.sleeper(self.cfg.poll_interval_s)
+            except Exception:
+                if self.clock() - last_success > self.cfg.watchdog:
+                    raise  # reference: critical log + daemon exit
+                self.sleeper(self.cfg.backoff_s)
+
+
+def prepare_formats(formats: DataFrame) -> DataFrame:
+    """Rename the dimension key so the FK join is unambiguous."""
+    return formats.withColumnRenamed("id", "id_fmt")

@@ -1,0 +1,84 @@
+"""Structured Streaming operators.
+
+The reference is a hand-rolled processing-time micro-batch system with
+no watermarks, no event-time windows, no late-data story (SURVEY.md
+§2.9).  This module supplies both:
+
+* the faithful analog — a processing-time poll trigger driving
+  foreachBatch claim cycles (ST1-ST3), and
+* the event-time machinery the reference lacks — watermarked tumbling
+  windows and session windows over the events stream, which is what a
+  100 TB deployment would actually run for job/status telemetry.
+
+All builders take a streaming DataFrame and return a streaming
+DataFrame/query factory, so tests can drive them with file sources +
+availableNow and production can swap in Kafka unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source events stream (tests drop parquet/json files into
+    `path`; production points at Kafka with the same downstream ops)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """ST-analog of events_hourly: tumbling 1 h window + watermark so
+    state for closed windows is dropped (bounded memory at scale)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming twin of events_sessionize: native session_window with
+    the same 30-minute inactivity gap."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def poll_loop_stream(
+    spark: SparkSession,
+    on_batch: Callable[[DataFrame, int], None],
+    interval: str | None = "60 seconds",
+) -> DataStreamWriter:
+    """The reference's 60 s poll loop as a Structured Streaming query
+    (ST1): a rate source ticks; each tick drives one foreachBatch claim
+    cycle (`on_batch` is Scheduler.run_cycle wrapped).  interval=None →
+    availableNow (drain-and-stop, used by tests)."""
+    ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    writer = ticks.writeStream.foreachBatch(
+        lambda df, epoch: on_batch(df, epoch)
+    ).outputMode("append")
+    if interval:
+        return writer.trigger(processingTime=interval)
+    return writer.trigger(availableNow=True)

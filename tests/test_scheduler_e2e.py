@@ -1,0 +1,211 @@
+"""End-to-end scheduler tests: a synthetic jobs table runs
+claim→execute→publish micro-batches with stubbed binaries; terminal
+statuses and video_files effects asserted (SURVEY.md §5 plan item 3)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from encodesrv_spark.jobs.process import ProcessConfig
+from encodesrv_spark.jobs.schema import (
+    ENCODE_JOBS_SCHEMA,
+    VIDEO_FILES_SCHEMA,
+)
+from encodesrv_spark.jobs.scheduler import Scheduler, SchedulerConfig, prepare_formats
+from encodesrv_spark.jobs.state import JobStore
+
+SRV = "test-server"
+
+
+def fmt_df(spark):
+    rows = [
+        {
+            "id_fmt": 1,
+            "format_name": "web-hd",
+            "container": "mp4",
+            "video_codec": "libx264",
+            "video_bitrate": 1_000_000,
+            "video_resolution": "1280x720",
+            "aspect_ratio": "16:9",
+            "audio_codec": "aac",
+            "audio_bitrate": 128_000,
+            "audio_samplerate": 44100,
+            "file_extension": "mp4",
+            "preset_string": "-preset fast",
+            "pass_count": 1,
+            "apply_mp4box": False,
+            "normalise_level": "",
+            "args_beginning": "",
+            "args_video": "",
+            "args_audio": "",
+            "args_end": "",
+        },
+        {
+            "id_fmt": 2,
+            "format_name": "two-pass",
+            "container": "mp4",
+            "video_codec": "libx264",
+            "video_bitrate": 2_000_000,
+            "video_resolution": "1920x1080",
+            "aspect_ratio": "16:9",
+            "audio_codec": "aac",
+            "audio_bitrate": 192_000,
+            "audio_samplerate": 48000,
+            "file_extension": "mp4",
+            "preset_string": "-preset slow",
+            "pass_count": 2,
+            "apply_mp4box": False,
+            "normalise_level": "",
+            "args_beginning": "",
+            "args_video": "",
+            "args_audio": "",
+            "args_end": "",
+        },
+    ]
+    return spark.createDataFrame(rows)
+
+
+def seed_stores(spark, tmp_path, n_jobs=5):
+    media = tmp_path / "media"
+    media.mkdir()
+    rows = []
+    for i in range(1, n_jobs + 1):
+        (media / f"src{i}.mov").write_bytes(b"x" * (100 * i))
+        rows.append(
+            (
+                i,
+                f"/media/src{i}.mov",
+                f"/media/out/dest{i}.mp4",
+                1 if i % 2 else 2,
+                "Not Encoding",
+                i * 10,
+                None,
+                None,
+                float(i),  # priority: higher id = higher priority
+            )
+        )
+    jobs = JobStore(spark, str(tmp_path / "jobs"))
+    jobs.init(spark.createDataFrame(rows, ENCODE_JOBS_SCHEMA))
+    vf = JobStore(spark, str(tmp_path / "video_files"))
+    vf.init(
+        spark.createDataFrame(
+            [(i * 10, False, None) for i in range(1, n_jobs + 1)], VIDEO_FILES_SCHEMA
+        )
+    )
+    return jobs, vf
+
+
+def mk_scheduler(spark, tmp_path, jobs, vf, max_concurrent=3):
+    return Scheduler(
+        spark=spark,
+        jobs=jobs,
+        formats=fmt_df(spark),
+        video_files=vf,
+        process_cfg=ProcessConfig(server=SRV, scratch_root=str(tmp_path)),
+        cfg=SchedulerConfig(
+            server=SRV,
+            # mount rewrite: /media/... → <tmp>/media/...
+            mount_prefix=str(tmp_path) + "/",
+            max_concurrent=max_concurrent,
+        ),
+        sleeper=lambda s: None,
+    )
+
+
+def test_full_cycle_processes_topk(spark, tmp_path):
+    jobs, vf = seed_stores(spark, tmp_path)
+    sched = mk_scheduler(spark, tmp_path, jobs, vf, max_concurrent=3)
+    results = sched.run_cycle()
+    done = {r["id"]: r for r in results.collect()}
+    # top-3 by priority desc = jobs 5,4,3
+    assert sorted(done) == [3, 4, 5]
+    assert all(r["final_status"] == "Done" for r in done.values())
+    # published outputs exist under the rewritten mount
+    out = tmp_path / "media" / "out"
+    assert sorted(p.name for p in out.iterdir()) == [
+        "dest3.mp4",
+        "dest4.mp4",
+        "dest5.mp4",
+    ]
+    # jobs table terminal statuses
+    m = {r["id"]: r["status"] for r in jobs.read().collect()}
+    assert m[5] == "Done" and m[1] == "Not Encoding"
+    # video_files upsert: enabled with real sizes
+    vfm = {r["id"]: r for r in vf.read().collect()}
+    assert vfm[50]["is_enabled"] is True and vfm[50]["size"] > 0
+    assert vfm[10]["is_enabled"] is False
+
+
+def test_second_cycle_drains_remaining(spark, tmp_path):
+    jobs, vf = seed_stores(spark, tmp_path)
+    sched = mk_scheduler(spark, tmp_path, jobs, vf, max_concurrent=3)
+    sched.run_cycle()
+    sched.run_cycle()
+    statuses = [r["status"] for r in jobs.read().collect()]
+    assert statuses.count("Done") == 5
+    assert sched.run_cycle() is None  # queue drained
+
+
+def test_two_pass_format_runs_two_passes(spark, tmp_path):
+    jobs, vf = seed_stores(spark, tmp_path)
+    sched = mk_scheduler(spark, tmp_path, jobs, vf, max_concurrent=5)
+    results = sched.run_cycle().collect()
+    by_id = {r["id"]: r["passes_run"] for r in results}
+    assert by_id[2] == 2 and by_id[4] == 2  # format 2 = two-pass
+    assert by_id[1] == 1 and by_id[3] == 1
+
+
+def test_failed_job_lands_in_error_and_others_proceed(spark, tmp_path):
+    jobs, vf = seed_stores(spark, tmp_path)
+    # delete one source to force a failure
+    (tmp_path / "media" / "src5.mov").unlink()
+    sched = mk_scheduler(spark, tmp_path, jobs, vf, max_concurrent=5)
+    sched.run_cycle()
+    m = {r["id"]: r["status"] for r in jobs.read().collect()}
+    assert m[5] == f"{SRV} - Error"
+    assert all(m[i] == "Done" for i in (1, 2, 3, 4))
+    # failed job's video row untouched
+    vfm = {r["id"]: r["is_enabled"] for r in vf.read().collect()}
+    assert vfm[50] is False
+
+
+def test_startup_reset_then_reclaim(spark, tmp_path):
+    jobs, vf = seed_stores(spark, tmp_path)
+    # simulate a crash: one row stuck in-flight for us, one for another
+    # server, one errored for us
+    jobs.upsert(
+        spark.createDataFrame(
+            [
+                (1, f"{SRV} - Encoding Pass 1"),
+                (2, "other-server - Waiting"),
+                (3, f"{SRV} - Error"),
+            ],
+            "id long, status string",
+        ),
+        ["status"],
+    )
+    sched = mk_scheduler(spark, tmp_path, jobs, vf)
+    assert sched.startup_reset() == 1
+    m = {r["id"]: r["status"] for r in jobs.read().collect()}
+    assert m[1] == "Not Encoding"  # recovered
+    assert m[2] == "other-server - Waiting"  # not ours
+    assert m[3] == f"{SRV} - Error"  # errors stay
+
+
+def test_watchdog_raises_after_stale_day(spark, tmp_path):
+    jobs, vf = seed_stores(spark, tmp_path, n_jobs=1)
+    sched = mk_scheduler(spark, tmp_path, jobs, vf)
+    t = {"now": datetime(2026, 1, 1)}
+    sched.clock = lambda: t["now"]
+
+    def boom(*a, **k):
+        t["now"] += timedelta(hours=13)
+        raise RuntimeError("db down")
+
+    sched.run_cycle = boom  # type: ignore[assignment]
+    with pytest.raises(RuntimeError):
+        sched.loop(max_cycles=5)

@@ -1,0 +1,104 @@
+"""State machine + JobStore tests: claim/crash-reset/ownership
+semantics (ST3-ST5, P3/P4) and the versioned-parquet upsert discipline."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from encodesrv_spark.jobs import state
+from encodesrv_spark.jobs.schema import ENCODE_JOBS_SCHEMA
+from encodesrv_spark.jobs.state import JobStore
+
+SRV = "srv-a"
+OTHER = "srv-b"
+
+
+def jobs_df(spark):
+    rows = [
+        (1, "/in/a.mov", "/out/a.mp4", 1, "Not Encoding", 10, None, None, 5.0),
+        (2, "/in/b.mov", "/out/b.mp4", 1, "Not Encoding", None, None, None, 9.0),
+        (3, "/in/c.mov", "/out/c.mp4", 2, f"{SRV} - Encoding Pass 1", 30, None, None, 5.0),
+        (4, "/in/d.mov", "/out/d.mp4", 2, f"{SRV} - Error", 40, None, None, 5.0),
+        (5, "/in/e.mov", "/out/e.mp4", 1, f"{OTHER} - Waiting", 50, None, None, 5.0),
+        (6, "/in/f.mov", "/out/f.mp4", 1, "Done", 60, None, None, 5.0),
+        (7, "/in/g.mov", "/out/g.mp4", 1, "Not Encoding", None, None, None, 9.0),
+    ]
+    return spark.createDataFrame(rows, ENCODE_JOBS_SCHEMA)
+
+
+def test_crash_reset_only_touches_own_nonerror(spark):
+    updates = state.crash_reset_updates(jobs_df(spark), SRV)
+    ids = sorted(r["id"] for r in updates.collect())
+    # row 3 (mine, in-flight) resets; row 4 (mine, Error) and row 5
+    # (other server) stay — reference __init__.py:78 semantics
+    assert ids == [3]
+
+
+def test_poll_candidates_topk_priority_then_id(spark):
+    got = [r["id"] for r in state.poll_candidates(jobs_df(spark), 2).collect()]
+    assert got == [2, 7]  # both priority 9.0, id tiebreak
+
+
+def test_poll_candidates_zero_limit_is_empty(spark):
+    # the reference's LIMIT 1-qsize admission gate: qsize>=1 → no claims
+    assert state.poll_candidates(jobs_df(spark), 0).count() == 0
+    assert state.poll_candidates(jobs_df(spark), -3).count() == 0
+
+
+def test_claim_updates_status_string(spark):
+    cands = state.poll_candidates(jobs_df(spark), 1)
+    upd = state.claim_updates(cands, SRV).collect()
+    assert upd[0]["status"] == f"{SRV} - Waiting"
+
+
+def test_mount_rewrite(spark):
+    out = state.rewrite_mounts(jobs_df(spark), "/mnt/nfs/").collect()[0]
+    assert out["source_file"].startswith("/mnt/nfs/in/")
+    assert "//" not in out["source_file"].replace("://", "")
+
+
+def test_jobstore_upsert_roundtrip(spark, tmp_path):
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    store.init(jobs_df(spark))
+    assert store.current_version() == 0
+
+    updates = spark.createDataFrame(
+        [(1, "Done"), (2, f"{SRV} - Waiting")], "id long, status string"
+    )
+    store.upsert(updates, ["status"])
+    assert store.current_version() == 1
+
+    m = {r["id"]: r["status"] for r in store.read().collect()}
+    assert m[1] == "Done"
+    assert m[2] == f"{SRV} - Waiting"
+    assert m[3] == f"{SRV} - Encoding Pass 1"  # untouched
+    assert store.read().count() == 7  # no row loss
+
+
+def test_jobstore_gc_keeps_previous_version(spark, tmp_path):
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    store.init(jobs_df(spark))
+    for i in range(3):
+        store.upsert(
+            spark.createDataFrame([(1, f"s{i}")], "id long, status string"),
+            ["status"],
+        )
+    import os
+
+    versions = sorted(d for d in os.listdir(store.path) if d.startswith("v_"))
+    assert len(versions) == 2  # current + one for in-flight readers
+
+
+def test_bot_status_message(spark):
+    st = state.bot_status(jobs_df(spark), SRV)
+    assert st.currently_encoding == "c.mov"
+    assert st.waiting_count == 3
+    assert st.message == "Currently encoding c.mov, with 3 items waiting."
+
+
+def test_bot_status_singular(spark):
+    df = jobs_df(spark).filter(F.col("id").isin(1, 3))
+    st = state.bot_status(df, SRV)
+    assert st.message.endswith("with 1 item waiting.")
