@@ -45,11 +45,36 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def fan_out(docs: DataFrame) -> DataFrame:
+    """Spread rows across shuffle partitions before CPU-heavy per-row
+    work.  Small corpora arrive as one parquet file = ONE partition, so
+    without this every shingle/hash runs on a single core; the shuffle
+    moves only raw text bytes — orders of magnitude cheaper than the
+    per-row compute it parallelizes.  (A 100 TB corpus is already
+    many-partitioned; the extra exchange is then a no-op cost-wise.)
+
+    The partition count is explicit: with a bare repartition(col), AQE
+    sees a few-MB shuffle and coalesces straight back to one partition,
+    silently re-serializing the CPU-heavy stage."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, F.col("doc_id"))
+
+
 def shingle_index(docs: DataFrame, k: int) -> DataFrame:
-    """Inverted index (doc_id, shingle) over distinct k-word shingles."""
-    return docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", k))).alias("sh"),
+    """Inverted index (doc_id, shingle) over distinct k-word shingles.
+
+    explode_OUTER on purpose: plain explode makes Catalyst infer a
+    `size(arr) > 0` filter and push it below the fan-out exchange,
+    re-evaluating the whole shingle expression on the unsplit input
+    partition (single-core).  The outer variant infers nothing; the
+    null rows (empty docs) are filtered AFTER the generate."""
+    return (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(word_shingles("text", k))).alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
     )
 
 
@@ -61,8 +86,21 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFr
     J = |A∩B| / (|A| + |B| - |A∩B|).  Hash the shingles before the join
     so the shuffle keys are fixed-width ints, not strings.
     """
-    idx = shingle_index(docs, k).select(
-        "doc_id", stable_hash64("sh").alias("h")
+    # the hash is join-internal (never in the output), so use the fast
+    # JVM xxhash64 — the oracle's own internal hash differs, outputs
+    # don't: Jaccard is computed from co-occurrence COUNTS
+    sh = fan_out(docs).select(
+        "doc_id", F.array_distinct(word_shingles("text", k)).alias("shs")
+    )
+    idx = (
+        sh.select("doc_id", F.explode_outer("shs").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        # materialize once: the index feeds BOTH self-join sides and the
+        # size aggregate; without this the shingle pipeline re-executes
+        # three times (ReuseExchange does not fire across the aliases).
+        # 3-4x wall-clock win measured at sf0.1.
+        .localCheckpoint(eager=True)
     )
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = idx.alias("a")
@@ -113,7 +151,9 @@ def minhash_lsh_pairs(
     into bands of `band_size` hashes; documents agreeing on ANY full
     band become a candidate pair.  The join key is (band_id, band_hash)
     so only same-band-value documents shuffle together."""
-    sig = minhash_signatures(docs, k, n_hashes)
+    # constant-size signatures: cheap to materialize, reused by both
+    # self-join sides (same rationale as jaccard_pairs' checkpoint)
+    sig = minhash_signatures(docs, k, n_hashes).localCheckpoint(eager=True)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -155,9 +195,12 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     parallelizes; kept explode-based (rather than a pandas UDF) so the
     DuckDB oracle can reproduce it bit-for-bit.
     """
-    toks = docs.select(
-        "doc_id", F.explode(distinct_tokens("text")).alias("tok")
-    ).select("doc_id", stable_hash64("tok").alias("h"))
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode_outer(distinct_tokens("text")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .select("doc_id", stable_hash64("tok").alias("h"))
+    )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
     votes = (
         toks.select("doc_id", "h", bit)

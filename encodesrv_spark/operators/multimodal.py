@@ -73,4 +73,6 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as the opaque media payload
     (the testdata has no real media files)."""
-    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    from encodesrv_spark.operators.dedup import fan_out
+
+    return fan_out(docs).select("doc_id", F.encode("text", "UTF-8").alias("payload"))

@@ -1,0 +1,250 @@
+"""Extended relational surface: the operator families the reference
+lacks entirely (SURVEY.md §2.6/§2.7 'absent') but a complete engine
+must offer — set operations, rollup/grouping sets, pivot, as-of join,
+distinct/approx statistics, and skew-mitigation patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from encodesrv_spark.catalog import load_table
+from encodesrv_spark.plans.registry import register
+from encodesrv_spark.session import prep
+
+
+@register(
+    "asof_join_purchases",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS tus
+            FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT event_id, user_id, epoch_us(ts) AS tus
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT event_id, user_id, tus, prior_signup_event, prior_signup_tus
+        FROM (
+            SELECT p.event_id, p.user_id, p.tus,
+                   s.event_id AS prior_signup_event,
+                   s.tus AS prior_signup_tus,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY s.tus DESC NULLS LAST, s.event_id DESC NULLS LAST
+                   ) AS rn
+            FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.tus <= p.tus
+        ) WHERE rn = 1
+    """,
+    tags=("extended", "asof"),
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the same user's
+    most recent prior signup.  Implemented WITHOUT a join: one
+    partitioned sort and a last_value(ignore-nulls) carry-forward —
+    O(n log n) per user partition, no pair blowup, the canonical
+    distributed as-of pattern (an actual join would be quadratic on
+    hot users).  Ties on tus break by event_id (larger wins), matching
+    the oracle's DESC ordering."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").withColumn("tus", F.expr("ts_ns DIV 1000"))
+    both = e.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "user_id", "event_type", "tus"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = both.withColumn(
+        "prior_signup",
+        F.last(
+            F.when(
+                F.col("event_type") == "signup",
+                F.struct(F.col("tus").alias("tus"), F.col("event_id").alias("event_id")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "tus",
+        F.col("prior_signup.event_id").alias("prior_signup_event"),
+        F.col("prior_signup.tus").alias("prior_signup_tus"),
+    )
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
+               count(*)::BIGINT AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("extended", "agg"),
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping-id disambiguation — the
+    multi-level aggregate family the reference has no analog for."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "pivot_linestatus",
+    oracle="""
+        SELECT l_returnflag,
+               round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 0.0), 2) AS open_total,
+               round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 0.0), 2) AS filled_total
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("extended", "pivot"),
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on an explicit value list (no second scan to discover
+    values — the implicit form costs an extra distinct pass)."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_extendedprice"))
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce("O", F.lit(0.0)), 2).alias("open_total"),
+            F.round(F.coalesce("F", F.lit(0.0)), 2).alias("filled_total"),
+        )
+    )
+
+
+@register(
+    "order_set_ops",
+    oracle="""
+        WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1997-01-01'),
+             y97 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                       AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT 'only_1996' AS tag, o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+        UNION ALL
+        SELECT 'both_years' AS tag, o_custkey FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+    """,
+    tags=("extended", "setops"),
+)
+def order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION ALL in one query (§2.6 'absent' in
+    the reference).  Catalyst plans except/intersect as anti/semi hash
+    joins on the distinct sets."""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year(1996), year(1997)
+    only96 = y96.exceptAll(y97).select(F.lit("only_1996").alias("tag"), "o_custkey")
+    both = y96.intersect(y97).select(F.lit("both_years").alias("tag"), "o_custkey")
+    return only96.unionAll(both)
+
+
+@register(
+    "distinct_stats",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey)::BIGINT AS n_customers,
+               count(DISTINCT o_orderpriority)::BIGINT AS n_priorities,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("extended", "agg"),
+)
+def distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) — Catalyst expands to the
+    expand+two-phase aggregate plan automatically."""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "approx_stats",
+    oracle=None,  # sketch internals differ per engine — rows-only check
+    tags=("extended", "approx"),
+)
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB interactivity: HyperLogLog++
+    NDV and quantile sketches.  Deliberately no SQL oracle — sketch
+    algorithms are engine-specific (driver records the weaker rows-only
+    check); the exact twins are distinct_stats / q1."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("extended", "skew"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation: stage 1 groups by (key, salt) so a
+    hot key spreads over 16 reducers, stage 2 merges the partials.
+    Results identical to the direct groupBy (the oracle); the plan
+    shape is what changes.  (For *joins* on skewed keys, AQE skew-join
+    splitting is on via session conf — this pattern covers aggregation
+    skew, which AQE does not rebalance.)"""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    salted = l.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("pn"), F.sum("l_quantity").alias("pq")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.round(F.sum("pq"), 2).alias("total_qty"),
+    )

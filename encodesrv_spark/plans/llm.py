@@ -302,7 +302,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: per-language occurrence scores via
     regexp_count (codegen'd), deterministic argmax with fixed tie order."""
     prep(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     out = d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -339,7 +339,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics: length, token counts, type-token
     ratio (lexical diversity), stopword coverage → composite score."""
     prep(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     toks = T.tokens("text")
     n_tokens = F.size(toks).cast("long")
     n_types = F.size(F.array_distinct(toks)).cast("long")
@@ -376,7 +376,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens
     (letter-runs / digit-runs / single punctuation)."""
     prep(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     ws = F.size(T.tokens("text")).cast("long")
     bpe = F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).cast("long")
     return d.select(
@@ -415,9 +415,15 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from encodesrv_spark.functions.hashing import stable_hash64
     from encodesrv_spark.functions.text import word_shingles
 
-    idx = d.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", 5))).alias("s")
-    ).select("doc_id", stable_hash64("s").alias("h"))
+    idx = (
+        dedup.fan_out(d)
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(word_shingles("text", 5))).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", stable_hash64("s").alias("h"))
+    )
     return idx.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
         F.min("h").alias("min_h"),
