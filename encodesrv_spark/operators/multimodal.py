@@ -70,6 +70,41 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, byte_offset long, frame_md5 string"
+
+
+def sample_frames(with_payload: DataFrame, frame_bytes: int = 100) -> DataFrame:
+    """Frame sampling: one output row per fixed-size payload slice —
+    the UDTF-shaped multimodal op (a video frame sampler has exactly
+    this plumbing: rows multiply, payload stays executor-local).
+
+    Deterministic fake decode (real one would pull I-frames via
+    ffmpeg): frame i = bytes [i*frame_bytes, (i+1)*frame_bytes), last
+    frame ragged, checksummed so the oracle can verify every slice.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "byte_offset": [],
+                "frame_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = len(data) // frame_bytes + 1
+                for i in range(n_frames):
+                    chunk = data[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["byte_offset"].append(i * frame_bytes)
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, FRAME_SCHEMA)
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as the opaque media payload
     (the testdata has no real media files)."""

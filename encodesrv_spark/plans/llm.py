@@ -457,6 +457,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.documents_as_binary(d))
 
 
+@register(
+    "multimodal_frames",
+    oracle="""
+        SELECT doc_id,
+               fi::INTEGER AS frame_idx,
+               (fi * 100)::BIGINT AS byte_offset,
+               md5(substr(text, fi * 100 + 1, 100)) AS frame_md5
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, strlen(text) // 100)) AS fi
+            FROM documents
+        )
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (UDTF-shaped mapInPandas:
+    rows multiply, one per fixed-size slice, checksummed). The oracle
+    verifies every slice byte-exactly (ascii corpus: char==byte)."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.documents_as_binary(d))
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics (the batch shapes of the streaming operators)
 # ---------------------------------------------------------------------------

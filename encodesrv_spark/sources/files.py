@@ -1,0 +1,75 @@
+"""File-addressed sources (S5/S6/S13 + A2).
+
+* binary media source — spark.read.format('binaryFile'): each file is a
+  row (path, modificationTime, length, content) feeding the multimodal
+  operators.  At 100 TB you point this at an object-store prefix and
+  partition-by-directory pruning applies via pathGlobFilter.
+* FS listing DataFrame — the set-oriented form of the reference's
+  os.listdir + regex matching for thumbnail sequences
+  (/root/reference/encodesrv/job.py:298-306) and its size-sum (A2,
+  job.py:53-57).
+* existence probe — the reference's per-job open() check
+  (job.py:132-137) as an anti-join against a listing: one listing scan
+  validates a whole batch of jobs instead of N round trips.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from encodesrv_spark.functions.scalars import printf_pattern_to_regex
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """S6 — binary file source for multimodal payloads."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def listing_df(spark: SparkSession, directory: str) -> DataFrame:
+    """Directory listing as a DataFrame (name, path, size).
+
+    Local-FS implementation for the process operator's publish step;
+    the binaryFile source above is the distributed-scan variant (it
+    lists via the Hadoop FS API and therefore works on object stores).
+    """
+    entries = [
+        (name, os.path.join(directory, name), os.path.getsize(os.path.join(directory, name)))
+        for name in sorted(os.listdir(directory))
+        if os.path.isfile(os.path.join(directory, name))
+    ]
+    return spark.createDataFrame(entries, "name string, path string, size long")
+
+
+def match_sequence(listing: DataFrame, printf_dest: str) -> DataFrame:
+    """S13 — filter a listing to files matching a '%05d' printf pattern
+    (rlike on the rewritten regex)."""
+    base = printf_dest.rsplit("/", 1)[-1]
+    regex = (
+        listing.sparkSession.range(1)
+        .select(printf_pattern_to_regex(F.lit(base)).alias("r"))
+        .collect()[0]["r"]
+    )
+    return listing.filter(F.col("name").rlike(f"^{regex}$"))
+
+
+def total_size(listing: DataFrame) -> int:
+    """A2 — Σ file sizes (reference job.py:53-57)."""
+    row = listing.agg(F.sum("size").alias("s")).collect()[0]
+    return int(row["s"] or 0)
+
+
+def missing_sources(jobs: DataFrame, listing: DataFrame) -> DataFrame:
+    """S5 — existence probe as a left-anti join: jobs whose source_file
+    is absent from the listing (batch form of the reference's per-job
+    open() check)."""
+    return jobs.join(
+        listing.select(F.col("path").alias("source_file")), "source_file", "left_anti"
+    )

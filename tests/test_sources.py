@@ -1,0 +1,87 @@
+"""Source/sink tests: config document (S4), binary files (S6), FS
+listings + sequence matching + size sums (S5/S13/A2), JDBC option
+building (S1 scaffold)."""
+
+from __future__ import annotations
+
+import json
+
+from encodesrv_spark.sources.config import DbConfig, EngineConfig
+from encodesrv_spark.sources.files import (
+    listing_df,
+    match_sequence,
+    missing_sources,
+    read_binary_files,
+    total_size,
+)
+from encodesrv_spark.sources.jdbc import JdbcTable
+
+
+def test_config_load_roundtrip(tmp_path):
+    doc = {
+        "servername": "srv-9",
+        "threads": 8,
+        "mntfolder": "/mnt/videos/",
+        "db": {"host": "db1", "database": "jobs"},
+        "slack": {"token": "t"},
+    }
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(doc))
+    cfg = EngineConfig.load(str(p))
+    assert cfg.servername == "srv-9"
+    assert cfg.threads == 8
+    assert cfg.db.host == "db1" and cfg.db.port == 5432
+    assert cfg.extras == {"slack": {"token": "t"}}
+
+
+def test_config_defaults():
+    cfg = EngineConfig.from_dict({})
+    assert cfg.servername == "Encode Server"
+    assert cfg.tmpfolder == "/tmp"
+
+
+def test_binary_file_source(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"aaa")
+    (tmp_path / "b.bin").write_bytes(b"bbbb")
+    (tmp_path / "c.txt").write_bytes(b"nope")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["b.bin"]["length"] == 4
+    assert bytes(rows["a.bin"]["content"]) == b"aaa"
+
+
+def test_listing_sequence_and_sizes(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"thumb_{i:05d}.png").write_bytes(b"p" * (5 + i))
+    (tmp_path / "other.mp4").write_bytes(b"xxxx")
+    listing = listing_df(spark, str(tmp_path))
+    seq = match_sequence(listing, "/out/thumb_%05d.png")
+    assert [r["name"] for r in seq.collect()] == [
+        "thumb_00000.png",
+        "thumb_00001.png",
+        "thumb_00002.png",
+    ]
+    assert total_size(seq) == 5 + 6 + 7
+    assert total_size(listing) == 5 + 6 + 7 + 4
+
+
+def test_missing_sources_anti_join(spark, tmp_path):
+    (tmp_path / "have.mov").write_bytes(b"x")
+    listing = listing_df(spark, str(tmp_path))
+    jobs = spark.createDataFrame(
+        [(1, str(tmp_path / "have.mov")), (2, str(tmp_path / "gone.mov"))],
+        "id long, source_file string",
+    )
+    missing = missing_sources(jobs, listing).collect()
+    assert [r["id"] for r in missing] == [2]
+
+
+def test_jdbc_option_building():
+    t = JdbcTable(DbConfig(host="pg", database="enc", user="u", password="p"), "encode_jobs")
+    assert t.url == "jdbc:postgresql://pg:5432/enc"
+    opts = t.reader_options(partition_column="id", num_partitions=4)
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "4"
+    assert opts["pushDownLimit"] == "true"
+    assert "partitionColumn" not in t.reader_options()
