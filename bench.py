@@ -46,10 +46,17 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # warm the JVM/codegen path outside the measured window
-    qs["q6_forecast_revenue"].fn(spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    # Warm the JVM outside the measured window: run every headline query
+    # once at the smallest SF so whole-stage-codegen compilation, Arrow
+    # serializer setup, and window/higher-order-function JIT all happen
+    # before the clock starts (standard steady-state benchmarking; the
+    # measured numbers otherwise mix compile time with execution time).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        if name in qs:
+            qs[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -52,15 +52,27 @@ def brute_force_knn(
     """Exact cosine top-k: queries = vec_id < n_query_vecs (broadcast),
     candidates = full corpus. Similarity is rounded to 4 dp BEFORE
     ranking so the cut is deterministic; vec_id breaks remaining ties."""
-    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    e = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+    ).withColumn("nrm", sq_norm(F.col("emb")))
+    # Norms are computed ONCE per row here (corpus side) and once per
+    # query (broadcast side) — not once per (query, candidate) pair; at
+    # N corpus × Q queries that turns 2·N·Q norm folds into N + Q.
     q = e.filter(F.col("vec_id") < n_query_vecs).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
     )
     joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("qemb"), F.col("emb"))
+            / F.sqrt(F.col("qnrm") * F.col("nrm")),
+            4,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -109,14 +121,19 @@ def lsh_ann(
 ) -> DataFrame:
     """Approximate NN: candidates restricted to the query's LSH bucket,
     then exact cosine top-k inside the bucket."""
-    e = embeddings.select(
-        "vec_id",
-        _as_double("embedding").alias("emb"),
-    ).withColumn("bucket", lsh_bucket(F.col("emb"), n_planes))
+    e = (
+        embeddings.select(
+            "vec_id",
+            _as_double("embedding").alias("emb"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("emb"), n_planes))
+        .withColumn("nrm", sq_norm(F.col("emb")))
+    )
     q = e.filter(F.col("vec_id") < n_query_vecs).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
     joined = e.join(
         F.broadcast(q),
@@ -125,7 +142,11 @@ def lsh_ann(
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qemb"), F.col("emb")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("qemb"), F.col("emb"))
+            / F.sqrt(F.col("qnrm") * F.col("nrm")),
+            4,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
