@@ -105,6 +105,49 @@ def sample_frames(with_payload: DataFrame, frame_bytes: int = 100) -> DataFrame:
     return with_payload.mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, orig_bytes long, target_w int, target_h int, "
+    "resized_bytes long, resized_md5 string"
+)
+
+
+def resize(with_payload: DataFrame, target_w: int = 128, target_h: int = 96) -> DataFrame:
+    """Resize/thumbnail stage: payload in, smaller payload out, dims in
+    the typed metadata — the 1:1 payload-transform multimodal op.
+
+    The real implementation is PIL `Image.resize((w, h))` /
+    `ffmpeg -vf scale` — codecs absent in this container, so the
+    deterministic fake keeps the first `target_w * target_h / 64` bytes
+    (a fixed, payload-derived byte budget) and checksums the result;
+    the Spark-side contract — binary in/out through Arrow, metadata
+    columns, no shuffle, payload never crosses to the driver — is real.
+    """
+    budget = target_w * target_h // 64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "orig_bytes": [],
+                "target_w": [],
+                "target_h": [],
+                "resized_bytes": [],
+                "resized_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                resized = data[:budget]  # fake decode+scale; see docstring
+                out["doc_id"].append(doc_id)
+                out["orig_bytes"].append(len(data))
+                out["target_w"].append(target_w)
+                out["target_h"].append(target_h)
+                out["resized_bytes"].append(len(resized))
+                out["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as the opaque media payload
     (the testdata has no real media files)."""

@@ -154,3 +154,45 @@ def lsh_ann(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, n_planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Dedup by semantic similarity: candidate pairs are generated only
+    inside an LSH bucket (same random-hyperplane sign pattern), then
+    exact cosine filters at `threshold`.  The bucket id is the shuffle
+    key — at 100 TB the corpus self-join shuffles each vector once and
+    compares O(bucket²) not O(N²); near-identical vectors agree on all
+    sign bits, so true near-dups co-bucket with high probability (the
+    standard banding trade-off; more planes → smaller buckets, lower
+    recall per band).
+
+    Similarity is rounded to 4 dp BEFORE thresholding so the cut is
+    reproducible cross-engine."""
+    e = (
+        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+        .withColumn("bucket", lsh_bucket(F.col("emb"), n_planes))
+        .withColumn("nrm", sq_norm(F.col("emb")))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = F.round(
+        dot(F.col("a.emb"), F.col("b.emb")) / F.sqrt(F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -259,6 +259,36 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, emb,
+                   {similarity.lsh_bucket_sql('emb')} AS bucket,
+                   list_inner_product(emb, emb) AS nrm
+            FROM ({_EMB})
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_inner_product(a.emb, b.emb)
+                     / sqrt(a.nrm * b.nrm), 4) AS cos_sim
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.emb, b.emb)
+                    / sqrt(a.nrm * b.nrm), 4) >= 0.3
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket blocking (the
+    shuffle key) + exact cosine threshold inside the bucket — semantic
+    dedup at O(bucket²) instead of O(N²).  Threshold 0.3 here because
+    the synthetic embeddings are near-orthogonal (max in-bucket cosine
+    ≈ 0.4); a real corpus would use ~0.9 (the operator default)."""
+    prep(spark)
+    return similarity.cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -479,6 +509,28 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     d = load_table(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.documents_as_binary(d))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+        SELECT doc_id,
+               strlen(text)::BIGINT AS orig_bytes,
+               128 AS target_w,
+               96 AS target_h,
+               least(strlen(text), 192)::BIGINT AS resized_bytes,
+               md5(substr(text, 1, 192)) AS resized_md5
+        FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail multimodal stage (1:1 payload transform via
+    mapInPandas; deterministic fake scale — 128×96 → 192-byte budget —
+    checksummed so the oracle verifies the transform byte-exactly)."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.resize(multimodal.documents_as_binary(d), 128, 96)
 
 
 # ---------------------------------------------------------------------------
