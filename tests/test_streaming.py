@@ -83,3 +83,30 @@ def test_poll_loop_stream_drives_batches(spark, tmp_path):
     q = writer.option("checkpointLocation", str(tmp_path / "ckpt_poll")).start()
     q.awaitTermination(60)
     assert len(seen) >= 1  # at least one claim cycle fired
+
+
+def test_log_relay_listener(spark, tmp_path, events_dir):
+    """S15: the listener fans query lifecycle events to the buffer and
+    the buffer is queryable as a DataFrame (the bot-facing surface)."""
+    from encodesrv_spark.streaming import listener as L
+
+    relay = L.attach(spark)
+    try:
+        stream = read_events_stream(spark, events_dir)
+        _run_available_now(hourly_counts(stream), tmp_path, "relay_probe")
+        # listener callbacks are async; progress should land quickly
+        import time
+
+        for _ in range(40):
+            kinds = {e.event_kind for e in relay.events}
+            if "progress" in kinds and "terminated" in kinds:
+                break
+            time.sleep(0.5)
+        kinds = {e.event_kind for e in relay.events}
+        assert "started" in kinds and "progress" in kinds and "terminated" in kinds
+        df = relay.to_df(spark)
+        prog = df.filter(F.col("event_kind") == "progress")
+        assert prog.count() >= 1
+        assert prog.agg(F.sum("num_input_rows")).first()[0] > 0
+    finally:
+        spark.streams.removeListener(relay)
