@@ -543,3 +543,47 @@ def date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         age.cast("long").alias("age_days"),
         (age > 365).alias("stale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F13/F12 — bot message parse + digit validation
+# (reference encodesrv/logs/bots/common.py:11, encodesrv/job.py:76)
+# ---------------------------------------------------------------------------
+@register(
+    "bot_parse",
+    oracle=r"""
+        WITH msgs AS (
+            SELECT doc_id,
+                   concat('<@', source, '>: status ', (doc_id % 150)::VARCHAR) AS msg,
+                   (doc_id % 150)::VARCHAR AS pct_field
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(msg, '^<?@?([^ \|^>]*)>?: *(.*)', 1) AS bot_user,
+               regexp_extract(msg, '^<?@?([^ \|^>]*)>?: *(.*)', 2) AS command,
+               regexp_matches(pct_field, '^[0-9]+$') AS valid_pct
+        FROM msgs
+    """,
+    tags=("parity", "scalar"),
+)
+def bot_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Addressed-message parse (F13: user + command via one regex, the
+    IRC/Slack `<@user>: cmd` shape) and pv progress-line digit
+    validation (F12) — messages synthesized deterministically from the
+    documents table so the oracle sees identical inputs."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    msgs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<@"), F.col("source"), F.lit(">: status "),
+            (F.col("doc_id") % 150).cast("string"),
+        ).alias("msg"),
+        (F.col("doc_id") % 150).cast("string").alias("pct_field"),
+    )
+    return msgs.select(
+        "doc_id",
+        scalars.bot_command_user("msg").alias("bot_user"),
+        scalars.bot_command_text("msg").alias("command"),
+        scalars.is_all_digits("pct_field").alias("valid_pct"),
+    )
