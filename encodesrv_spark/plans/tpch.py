@@ -268,3 +268,64 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "c_name", "total", "rnk")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    tags=("tpch", "outerjoin", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an extra join-condition filter
+    (which must stay IN the join condition — pushing it below the
+    outer join would drop customers), then a two-level aggregation.
+    First agg keys on c_custkey (pre-shuffled by the join), second is
+    a tiny distribution over counts."""
+    prep(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "customers_no_urgent_anti",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    tags=("tpch", "antijoin"),
+)
+def customers_no_urgent_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti hash join (§2.6 'absent' in the
+    reference, supplied here): the probe discards on first match, no
+    row duplication, and the filtered orders side stays a fraction of
+    the fact table."""
+    prep(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
