@@ -329,3 +329,78 @@ def customers_no_urgent_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        WITH avgs AS (
+            SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN avgs a ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#9' AND l.l_quantity < a.lim
+    """,
+    tags=("tpch", "correlated"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + re-join — the plan
+    Catalyst itself produces for the subquery form.  The per-part avg
+    aggregates BEFORE joining (small side), and the brand filter
+    prunes the probe early."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    avgs = l.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("lim")
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    brand = p.filter(F.col("p_brand") == "Brand#9").select("p_partkey")
+    return (
+        l.join(F.broadcast(brand), l.l_partkey == brand.p_partkey)
+        .join(avgs, l.l_partkey == avgs.a_partkey)
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+        SELECT c.c_name, o.o_orderkey, o.o_totalprice, t.sum_qty
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        ) t ON t.l_orderkey = o.o_orderkey
+    """,
+    tags=("tpch", "having"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregation, then joins —
+    the aggregate+filter runs FIRST so only qualifying orderkeys
+    (a tiny set) ever join against orders/customer."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 250)
+        .select("l_orderkey", F.round(F.col("raw_qty"), 2).alias("sum_qty"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
