@@ -248,3 +248,57 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").cast("long").alias("n"),
         F.round(F.sum("pq"), 2).alias("total_qty"),
     )
+
+
+_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("upper_mid", 150_000.0, 250_000.0),
+    ("premium", 250_000.0, 400_000.0),
+    ("luxury", 400_000.0, 1e18),
+]
+
+
+@register(
+    "price_band_range_join",
+    oracle=f"""
+        WITH bands(band, lo, hi) AS (VALUES
+            {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)}
+        )
+        SELECT b.band,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total,
+               round(min(o.o_totalprice), 2) AS min_price,
+               round(max(o.o_totalprice), 2) AS max_price
+        FROM orders o
+        JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band
+    """,
+    tags=("extended", "rangejoin"),
+)
+def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: each fact row lands in the band whose
+    [lo, hi) interval contains it.  The interval side broadcasts, so
+    the fact table is scanned once with no shuffle — a
+    BroadcastNestedLoopJoin whose inner side is 5 rows is O(n·bands)
+    with zero exchange, which IS the right plan when intervals are
+    few.  (When the interval side is itself large, the scale path is
+    bucket-prefiltering: explode intervals over coarse buckets,
+    equi-join on bucket, then refine the range predicate — same
+    composition, one extra explode stage.)"""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
