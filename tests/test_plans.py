@@ -109,3 +109,34 @@ def test_document_pipelines_have_no_driver_collect(spark, sf_dir, name):
     assert len(after) - len(before) <= 1, (
         f"{name} ran {len(after) - len(before)} driver-side jobs at plan time"
     )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing: both sides written bucketed by
+    the join key → the join plan contains NO shuffle exchange.  This is
+    the write-once/join-many layout contract for fact↔fact joins at
+    scale."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(o, "orders_b", "o_orderkey", 4, str(tmp_path / "orders_b"))
+    write_bucketed(l, "lineitem_b", "l_orderkey", 4, str(tmp_path / "lineitem_b"))
+    try:
+        ob, lb = read_bucketed(spark, "orders_b"), read_bucketed(spark, "lineitem_b")
+        # disable broadcast so the join exercises the bucketed path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it still computes the right thing
+        assert joined.count() == l.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
