@@ -37,3 +37,14 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     """Read a bucketed table (the bucket spec comes from the catalog,
     which is what makes the exchange-free join plan possible)."""
     return spark.table(name)
+
+
+def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
+    """Write parquet hive-partitioned by `keys` (e.g. status, date).
+
+    Partition pruning then turns a predicate on a key into directory
+    pruning — the scan never lists, let alone reads, non-matching
+    partitions.  This is the jobs-table layout at scale: partition by
+    coarse status/date so the 60 s poll touches only the
+    'Not Encoding' directory, not the full history."""
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)

@@ -140,3 +140,23 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    """Status-partitioned jobs layout: a poll filter on the partition
+    key becomes a PartitionFilter (directory pruning) — the scan reads
+    only the matching partition's files."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources.bucketed import write_partitioned
+
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned(o, path, "o_orderstatus")
+    scan = spark.read.parquet(path).filter("o_orderstatus = 'O'")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [" in line and "o_orderstatus" in line.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    want = o.filter("o_orderstatus = 'O'").count()
+    assert scan.count() == want
