@@ -33,8 +33,14 @@ def basename(path: Column | str) -> Column:
 
 
 def splitext_ext(path: Column | str) -> Column:
-    """F3 — extension including dot, '' if none (reference encodesrv/job.py:152-154)."""
-    return F.regexp_extract(_c(path), r"(\.[^./]+)$", 1)
+    """F3 — extension including dot, '' if none (reference encodesrv/job.py:152-154).
+
+    Exact os.path.splitext semantics: the extension starts at the LAST
+    dot of the final path segment, but leading dots of the segment are
+    not extension separators ('.bashrc' has no extension; 'a..b' →
+    '.b'; 'x.' → '.').  The pattern requires a non-dot char somewhere
+    before the final dot within the segment."""
+    return F.regexp_extract(_c(path), r"(?:^|/)\.*[^./][^/]*?(\.[^./]*)$", 1)
 
 
 def dirname(path: Column | str) -> Column:

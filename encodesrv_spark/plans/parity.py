@@ -229,7 +229,7 @@ def coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
                path,
                concat('/mnt/media/', regexp_replace(path, '^/+', '')) AS mounted,
                (string_split(path, '/'))[-1] AS base,
-               regexp_extract(path, '(\\.[^./]+)$', 1) AS ext,
+               regexp_extract(path, '(?:^|/)\\.*[^./][^/]*?(\\.[^./]*)$', 1) AS ext,
                regexp_replace(path, '/[^/]*$', '') AS dir,
                concat((string_split(path, '/'))[-1], ' (', lang, ')') AS nice
         FROM p
