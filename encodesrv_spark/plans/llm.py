@@ -657,3 +657,45 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+        SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+               coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
+               grouping(date_trunc('day', ts), date_trunc('hour', ts))::BIGINT AS gid,
+               count(*)::BIGINT AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    tags=("llm", "events", "rollup"),
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: one ROLLUP
+    produces hour, day, and grand-total resolutions in a single pass
+    over the events stream table (the batch shape of a
+    TimescaleDB-like multi-resolution rollup).  At scale the hour rows
+    feed the day rows through partial aggregation — Catalyst's Expand
+    + two-phase HashAggregate does precisely the cascade a hypertable
+    maintains incrementally."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    return (
+        e.rollup(day.alias("d"), hour.alias("h"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.date_format("h", "yyyy-MM-dd HH:mm:ss"), F.lit("ALL")).alias("hour"),
+            F.col("gid").cast("long").alias("gid"),
+            "n",
+            "total_value",
+        )
+    )
