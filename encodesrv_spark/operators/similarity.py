@@ -196,3 +196,98 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid's cell (max cosine, centroid id breaks ties).
+
+    Centroids here are the first `n_centroids` corpus vectors — a
+    deterministic stand-in for a k-means codebook (the assignment/
+    probe machinery is identical; production would train centroids
+    offline and broadcast them the same way).  The cell id is the
+    IVF partition key: at 100 TB the corpus is written partitioned
+    by cell, so a probe reads only nprobe cells' files."""
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", sq_norm(F.col("emb"))
+    )
+    c = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "emb",
+        "nrm",
+        "cent_id",
+        F.round(
+            dot(F.col("emb"), F.col("cemb")) / F.sqrt(F.col("nrm") * F.col("cnrm")), 4
+        ).alias("csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "nrm", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    n_query_vecs: int = 8,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate NN: each query probes its `nprobe` nearest
+    cells; exact cosine re-ranks inside them.  Recall/latency trades
+    on nprobe exactly as in a production IVF index; candidates outside
+    the probed cells are never scored (nor, with cell-partitioned
+    storage, even read)."""
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", sq_norm(F.col("emb"))
+    )
+    c = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    assigned = ivf_assign(embeddings, n_centroids)
+    q = e.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qscored = q.crossJoin(F.broadcast(c)).select(
+        "query_id",
+        "qemb",
+        "qnrm",
+        "cent_id",
+        F.round(
+            dot(F.col("qemb"), F.col("cemb")) / F.sqrt(F.col("qnrm") * F.col("cnrm")), 4
+        ).alias("csim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qemb", "qnrm", F.col("cent_id").alias("cell"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (assigned.cell == probes.cell) & (assigned.vec_id != probes.query_id),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qemb"), F.col("emb")) / F.sqrt(F.col("qnrm") * F.col("nrm")), 4
+        ).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -699,3 +699,66 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_IVF_E = (
+    "SELECT vec_id, embedding::DOUBLE[] AS emb, "
+    "list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm "
+    "FROM embeddings"
+)
+
+
+@register(
+    "embedding_ivf_ann",
+    oracle=f"""
+        WITH e AS ({_IVF_E}),
+        c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+        assign AS (
+            SELECT vec_id, emb, nrm, cent_id AS cell FROM (
+                SELECT e.vec_id, e.emb, e.nrm, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_inner_product(e.emb, c.cemb)
+                                          / sqrt(e.nrm * c.cnrm), 4) DESC, c.cent_id
+                       ) AS rn
+                FROM e, c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e WHERE vec_id < 8),
+        probes AS (
+            SELECT query_id, qemb, qnrm, cent_id AS cell FROM (
+                SELECT q.query_id, q.qemb, q.qnrm, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(list_inner_product(q.qemb, c.cemb)
+                                          / sqrt(q.qnrm * c.cnrm), 4) DESC, c.cent_id
+                       ) AS rn
+                FROM q, c
+            ) WHERE rn <= 2
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_inner_product(p.qemb, a.emb)
+                         / sqrt(p.qnrm * a.nrm), 4) AS cos_sim
+            FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               )::BIGINT AS rnk
+        FROM cand
+        QUALIFY rnk <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantizer cells (nearest of 16 deterministic
+    centroids), queries probe their 2 nearest cells, exact cosine
+    re-rank inside — the inverted-file scale path complementing the
+    LSH variant (cell id becomes the storage partition key at 100 TB,
+    so a probe touches nprobe partitions)."""
+    prep(spark)
+    return similarity.ivf_ann(
+        load_table(spark, sf_dir, "embeddings"),
+        n_query_vecs=8, k=3, n_centroids=16, nprobe=2,
+    )
