@@ -302,3 +302,42 @@ def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+        SELECT n.n_name,
+               count(*)::BIGINT AS n_customers,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("extended", "skew"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted equi-join for hot keys: the fact side appends a
+    deterministic salt (row key mod NSALT) to its join key; the dim
+    side explodes into NSALT replicas, one per salt value, so a hot
+    key's rows spread over NSALT tasks instead of one straggler.
+    Results are identical to the unsalted join (the oracle runs the
+    plain join).  This is the fallback when AQE skew splitting can't
+    fire — e.g. a broadcast-inelegible mid-size dim or a streaming
+    join; NSALT here is 8, sized to the executor count at scale."""
+    prep(spark)
+    NSALT = 8
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", (F.col("c_custkey") % NSALT).cast("int")
+    )
+    n = load_table(spark, sf_dir, "nation").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(NSALT)]))
+    )
+    return (
+        c.join(n, (c.c_nationkey == n.n_nationkey) & (c.salt == n.salt))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
