@@ -762,3 +762,55 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         n_query_vecs=8, k=3, n_centroids=16, nprobe=2,
     )
+
+
+@register(
+    "llm_corpus_prep",
+    oracle=f"""
+        WITH kept AS (
+            SELECT doc_id, lang, text,
+                   len({_TOKS})::BIGINT AS n_toks
+            FROM documents
+            WHERE len({_TOKS}) >= 20
+        ),
+        dedup AS (
+            SELECT doc_id, lang, n_toks FROM (
+                SELECT doc_id, lang, n_toks,
+                       row_number() OVER (
+                           PARTITION BY md5(text) ORDER BY doc_id
+                       ) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        )
+        SELECT lang,
+               count(*)::BIGINT AS n_docs,
+               sum(n_toks)::BIGINT AS total_tokens,
+               round(avg(n_toks), 4) AS avg_tokens
+        FROM dedup GROUP BY lang
+    """,
+    tags=("llm", "pipeline"),
+)
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus prep pipeline, composed from the
+    individual operators: quality gate (min token count) → exact
+    near-dup removal (keep lowest doc_id per content hash) → per-
+    language token budget.  One shuffle for the dedup window (keyed on
+    the 16-byte content hash, never the text) and one for the tiny
+    final aggregate — the same plan shape a 100 TB corpus run needs."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    kept = d.select(
+        "doc_id", "lang", "text", F.size(T.tokens("text")).cast("long").alias("n_toks")
+    ).filter(F.col("n_toks") >= 20)
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return uniq.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+    )
