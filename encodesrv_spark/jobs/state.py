@@ -58,13 +58,26 @@ def moving_file(server: str) -> str:
 # --- storage ----------------------------------------------------------------
 
 
+class CommitConflict(Exception):
+    """Another writer committed first; re-read and retry (the Delta-
+    style optimistic-concurrency signal, SURVEY §7.3.1)."""
+
+
 class JobStore:
-    """Versioned-parquet keyed table with atomic pointer commits.
+    """Versioned-parquet keyed table with atomic pointer commits and
+    optimistic concurrency.
 
-    Layout:  <path>/v_{n:08d}/*.parquet  +  <path>/_CURRENT (pointer).
+    Layout:  <path>/v_{n:08d}/*.parquet  +  <path>/_CURRENT (pointer)
+             +  <path>/_COMMIT_{n:08d} (per-version reservation marker).
 
-    Single-writer discipline: one scheduler owns the store (the
-    reference is likewise one daemon per status-string namespace).
+    Each commit first RESERVES its target version by creating the
+    marker with O_EXCL — an atomic filesystem compare-and-swap.  Two
+    writers racing from the same snapshot both target version v+1;
+    exactly one creates the marker, the other gets
+    :class:`CommitConflict` and retries from the new snapshot.  This is
+    the same optimistic-transaction protocol Delta Lake uses (its
+    _delta_log/N.json creation is the CAS); on a real deployment swap
+    this class for Delta MERGE and the calling code is unchanged.
     Readers resolve _CURRENT and only ever see fully-written versions.
     """
 
@@ -94,8 +107,25 @@ class JobStore:
             raise FileNotFoundError(f"JobStore at {self.path} not initialized")
         return self.spark.read.parquet(self._version_dir(v))
 
-    def _commit(self, df: DataFrame) -> None:
-        v = self.current_version() + 1
+    def _marker(self, v: int) -> str:
+        return os.path.join(self.path, f"_COMMIT_{v:08d}")
+
+    def _commit(self, df: DataFrame, expected_version: int | None = None) -> None:
+        cur = self.current_version()
+        if expected_version is not None and cur != expected_version:
+            raise CommitConflict(
+                f"read version {expected_version}, store is at {cur}"
+            )
+        v = cur + 1
+        # atomic CAS: O_EXCL marker creation reserves version v for this
+        # writer BEFORE any data is written — the loser never touches
+        # the version directory, so no torn writes
+        os.makedirs(self.path, exist_ok=True)
+        try:
+            fd = os.open(self._marker(v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            raise CommitConflict(f"version {v} already reserved") from None
         target = self._version_dir(v)
         df.write.mode("overwrite").parquet(target)
         tmp = self._pointer() + ".tmp"
@@ -107,21 +137,39 @@ class JobStore:
             d = self._version_dir(old)
             if os.path.isdir(d):
                 shutil.rmtree(d, ignore_errors=True)
+            m = self._marker(old)
+            if os.path.exists(m):
+                os.unlink(m)
 
     # -- operations --
 
     def init(self, df: DataFrame) -> None:
         self._commit(df)
 
-    def upsert(self, updates: DataFrame, cols: list[str]) -> None:
+    def upsert(
+        self,
+        updates: DataFrame,
+        cols: list[str],
+        only_if: str | None = None,
+        expected_version: int | None = None,
+    ) -> None:
         """MERGE-style keyed update: for rows whose key appears in
         `updates`, overwrite `cols`; all other rows pass through.
+
+        `only_if` is a SQL predicate over the CURRENT row gating the
+        update (`WHEN MATCHED AND <only_if> THEN UPDATE`) — the
+        conditional-claim guard (ST3).  `expected_version` pins the
+        snapshot this update was computed from; if another writer
+        committed meanwhile the commit raises :class:`CommitConflict`
+        instead of clobbering (defaults to the version read here).
 
         Implemented as a left join + coalesce — one shuffle of the
         (small) updates side when broadcast, zero full-table rewrite
         logic.  At real scale this is a Delta MERGE; semantics match.
         """
-        cur = self.read()
+        if expected_version is None:
+            expected_version = self.current_version()
+        cur = self.spark.read.parquet(self._version_dir(expected_version))
         upd = updates.select(
             F.col(self.key).alias("__k"),
             *[F.col(c).alias(f"__u_{c}") for c in cols],
@@ -129,17 +177,44 @@ class JobStore:
         joined = cur.join(
             F.broadcast(upd), cur[self.key] == F.col("__k"), "left"
         )
+        match = F.col("__k").isNotNull()
+        if only_if is not None:
+            match = match & F.expr(only_if)
         out_cols = []
         for c in cur.columns:
             if c in cols:
                 out_cols.append(
-                    F.when(F.col("__k").isNotNull(), F.col(f"__u_{c}"))
-                    .otherwise(F.col(c))
-                    .alias(c)
+                    F.when(match, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
                 )
             else:
                 out_cols.append(F.col(c))
-        self._commit(joined.select(*out_cols))
+        self._commit(joined.select(*out_cols), expected_version=expected_version)
+
+
+def claim_jobs(
+    store: JobStore, server: str, limit: int, max_retries: int = 5
+) -> DataFrame:
+    """Exactly-once multi-writer claim (ST3 under concurrency,
+    SURVEY §7.3.1): take a snapshot, pick the top-`limit` free jobs,
+    claim them with a conditional update pinned to that snapshot's
+    version.  A racing server triggers :class:`CommitConflict`; retry
+    re-reads and claims only what is still free — two servers can
+    never own the same job.  Returns the claimed candidate rows."""
+    for _ in range(max_retries):
+        v0 = store.current_version()
+        snapshot = store.spark.read.parquet(store._version_dir(v0))
+        candidates = poll_candidates(snapshot, limit)
+        try:
+            store.upsert(
+                claim_updates(candidates, server),
+                ["status"],
+                only_if=f"status = '{NOT_ENCODING}'",
+                expected_version=v0,
+            )
+            return candidates
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"claim by {server!r} lost {max_retries} races")
 
 
 # --- declarative transitions -------------------------------------------------

@@ -102,3 +102,51 @@ def test_bot_status_singular(spark):
     df = jobs_df(spark).filter(F.col("id").isin(1, 3))
     st = state.bot_status(df, SRV)
     assert st.message.endswith("with 1 item waiting.")
+
+
+def test_optimistic_claim_conflict_and_retry(spark, tmp_path):
+    """Multi-writer exactly-once claim (SURVEY §7.3.1): a writer
+    committing from a stale snapshot gets CommitConflict; the retry
+    path claims only still-free jobs — no job is ever double-owned."""
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    store.init(jobs_df(spark))
+
+    # writer A takes its snapshot FIRST (top-2 free jobs: ids 2, 7)
+    v0 = store.current_version()
+    a_snapshot = spark.read.parquet(store._version_dir(v0))
+    a_candidates = state.poll_candidates(a_snapshot, 2)
+
+    # writer B claims the same two jobs and commits first
+    b_claimed = state.claim_jobs(store, OTHER, 2)
+    assert sorted(r["id"] for r in b_claimed.collect()) == [2, 7]
+
+    # A's stale commit must be rejected, not clobber B's claim
+    with pytest.raises(state.CommitConflict):
+        store.upsert(
+            state.claim_updates(a_candidates, SRV),
+            ["status"],
+            only_if="status = 'Not Encoding'",
+            expected_version=v0,
+        )
+
+    # A retries from a fresh snapshot: only job 1 is still free
+    a_claimed = state.claim_jobs(store, SRV, 2)
+    assert sorted(r["id"] for r in a_claimed.collect()) == [1]
+
+    final = {r["id"]: r["status"] for r in store.read().collect()}
+    assert final[2] == f"{OTHER} - Waiting" and final[7] == f"{OTHER} - Waiting"
+    assert final[1] == f"{SRV} - Waiting"
+
+
+def test_conditional_upsert_skips_nonmatching_rows(spark, tmp_path):
+    """`only_if` gates the MERGE: an update targeting a row whose
+    current status no longer matches leaves the row untouched."""
+    store = JobStore(spark, str(tmp_path / "jobs2"))
+    store.init(jobs_df(spark))
+    updates = spark.createDataFrame(
+        [(1, "x - Waiting"), (6, "x - Waiting")], "id long, status string"
+    )
+    store.upsert(updates, ["status"], only_if="status = 'Not Encoding'")
+    final = {r["id"]: r["status"] for r in store.read().collect()}
+    assert final[1] == "x - Waiting"   # was free -> claimed
+    assert final[6] == "Done"          # was Done -> guard held
