@@ -69,15 +69,16 @@ class Scheduler:
         result frame (or None when nothing was claimed)."""
         if free_slots is None:
             free_slots = self.cfg.max_concurrent
-        current = self.jobs.read()
-        candidates = state.poll_candidates(current, free_slots)
+        # exactly-once claim: conditional MERGE + optimistic CAS commit,
+        # retried on conflict — safe even with multiple servers polling
+        # the same store (ST3, SURVEY §7.3.1)
+        candidates = state.claim_jobs(self.jobs, self.cfg.server, free_slots)
         claimed = state.rewrite_mounts(candidates, self.cfg.mount_prefix)
-        # cache: claimed is used for the claim upsert AND the execution
+        # cache: claimed feeds the execution stage and the result joins
         claimed = claimed.cache()
         if claimed.count() == 0:
             claimed.unpersist()
             return None
-        self.jobs.upsert(state.claim_updates(claimed, self.cfg.server), ["status"])
 
         # J1: broadcast FK join to formats, NULL→'' coalesce done by
         # the argv layer; repartition so each job row is its own task
