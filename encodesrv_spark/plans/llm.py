@@ -408,7 +408,16 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     ws = F.size(T.tokens("text")).cast("long")
-    bpe = F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).cast("long")
+    # the BPE-ish pattern's three branches are disjoint character
+    # classes, so the match count decomposes into three simple-pattern
+    # counts — each stays on the regex engine's fast path (the single
+    # alternation pattern intermittently fell off JIT in long sessions)
+    low = F.lower("text")
+    bpe = (
+        F.regexp_count(low, F.lit(r"[a-z]+"))
+        + F.regexp_count(low, F.lit(r"[0-9]+"))
+        + F.regexp_count(low, F.lit(r"[^a-z0-9\s]"))
+    ).cast("long")
     return d.select(
         "doc_id",
         ws.alias("ws_tokens"),
