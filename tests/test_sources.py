@@ -85,3 +85,16 @@ def test_jdbc_option_building():
     assert opts["numPartitions"] == "4"
     assert opts["pushDownLimit"] == "true"
     assert "partitionColumn" not in t.reader_options()
+
+
+def test_cli_list_and_query(capsys):
+    """The operational CLI (reference server.py/__main__.py parity):
+    `list` enumerates the registry; `query` runs one in the foreground."""
+    from encodesrv_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "poll_topk" in out and "claim_join" in out
+
+    assert main(["query", "status_message", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert main(["query", "nope_not_a_query"]) == 2
