@@ -82,6 +82,40 @@ class ProcessConfig:
     scratch_root: str | None = None
     target_lufs_default: float = -23.0
     fail_fast: bool = False  # tests: re-raise instead of Error status
+    progress_dir: str | None = None  # ST7 side-channel (see emit_progress)
+
+
+PROGRESS_SCHEMA = "id long, seq int, stage string, status string"
+
+
+def emit_progress(cfg: ProcessConfig, job_id: int, seq: int, stage: str, status: str) -> None:
+    """ST7 — progress from INSIDE a task.  Spark tasks cannot mutate
+    driver state mid-flight (SURVEY §7.3.5), so the side channel is an
+    append-only event directory: one tiny JSON file per transition,
+    written atomically (tmp + rename), readable as a DataFrame at any
+    time via `progress_df`.  This is the distributed analog of the
+    reference's `pv` percent→status rewrites every 5 s (job.py:68-78):
+    same information, but append-only events instead of destructive
+    UPDATEs, so history survives.  On a cluster, point progress_dir at
+    shared storage (the same prefix the jobs table lives on)."""
+    if cfg.progress_dir is None:
+        return
+    os.makedirs(cfg.progress_dir, exist_ok=True)
+    import json
+
+    rec = {"id": job_id, "seq": seq, "stage": stage, "status": status}
+    final = os.path.join(cfg.progress_dir, f"{job_id:012d}_{seq:04d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(rec))
+    os.replace(tmp, final)
+
+
+def progress_df(spark, progress_dir: str) -> "DataFrame":
+    """The progress event stream as a DataFrame (explicit schema — the
+    bot/status surface joins or windows over it; also usable as a
+    streaming file source for live dashboards)."""
+    return spark.read.schema(PROGRESS_SCHEMA).json(progress_dir)
 
 
 def _loudness_gain(stderr_text: str, target: float) -> float | None:
@@ -97,6 +131,12 @@ def _loudness_gain(stderr_text: str, target: float) -> float | None:
 def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
     """Execute one claimed job end-to-end (reference job.py:117-338)."""
     log: list[str] = []
+    _seq = [0]
+
+    def mark(stage: str, status: str) -> None:
+        _seq[0] += 1
+        emit_progress(cfg, int(row["id"]), _seq[0], stage, status)
+
     scratch = tempfile.mkdtemp(
         prefix=f"encode--{row['id']}--", dir=cfg.scratch_root
     )
@@ -110,6 +150,7 @@ def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
 
         args = synthesize_params(row, row, scratch, pass_no=1)
         # 1. monitored copy source → scratch (S7/U4)
+        mark("copy", f"{cfg.server} - Copying Source")
         cfg.copy(src, args["_SourceFile"])
         log.append("copied")
 
@@ -126,6 +167,7 @@ def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
                     extra = f"-af volume={gain}"
                     row = {**row, "args_audio": f"{row.get('args_audio') or ''} {extra}".strip()}
                     log.append(f"loudness gain={gain:.6f}")
+                    mark("loudness", f"{cfg.server} - Analysing audio")
 
         # 3. encode passes (U1/F18)
         n_passes = int(row.get("pass_count") or 1)
@@ -135,6 +177,7 @@ def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
             cfg.encode(argv, scratch)
             passes_run = p
             log.append(f"pass {p}")
+            mark(f"pass{p}", f"{cfg.server} - Encoding Pass {p}")
 
         # 4. optional MP4Box interleave (U3)
         if row.get("apply_mp4box") and cfg.apply_mp4box is not None:
@@ -160,10 +203,12 @@ def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
                 )
                 size += os.path.getsize(os.path.join(scratch, fname))
             log.append(f"moved {len(outputs)} files")
+            mark("publish", f"{cfg.server} - Moving Files")
         else:
             cfg.copy(args["_TempDest"], dest)
             size = os.path.getsize(dest)
             log.append("moved file")
+            mark("publish", f"{cfg.server} - Moving File")
 
         status = "Done"
         # 6. scratch cleanup; failure → 'Encoded' not 'Done' (job.py:326-331)
@@ -171,6 +216,7 @@ def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
             shutil.rmtree(scratch)
         except OSError:
             status = "Encoded"
+        mark("terminal", status)
         return {
             "id": row["id"],
             "video_id": row.get("video_id"),
@@ -183,6 +229,7 @@ def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
         if cfg.fail_fast:
             raise
         shutil.rmtree(scratch, ignore_errors=True)
+        mark("terminal", f"{cfg.server} - Error")
         return {
             "id": row["id"],
             "video_id": row.get("video_id"),

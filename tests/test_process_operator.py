@@ -143,3 +143,37 @@ def test_mapinpandas_batch(spark, tmp_path):
     got = {r["id"]: r["final_status"] for r in out.collect()}
     assert got[1] == got[2] == got[4] == "Done"
     assert "Error" in got[3]
+
+
+def test_progress_side_channel(spark, tmp_path):
+    """ST7: per-stage progress events are emitted from inside the
+    task (append-only JSON side channel) and read back as a DataFrame;
+    the latest event per job gives the live status view."""
+    import encodesrv_spark.jobs.process as P
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in.mov"
+    src.write_bytes(b"x" * 100)
+    pdir = str(tmp_path / "progress")
+    cfg = P.ProcessConfig(scratch_root=str(tmp_path), progress_dir=pdir)
+    row = {
+        "id": 42, "source_file": str(src),
+        "destination_file": str(tmp_path / "out" / "a.mp4"),
+        "pass_count": 2, "video_id": None,
+        "container": "mp4", "video_codec": "libx264", "video_bitrate": 1000,
+        "file_extension": "mp4",
+    }
+    res = P.run_job_row(row, cfg)
+    assert res["final_status"] == "Done"
+
+    events = P.progress_df(spark, pdir)
+    stages = [r["stage"] for r in events.orderBy("seq").collect()]
+    assert stages[0] == "copy" and "pass1" in stages and "pass2" in stages
+    assert stages[-1] == "terminal"
+    # latest-status view (the bot/status surface)
+    w = W.partitionBy("id").orderBy(F.desc("seq"))
+    latest = (
+        events.withColumn("rn", F.row_number().over(w)).filter("rn = 1").first()
+    )
+    assert latest["status"] == "Done"
