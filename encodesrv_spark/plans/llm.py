@@ -823,3 +823,73 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_tokens"),
         F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
     )
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+        SELECT tok, n, rnk FROM (
+            SELECT tok, count(*)::BIGINT AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, tok)::BIGINT AS rnk
+            FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+        ) WHERE rnk <= 100
+    """,
+    tags=("llm", "text"),
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: explode tokens, count, global top-100 (ties
+    break lexicographically).  The shuffle carries (token, partial
+    count) pairs — partial aggregation means corpus size only affects
+    the scan, not the exchange; the final top-k is a
+    TakeOrderedAndProject over the aggregated vocabulary."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(T.tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counted = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 100)
+    )
+
+
+@register(
+    "text_scrub",
+    oracle=r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_urls,
+               len(regexp_extract_all(text, '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+'))::BIGINT AS n_emails,
+               length(regexp_replace(
+                   regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                   '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'
+               ))::BIGINT AS scrubbed_len
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern scrub for training corpora: count + redact URL and
+    email spans (standard pre-training hygiene).  Pure JVM regex — at
+    100 TB this is a map-only stage with zero shuffle.  (DuckDB's
+    regexp_replace needs the 'g' flag for replace-all parity with
+    Spark.)"""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    url = r"https?://[^\s]+"
+    email = r"[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+"
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(url)).cast("long").alias("n_urls"),
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("text", url, "<URL>"), email, "<EMAIL>"
+            )
+        ).cast("long").alias("scrubbed_len"),
+    )
