@@ -92,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--poll-interval", type=float, default=60.0)
     sp.add_argument("--cycles", type=int, default=1)
 
+    xp = sub.add_parser("sql", help="run ad-hoc SQL over the testdata views")
+    xp.add_argument("statement")
+    xp.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    xp.add_argument("-n", type=int, default=20)
+
     sub.add_parser("bench", help="run the benchmark harness")
 
     args = p.parse_args(argv)
@@ -101,6 +108,14 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_query(args.name, args.sf_dir, args.explain, args.n)
     if args.cmd == "scheduler":
         return _cmd_scheduler(args)
+    if args.cmd == "sql":
+        from encodesrv_spark.catalog import register_views
+        from encodesrv_spark.session import get_spark
+
+        spark = get_spark("sql")
+        register_views(spark, args.sf_dir)
+        spark.sql(args.statement).show(args.n, truncate=False)
+        return 0
     if args.cmd == "bench":
         import bench
 

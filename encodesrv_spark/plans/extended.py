@@ -341,3 +341,38 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "sql_revenue_by_region",
+    oracle="""
+        SELECT r.r_name,
+               count(DISTINCT c.c_custkey)::BIGINT AS n_customers,
+               round(sum(o.o_totalprice), 2) AS total_revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY r.r_name
+    """,
+    tags=("extended", "sql"),
+)
+def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-SQL surface: identical ANSI SQL runs on Spark (over
+    `catalog.register_views`) and on the DuckDB oracle — users who
+    query the reference's Postgres in SQL keep writing SQL here, same
+    Catalyst plan as the DataFrame form (broadcast dims, partial agg)."""
+    prep(spark)
+    from encodesrv_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT r.r_name,
+               count(DISTINCT c.c_custkey) AS n_customers,
+               round(sum(o.o_totalprice), 2) AS total_revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY r.r_name
+    """)
