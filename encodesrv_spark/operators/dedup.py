@@ -216,3 +216,61 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
             )
         ).alias("simhash")
     )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected pair graph
+    ((doc_a, doc_b) edges) by iterative min-label propagation: every
+    node repeatedly adopts the smallest label among itself and its
+    neighbors until fixpoint.  Returns (doc_id, component) where
+    component = min doc_id reachable.
+
+    This is the cluster step of dedup (candidate PAIRS from LSH →
+    duplicate GROUPS → one keeper per group).  Convergence needs
+    O(graph diameter) joins — near-dup graphs are unions of small
+    cliques, so 2-3 iterations in practice; `max_iters` bounds
+    pathological chains.  Each iteration is one join + one aggregate
+    on (node, label) pairs — never materializing the transitive
+    closure — and `localCheckpoint` truncates the growing lineage so
+    iteration N doesn't re-execute iterations 1..N-1 (the classic
+    iterative-DataFrame trap).  The driver-side loop checks a single
+    aggregate per round (a scalar, not a collect of data)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # start: every node labels itself
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")

@@ -893,3 +893,51 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("scrubbed_len"),
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE sig AS ({_SIG8}),
+        bands AS (
+            SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1, concat(h2::VARCHAR, '_', h3::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 2, concat(h4::VARCHAR, '_', h5::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 3, concat(h6::VARCHAR, '_', h7::VARCHAR) FROM sig
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(node, comp) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+            UNION
+            SELECT e.src, w.comp FROM edges e JOIN walk w ON w.node = e.dst
+        )
+        SELECT node AS doc_id, min(comp)::BIGINT AS component
+        FROM walk GROUP BY node
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from LSH candidate pairs: connected
+    components by iterative min-label propagation (the step that turns
+    pairwise near-dup hits into groups with one keeper each).  The
+    Spark side is a bounded join-aggregate loop with lineage
+    checkpointing; the oracle computes the same components with a
+    recursive CTE — the only iterative-algorithm operator in the
+    registry, and it still hash-matches exactly."""
+    prep(spark)
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, n_hashes=8, band_size=2
+    )
+    return dedup.connected_components(pairs)
