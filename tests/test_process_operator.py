@@ -177,3 +177,27 @@ def test_progress_side_channel(spark, tmp_path):
         events.withColumn("rn", F.row_number().over(w)).filter("rn = 1").first()
     )
     assert latest["status"] == "Done"
+
+
+def test_publish_is_idempotent_on_retry(tmp_path):
+    """§7.3.4: a retried task (same job row, rerun) must converge to
+    the same published bytes — staged scratch + move-last means a
+    retry overwrites with identical content instead of corrupting."""
+    import encodesrv_spark.jobs.process as P
+
+    src = tmp_path / "in.mov"
+    src.write_bytes(b"payload")
+    dest = tmp_path / "out" / "a.mp4"
+    cfg = P.ProcessConfig(scratch_root=str(tmp_path))
+    row = {
+        "id": 7, "source_file": str(src), "destination_file": str(dest),
+        "pass_count": 1, "video_id": None,
+        "container": "mp4", "video_codec": "libx264", "video_bitrate": 1000,
+        "file_extension": "mp4",
+    }
+    r1 = P.run_job_row(dict(row), cfg)
+    first_bytes = dest.read_bytes()
+    r2 = P.run_job_row(dict(row), cfg)  # simulated task retry
+    assert r1["final_status"] == r2["final_status"] == "Done"
+    assert dest.read_bytes() == first_bytes
+    assert r1["size"] == r2["size"] == len(first_bytes)
