@@ -209,3 +209,25 @@ def test_watchdog_raises_after_stale_day(spark, tmp_path):
     sched.run_cycle = boom  # type: ignore[assignment]
     with pytest.raises(RuntimeError):
         sched.loop(max_cycles=5)
+
+
+def test_streaming_poll_loop_runs_scheduler_cycles(spark, tmp_path):
+    """ST1 end-to-end in streaming mode: the Structured Streaming poll
+    trigger drives real claim→execute→publish cycles; after the drain
+    every job reaches a terminal state and video_files is published."""
+    from encodesrv_spark.streaming.events import poll_loop_stream
+
+    jobs, vf = seed_stores(spark, tmp_path, n_jobs=4)
+    sched = mk_scheduler(spark, tmp_path, jobs, vf, max_concurrent=4)
+
+    def on_batch(_df, _epoch):
+        sched.run_cycle()
+
+    writer = poll_loop_stream(spark, on_batch=on_batch, interval=None)
+    q = writer.option("checkpointLocation", str(tmp_path / "ckpt_sched")).start()
+    q.awaitTermination(120)
+
+    statuses = {r["id"]: r["status"] for r in jobs.read().collect()}
+    assert all(s == "Done" for s in statuses.values()), statuses
+    published = {r["id"]: r["is_enabled"] for r in vf.read().collect()}
+    assert all(published.values()), published
