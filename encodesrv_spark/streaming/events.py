@@ -82,3 +82,16 @@ def poll_loop_stream(
     if interval:
         return writer.trigger(processingTime=interval)
     return writer.trigger(availableNow=True)
+
+
+def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once event dedup: drop repeated event_ids
+    within the watermark horizon (`dropDuplicatesWithinWatermark`), the
+    streaming twin of exact dedup — at-least-once sources (Kafka
+    redelivery, retried producers) become effectively-once downstream.
+    State holds one entry per event_id seen inside the horizon and is
+    dropped as the watermark passes — bounded by event rate × horizon,
+    not by stream lifetime."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

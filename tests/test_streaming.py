@@ -110,3 +110,31 @@ def test_log_relay_listener(spark, tmp_path, events_dir):
         assert prog.agg(F.sum("num_input_rows")).first()[0] > 0
     finally:
         spark.streams.removeListener(relay)
+
+
+def test_streaming_dedup_drops_redelivered(spark, tmp_path, events_dir, sf_dir):
+    """Redelivered events (same event_id) collapse to one row."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.streaming.events import deduped_events, read_events_stream
+
+    # redeliver: write the same events twice into the stream dir
+    dup_dir = str(tmp_path / "dup_stream")
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+
+    stream = read_events_stream(spark, dup_dir)
+    q = (
+        deduped_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
+    assert got["n"] == got["d"] == base.count()
