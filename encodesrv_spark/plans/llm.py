@@ -941,3 +941,77 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), k=3, n_hashes=8, band_size=2
     )
     return dedup.connected_components(pairs)
+
+
+_SPLIT_H = stable_hash64_sql("concat('split:', doc_id::VARCHAR)") + " % 100"
+
+
+@register(
+    "corpus_sample_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   CASE WHEN {_SPLIT_H} < 80 THEN 'train'
+                        WHEN {_SPLIT_H} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT lang, split, count(*)::BIGINT AS n_docs,
+               min(doc_id)::BIGINT AS min_doc_id
+        FROM assigned GROUP BY lang, split
+    """,
+    tags=("llm", "sampling"),
+)
+def corpus_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by CONTENT-STABLE
+    hash bucketing — hash(doc_id) % 100 range-assigns the split, so the
+    assignment is reproducible across engines, runs, and cluster sizes
+    (RNG-based df.sample is none of those).  This is how corpus splits
+    must be done at 100 TB: no shuffle, no state, any worker can
+    re-derive any document's split."""
+    prep(spark)
+    from encodesrv_spark.functions.hashing import stable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = stable_hash64(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {stable_hash64_sql("concat('samp:', doc_id::VARCHAR)")} % 1000
+              < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 200 ELSE 500 END
+    """,
+    tags=("llm", "sampling"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified consistent sampling: per-language rates (en 5%,
+    es 20%, others 50% — downsample the over-represented strata) via
+    hash-mod thresholds.  Same properties as the split op: exact,
+    reproducible, shuffle-free; the 100 TB path to a balanced training
+    mix."""
+    prep(spark)
+    from encodesrv_spark.functions.hashing import stable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    h = stable_hash64(
+        F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))
+    ) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "es", 200)
+        .otherwise(500)
+    )
+    return d.filter(h < rate).select("doc_id", "lang")
