@@ -1015,3 +1015,64 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(500)
     )
     return d.filter(h < rate).select("doc_id", "lang")
+
+
+@register(
+    "corpus_pack_bins",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len({_TOKS})::BIGINT AS n_toks,
+                   ({stable_hash64_sql("concat('pack:', doc_id::VARCHAR)")} % 8) AS bucket
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, n_toks, bucket,
+                   ((sum(n_toks) OVER (
+                        PARTITION BY bucket ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING
+                    ) - n_toks) // 512)::BIGINT AS local_bin
+            FROM toks
+        )
+        SELECT bucket, local_bin,
+               count(*)::BIGINT AS n_docs,
+               sum(n_toks)::BIGINT AS bin_tokens
+        FROM packed GROUP BY bucket, local_bin
+    """,
+    tags=("llm", "packing"),
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing for training batches: greedy running-sum
+    binning (bin = floor(prefix_tokens/512)).  Packing is inherently
+    sequential, so the scale move is hash-bucketing FIRST (8 here;
+    thousands at 100 TB): each bucket packs independently in parallel
+    and the global bin id is (bucket, local_bin).  One window over
+    (bucket, doc_id) order — no global sort, no single-partition
+    bottleneck."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    from encodesrv_spark.functions.hashing import stable_hash64
+
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("long").alias("n_toks"),
+        (
+            stable_hash64(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+            % 8
+        ).alias("bucket"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn(
+        "local_bin",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / 512).cast("long"),
+    )
+    return packed.groupBy("bucket", "local_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("bin_tokens"),
+    )
