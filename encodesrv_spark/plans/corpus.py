@@ -1,0 +1,340 @@
+"""Corpus-engineering queries for training-data pipelines: inverted
+index, TF-IDF, benchmark decontamination, length/token distribution
+statistics, and domain-mixture reweighting.
+
+These extend the LLM-pipeline surface of plans/llm.py (dedup /
+similarity / text analysis) with the retrieval- and curation-side
+operators a pre-training data pipeline needs.  Same conventions:
+DuckDB oracles share constants with the Spark plan, floats are rounded
+identically on BOTH sides before any ranking or threshold, and every
+document pipeline goes through ``dedup.fan_out`` so a single parquet
+file still parallelizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from encodesrv_spark.catalog import load_table
+from encodesrv_spark.functions import text as T
+from encodesrv_spark.operators import dedup
+from encodesrv_spark.plans.registry import register
+from encodesrv_spark.session import prep
+
+# Tokens with the empties dropped (split on '\s+' yields '' around
+# leading/trailing whitespace) — keep the Spark and DuckDB forms locked.
+_TOKS_NE = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+
+def _tokens_ne(col: str = "text"):
+    return F.filter(T.tokens(col), lambda t: t != "")
+
+
+# ---------------------------------------------------------------------------
+# Inverted index
+# ---------------------------------------------------------------------------
+
+@register(
+    "inverted_index",
+    oracle=f"""
+        SELECT tok, count(*)::BIGINT AS df,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM (
+            SELECT doc_id, unnest(list_distinct({_TOKS_NE})) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+    """,
+    tags=("llm", "retrieval"),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> sorted posting list + document frequency.  Tokens are
+    distinct per doc, so df is a plain count after the explode; the
+    shuffle carries (token, doc_id) pairs and the posting list is built
+    by one collect_list per token.  At 100 TB the hot keys are
+    stopwords — posting lists for those are exactly the rows a real
+    deployment would cap or tier, and the groupBy is partial-aggregated
+    map-side so the skew lands only on the final collect."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode_outer(F.array_distinct(_tokens_ne())).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+@register(
+    "tfidf_topk",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, unnest({_TOKS_NE}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT doc_id, tok, cnt,
+                   sum(cnt) OVER (PARTITION BY doc_id) AS doc_len,
+                   count(*) OVER (PARTITION BY tok) AS df
+            FROM tf
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, tok, score, rnk FROM (
+            SELECT doc_id, tok,
+                   round((cnt * 1.0 / doc_len) * ln(n_docs * 1.0 / df), 4)
+                       AS score,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round((cnt * 1.0 / doc_len)
+                                      * ln(n_docs * 1.0 / df), 4) DESC,
+                                tok
+                   )::BIGINT AS rnk
+            FROM stats, n
+        ) WHERE rnk <= 3
+    """,
+    tags=("llm", "retrieval", "topk"),
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  tf aggregates once on
+    (doc_id, token); df is a vocabulary-sized aggregate joined back
+    (vocabulary << corpus, so the join side is small even at 100 TB);
+    doc_len and the final rank ride one doc_id partitioning.  Scores
+    are rounded BEFORE ranking on both sides so cross-engine ulp
+    differences in ln() cannot reorder, and rank ties break on the
+    token string."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode_outer(_tokens_ne()).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        (F.col("cnt") * 1.0 / F.col("doc_len"))
+        * F.log(F.col("n_docs") * 1.0 / F.col("df")),
+        4,
+    )
+    ranked = (
+        tf.withColumn("doc_len", F.sum("cnt").over(W.partitionBy("doc_id")))
+        .join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok")))
+            .cast("long"),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= 3).select("doc_id", "tok", "score", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DOC_SHINGLES5 = """
+    SELECT doc_id, source, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0)),
+        i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 4), ' ')
+    ))) AS s
+    FROM documents
+"""
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=f"""
+        WITH sh AS ({_DOC_SHINGLES5}),
+        bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE source = 'src0'),
+        train AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+        SELECT t.doc_id,
+               count(DISTINCT t.s)::BIGINT AS n_hit_ngrams,
+               count(DISTINCT b.bench_doc)::BIGINT AS n_bench_docs
+        FROM train t JOIN bench b ON t.s = b.s
+        GROUP BY t.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 5-gram with
+    the held-out set (source='src0' stands in for the benchmark), with
+    how many distinct 5-grams and how many benchmark docs they hit.
+    The benchmark shingle set is tiny relative to the corpus, so it
+    BROADCASTS — the training side streams map-only through the probe,
+    no shuffle of corpus bytes at 100 TB.  Shingles are xxhash64'd
+    before the join (fixed-width keys); the oracle joins the strings —
+    outputs agree because both count distinct co-occurrences."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_index(d, 5)  # fan_out inside; (doc_id, sh)
+    src = d.select("doc_id", "source")
+    sh = sh.join(F.broadcast(src), "doc_id").select(
+        "doc_id", "source", F.xxhash64("sh").alias("h")
+    )
+    bench = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_doc"), "h"
+    )
+    train = sh.filter(F.col("source") != "src0").select("doc_id", "h")
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_hit_ngrams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_quantiles",
+    oracle=f"""
+        SELECT lang,
+               count(*)::BIGINT AS n_docs,
+               round(quantile_cont(n_toks, 0.25), 4) AS p25,
+               round(quantile_cont(n_toks, 0.50), 4) AS p50,
+               round(quantile_cont(n_toks, 0.75), 4) AS p75,
+               round(quantile_cont(n_toks, 0.95), 4) AS p95
+        FROM (SELECT lang, len({_TOKS_NE})::BIGINT AS n_toks FROM documents)
+        GROUP BY lang
+    """,
+    tags=("llm", "stats"),
+)
+def token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count quantiles (continuous
+    interpolation — Spark `percentile` and DuckDB `quantile_cont`
+    share the definition).  Exact percentiles need the group's values
+    together: fine here because the cardinality that matters is docs
+    per LANGUAGE GROUP, and the state is one sorted array of longs per
+    group.  At 100 TB you'd swap percentile -> percentile_approx
+    (t-digest, mergeable partial aggs) — the approx twin of this query
+    already exists as `approx_stats`."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("lang", F.size(_tokens_ne()).cast("long").alias("n_toks"))
+    pct = F.percentile("n_toks", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)]))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(pct[3], 4).alias("p95"),
+    )
+
+
+@register(
+    "length_histogram",
+    oracle="""
+        WITH h AS (
+            SELECT (n_chars // 100 * 100)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1
+        ),
+        t AS (SELECT sum(n_docs) AS total FROM h)
+        SELECT bucket, n_docs,
+               round(sum(n_docs) OVER (ORDER BY bucket) * 1.0 / total, 6)
+                   AS cum_share
+        FROM h, t
+    """,
+    tags=("llm", "stats"),
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) with cumulative
+    share — the curve a curation pass reads before picking length
+    cutoffs.  The heavy aggregate collapses the corpus to ~hundreds of
+    bucket rows FIRST; the unpartitioned cumulative window runs on
+    those rows only, so the single-partition sort that would be a
+    bottleneck on raw data is free here."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    h = (
+        d.select((F.expr("n_chars div 100") * 100).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    total = h.agg(F.sum("n_docs").alias("total"))
+    return (
+        h.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n_docs").over(W.orderBy("bucket")) * 1.0 / F.col("total"), 6
+            ),
+        )
+        .select("bucket", "n_docs", "cum_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture
+# ---------------------------------------------------------------------------
+
+@register(
+    "domain_mix_weights",
+    oracle=f"""
+        WITH per AS (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_toks)::BIGINT AS total_tokens
+            FROM (SELECT source, len({_TOKS_NE})::BIGINT AS n_toks
+                  FROM documents)
+            GROUP BY source
+        ),
+        tot AS (SELECT sum(total_tokens) AS all_toks,
+                       count(*) AS n_src FROM per)
+        SELECT source, n_docs, total_tokens,
+               round(total_tokens * 1.0 / all_toks, 6) AS token_share,
+               round((1.0 / n_src) / (total_tokens * 1.0 / all_toks), 6)
+                   AS sample_weight
+        FROM per, tot
+    """,
+    tags=("llm", "sampling"),
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-source token share and the
+    sampling weight that flattens the mix to uniform (weight =
+    target_share / actual_share; a non-uniform target is a broadcast
+    dimension swap).  One corpus-wide aggregate keyed on source, then
+    a 1-row broadcast of the totals — the reweighting math never
+    touches corpus-scale data."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    per = (
+        d.select("source", F.size(_tokens_ne()).cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("total_tokens"))
+    )
+    tot = per.agg(
+        F.sum("total_tokens").alias("all_toks"), F.count("*").alias("n_src")
+    )
+    share = F.col("total_tokens") * 1.0 / F.col("all_toks")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round((1.0 / F.col("n_src")) / share, 6).alias("sample_weight"),
+        )
+    )

@@ -52,6 +52,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def all_queries() -> dict[str, Query]:
     """Import all plan modules (side-effect registration) and return the map."""
     # Imports deferred so `import encodesrv_spark` stays cheap.
-    from encodesrv_spark.plans import extended, llm, parity, tpch, tpch_deep  # noqa: F401
+    from encodesrv_spark.plans import (  # noqa: F401
+        corpus,
+        extended,
+        llm,
+        parity,
+        tpch,
+        tpch_deep,
+    )
 
     return dict(_REGISTRY)

@@ -160,3 +160,21 @@ def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
     )[1].split("]")[0]
     want = o.filter("o_orderstatus = 'O'").count()
     assert scan.count() == want
+
+
+def test_decontaminate_broadcasts_bench_side(spark, sf_dir):
+    """Decontamination must broadcast the benchmark shingle set — the
+    training corpus (100 TB side) streams map-only through the probe;
+    a shuffled join here would move corpus-scale shingles."""
+    plan = plan_of(spark, sf_dir, "decontaminate_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_rank_filter_is_predicate_not_sort(spark, sf_dir):
+    """tfidf_topk's per-doc rank must stay a windowed row_number with
+    the rnk<=3 filter — no global sort/limit over the token-level
+    frame."""
+    plan = plan_of(spark, sf_dir, "tfidf_topk")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "GlobalLimit" not in plan
