@@ -95,3 +95,75 @@ def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def enriched_events(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: tag each event with the customer
+    dimension (user_id == c_custkey).  The static side is broadcast —
+    every micro-batch probes an executor-local hash map, no shuffle of
+    the stream and no state store at all (stream-static joins are
+    stateless).  At scale the dimension refreshes by re-broadcasting on
+    a cadence, not by widening state."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    return events.join(dim, "user_id", "left")
+
+
+def sliding_rates(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window event rates: 1 h window sliding every 15 min per
+    event_type (each event lands in 4 overlapping windows).  The
+    watermark bounds state to horizon x slide-count; closed windows
+    emit and drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def click_purchase_attribution(
+    events: DataFrame, events2: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a click by
+    the same user within `horizon` before the purchase.  Both sides are
+    watermarked and the join condition carries an explicit time range,
+    so the state store only keeps clicks inside the horizon — the
+    bounded-state form of an as-of/attribution join (the batch twin is
+    `asof_join_purchases`).  Append-mode output: a match emits exactly
+    when the watermark proves no earlier click can still arrive."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+    )
+    return purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "value")

@@ -138,3 +138,93 @@ def test_streaming_dedup_drops_redelivered(spark, tmp_path, events_dir, sf_dir):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
     assert got["n"] == got["d"] == base.count()
+
+
+def test_enriched_events_matches_batch_join(spark, tmp_path, events_dir, sf_dir):
+    """Stream-static enrichment must agree with the same batch join."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.streaming.events import enriched_events
+
+    customers = load_table(spark, sf_dir, "customer")
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        enriched_events(stream, customers)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enriched"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["segment"], r["nationkey"])
+        for r in spark.sql("SELECT event_id, segment, nationkey FROM enriched").collect()
+    }
+    batch = enriched_events(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        customers,
+    )
+    want = {
+        (r["event_id"], r["segment"], r["nationkey"])
+        for r in batch.select("event_id", "segment", "nationkey").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sliding_rates_match_batch_windows(spark, tmp_path, events_dir, sf_dir):
+    """Streaming sliding windows must agree with the identical batch
+    F.window aggregation (each event in 4 overlapping windows)."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.streaming.events import sliding_rates
+
+    stream = read_events_stream(spark, events_dir)
+    _run_available_now(sliding_rates(stream), tmp_path, "sliding")
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sliding").collect()
+    }
+    batch = sliding_rates(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+    )
+    want = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_click_purchase_attribution_matches_batch(spark, tmp_path, events_dir, sf_dir):
+    """Stream-stream interval join must emit exactly the batch self-join
+    pairs (watermark only bounds state; availableNow drains fully)."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.streaming.events import click_purchase_attribution
+
+    s1 = read_events_stream(spark, events_dir)
+    s2 = read_events_stream(spark, events_dir)
+    q = (
+        click_purchase_attribution(s1, s2)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT purchase_id, click_id FROM attrib").collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in click_purchase_attribution(ev, ev).collect()
+    }
+    assert got == want and len(got) > 0
