@@ -338,3 +338,100 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((1.0 / F.col("n_src")) / share, 6).alias("sample_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "dup")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, unnest({_TOKS_NE}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs, avg(dl * 1.0) AS avgdl FROM dl),
+        df AS (
+            SELECT tok, count(*)::BIGINT AS df FROM tf
+            WHERE tok IN {_BM25_TERMS!r}
+            GROUP BY tok
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * (cnt * ({_BM25_K1} + 1.0))
+                       / (cnt + {_BM25_K1}
+                          * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+                   ) AS raw
+            FROM tf
+            JOIN df ON tf.tok = df.tok
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(raw, 4) AS score,
+               row_number() OVER (ORDER BY round(raw, 4) DESC, doc_id)::BIGINT
+                   AS rnk
+        FROM scored
+        QUALIFY rnk <= 20
+    """,
+    tags=("llm", "retrieval", "topk"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the fixed query {hash, join, dup}
+    (k1=1.2, b=0.75; idf = ln((N-df+.5)/(df+.5)+1), Lucene form).  The
+    per-term df table is vocabulary-sized and BROADCAST; term
+    frequencies aggregate once on (doc_id, token) and doc length rides
+    the same doc_id partitioning, so the only corpus-scale shuffle is
+    the tf aggregate.  Scores round before the global top-20
+    (TakeOrderedAndProject — per-partition heaps, no full sort), ties
+    break on doc_id."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode_outer(_tokens_ne()).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl") * 1.0).alias("avgdl")
+    )
+    df_tbl = (
+        tf.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term_score = (
+        idf
+        * (F.col("cnt") * (k1 + 1.0))
+        / (F.col("cnt") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("raw"))
+        .select("doc_id", F.round("raw", 4).alias("score"))
+    )
+    # limit(20) first: TakeOrderedAndProject keeps the top-k selection a
+    # per-partition heap + driver merge; the row_number window then runs
+    # over just 20 rows instead of shuffling every scored doc to one task.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return top.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"),
+    )
