@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
 from encodesrv_spark.functions import text as T
-from encodesrv_spark.operators import dedup
+from encodesrv_spark.operators import dedup, similarity
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
 
@@ -434,4 +434,236 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk",
         F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_NE} AS t FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            GROUP BY 1, 2
+        ),
+        uni AS (
+            SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+                   max(cnt) AS top_cnt
+            FROM tf GROUP BY 1
+        ),
+        pos AS (
+            SELECT doc_id, unnest(t) AS tok,
+                   generate_subscripts(t, 1) AS pos
+            FROM toks
+        ),
+        bg AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS bigram
+            FROM pos
+            QUALIFY bigram IS NOT NULL
+        ),
+        bgf AS (
+            SELECT doc_id, max(cnt) AS top_bg_cnt FROM (
+                SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT uni.doc_id, uni.n_tokens::BIGINT AS n_tokens,
+               round(uni.n_distinct * 1.0 / uni.n_tokens, 4) AS distinct_ratio,
+               round(uni.top_cnt * 1.0 / uni.n_tokens, 4) AS top_tok_share,
+               round(coalesce(bgf.top_bg_cnt, 0) * 2.0 / uni.n_tokens, 4)
+                   AS top_bigram_share
+        FROM uni LEFT JOIN bgf ON uni.doc_id = bgf.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: token count,
+    distinct-token ratio, share of the most frequent token, and share of
+    tokens covered by the most frequent bigram (2 * count / n_tokens).
+    One explode feeds a (doc_id, token) partial-aggregated count from
+    which n/distinct/top all fall out of a single doc_id aggregation;
+    bigrams are built array-side (no window, no per-doc sort shuffle)
+    and follow the same two-level aggregation.  Every shuffle key is
+    doc_id-prefixed, so skew is bounded by document length, not corpus
+    frequency.  Generalizes EncodeSrv's scalar text functions
+    (reference encodesrv/job.py:204-205 regex analysis) to corpus QA."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens_ne().alias("t"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    uni = tf.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', t[i + 1]))"
+        ).alias("bg"),
+    )
+    bgf = (
+        bigrams.select("doc_id", F.explode("bg").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bg_cnt"))
+    )
+    return (
+        uni.join(bgf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias("top_tok_share"),
+            F.round(
+                F.coalesce(F.col("top_bg_cnt"), F.lit(0)) * 2.0 / F.col("n_tokens"), 4
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against an existing fingerprint store
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_dedup",
+    oracle="""
+        WITH store AS (
+            SELECT DISTINCT md5(text) AS text_hash
+            FROM documents WHERE source = 'src0'
+        ),
+        incoming AS (
+            SELECT doc_id, md5(text) AS text_hash
+            FROM documents WHERE source <> 'src0'
+        ),
+        fresh AS (
+            SELECT i.doc_id, i.text_hash
+            FROM incoming i ANTI JOIN store s USING (text_hash)
+        )
+        SELECT text_hash, min(doc_id)::BIGINT AS keeper_doc_id,
+               count(*)::BIGINT AS n_new_copies
+        FROM fresh GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an incoming batch (source <> 'src0') is
+    checked against the fingerprint store of the already-ingested corpus
+    (source = 'src0') with a LEFT ANTI join on the 128-bit content hash,
+    then deduplicated within itself (min doc_id keeps).  This is the
+    steady-state shape of a 100 TB pipeline — the store holds 16-byte
+    hashes only (never text), the anti join and the group-by share the
+    same hash key so one Exchange serves both, and the incoming side is
+    typically orders of magnitude smaller than the store, which AQE can
+    flip to a broadcast when the BATCH side is the small one."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    store = (
+        d.filter(F.col("source") == "src0")
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    incoming = d.filter(F.col("source") != "src0").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    return (
+        incoming.join(store, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_new_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cluster cohesion (per-label centroid + cosine dispersion)
+# ---------------------------------------------------------------------------
+
+@register(
+    "label_centroid_cohesion",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        dim AS (
+            SELECT label, pos, round(avg(d), 6) AS c FROM (
+                SELECT label, unnest(emb) AS d,
+                       generate_subscripts(emb, 1) AS pos
+                FROM e
+            ) GROUP BY 1, 2
+        ),
+        cent AS (
+            SELECT label, list(c ORDER BY pos) AS cemb FROM dim GROUP BY 1
+        ),
+        scored AS (
+            SELECT e.label, e.vec_id,
+                   round(list_inner_product(e.emb, c.cemb) /
+                         sqrt(list_inner_product(e.emb, e.emb)
+                              * list_inner_product(c.cemb, c.cemb)), 4) AS cos
+            FROM e JOIN cent c ON e.label = c.label
+        )
+        SELECT label, count(*)::BIGINT AS n_vecs,
+               round(avg(cos), 3) AS avg_cohesion,
+               round(min(cos), 4) AS min_cohesion
+        FROM scored GROUP BY 1
+    """,
+    tags=("llm", "similarity"),
+)
+def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality diagnostic: per-label centroid (dimension-wise
+    mean, rounded to 6 so both engines fold identical values) and the
+    cosine of every member to its centroid, reduced to per-label count /
+    mean / min.  The centroid pass posexplodes to (label, pos) rows —
+    partially aggregated map-side, so the shuffle carries one partial
+    sum per (label, pos, partition), not N*D rows — and the tiny
+    centroid table (labels x dims) broadcasts back onto the members;
+    the only corpus-scale shuffle is the final per-label aggregate."""
+    prep(spark)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+    )
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "d"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("d"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cemb")
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        F.round(
+            similarity.dot(F.col("emb"), F.col("cemb"))
+            / F.sqrt(
+                similarity.sq_norm(F.col("emb")) * similarity.sq_norm(F.col("cemb"))
+            ),
+            4,
+        ).alias("cos"),
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cos"), 3).alias("avg_cohesion"),
+        F.round(F.min("cos"), 4).alias("min_cohesion"),
     )
