@@ -1,0 +1,114 @@
+"""Small-file compaction and range-clustered layout — table maintenance
+for a 100 TB corpus.
+
+Streaming ingest (the 60 s poll loop writing micro-batches, reference
+`encodesrv/__init__.py:97-141`) and fine-grained partitioning both
+produce the classic small-file problem: millions of KB-scale parquet
+files whose open/footer overhead dominates scan time and whose count
+blows up driver-side listing.  Compaction rewrites a directory into
+~target-size files; range-clustering additionally sorts the data so
+min/max footer statistics prune file-level I/O for range predicates
+(the poor man's Z-order — exact for one key, prefix-ordered for more).
+
+Both operators are pure DataFrame rewrites: the only shuffle is the one
+`repartition`/`repartitionByRange` exchange that fixes the output
+layout, and the write inherits Spark's staging-commit protocol, so a
+failed compaction never corrupts the table (same stage-then-publish
+contract as the reference's temp-dir encode, `encodesrv/job.py:282-309`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class DirStats:
+    """File-level stats for a table directory (driver-side, from the
+    Hadoop FileSystem so it works the same on HDFS/S3/local)."""
+
+    n_files: int
+    total_bytes: int
+    small_files: int  # files below the small threshold
+
+    def needs_compaction(self, min_small: int = 8) -> bool:
+        return self.small_files >= min_small
+
+
+def dir_stats(
+    spark: SparkSession, path: str, small_bytes: int = 32 * 1024 * 1024
+) -> DirStats:
+    """List data files under `path` via the Hadoop FS API (driver-side
+    metadata only — never reads data).  At real scale this listing is
+    the thing compaction keeps bounded."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    it = fs.listFiles(p, True)
+    n = total = small = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        size = st.getLen()
+        total += size
+        if size < small_bytes:
+            small += 1
+    return DirStats(n_files=n, total_bytes=total, small_files=small)
+
+
+def target_partitions(total_bytes: int, target_bytes: int) -> int:
+    """ceil(total/target), floor 1 — the output file count."""
+    return max(1, math.ceil(total_bytes / max(1, target_bytes)))
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> DirStats:
+    """Rewrite the parquet directory at `path` into ~target-size files
+    at `out_path`.  One exchange (round-robin `repartition(n)` — no key,
+    so output files are size-balanced regardless of data skew), one
+    write.  Returns the post-compaction stats."""
+    stats = dir_stats(spark, path)
+    n = target_partitions(stats.total_bytes, target_bytes)
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(out_path)
+    return dir_stats(spark, out_path)
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, n_files: int, *keys: str
+) -> None:
+    """Write `df` range-partitioned AND sorted by `keys`: every output
+    file owns a disjoint key range and is internally sorted, so parquet
+    row-group min/max stats turn a range predicate into file/row-group
+    skipping at scan time.  `repartitionByRange` samples the key
+    distribution, so skewed keys still yield balanced files (unlike
+    hash bucketing, which needs salting under skew)."""
+    cols = [F.col(k) for k in keys]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_ranges(df_with_file: DataFrame, key: str) -> DataFrame:
+    """Per-file min/max of `key` — the verification view of the
+    clustered layout (what the parquet footer will serve to the
+    scanner).  Input must carry `input_file_name()` as `_file`."""
+    return (
+        df_with_file.groupBy("_file")
+        .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+        .orderBy("lo")
+    )

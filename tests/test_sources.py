@@ -98,3 +98,73 @@ def test_cli_list_and_query(capsys):
 
     assert main(["query", "status_message", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     assert main(["query", "nope_not_a_query"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# Compaction + range-clustered layout (sources/compaction.py)
+# ---------------------------------------------------------------------------
+
+def test_compaction_rewrites_small_files(spark, sf_dir, tmp_path):
+    """64 tiny ingest files -> one balanced ~target-size output set with
+    identical contents; dir_stats sees the small-file problem before and
+    not after."""
+    from encodesrv_spark.sources import compaction as C
+
+    src = str(tmp_path / "frag")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(64).write.parquet(src)
+
+    before = C.dir_stats(spark, src)
+    assert before.n_files == 64
+    assert before.needs_compaction()
+
+    out = str(tmp_path / "compact")
+    target = max(1, before.total_bytes // 4)
+    after = C.compact(spark, src, out, target_bytes=target)
+    assert after.n_files == C.target_partitions(before.total_bytes, target)
+    assert after.n_files < before.n_files
+    # contents identical (order-free compare on the full row hash)
+    a = spark.read.parquet(src).selectExpr("md5(concat_ws('|', *)) h")
+    b = spark.read.parquet(out).selectExpr("md5(concat_ws('|', *)) h")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_range_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_range_clustered: every output file owns a disjoint doc_id
+    range (the property parquet min/max skipping needs), rows intact."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.sources import compaction as C
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "clustered")
+    C.write_range_clustered(docs, out, 8, "doc_id")
+
+    back = spark.read.parquet(out).withColumn("_file", F.input_file_name())
+    ranges = C.file_ranges(back, "doc_id").collect()
+    assert len(ranges) == 8
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] < cur["lo"]  # disjoint, ordered key ranges
+    assert back.count() == docs.count()
+
+
+def test_range_predicate_prunes_clustered_files(spark, sf_dir, tmp_path):
+    """A narrow doc_id range over the clustered layout reads fewer files
+    than exist: parquet min/max stats prune at the scan."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.sources import compaction as C
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "clustered2")
+    C.write_range_clustered(docs, out, 8, "doc_id")
+
+    hit = (
+        spark.read.parquet(out)
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") < 5))
+        .withColumn("_file", F.input_file_name())
+        .select("_file")
+        .distinct()
+        .count()
+    )
+    assert hit == 1  # 5 adjacent ids live in exactly one range file
