@@ -228,3 +228,46 @@ def test_click_purchase_attribution_matches_batch(spark, tmp_path, events_dir, s
         for r in click_purchase_attribution(ev, ev).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming twin of incremental_dedup: stream the non-src0 docs
+    (with one full redelivery of the first file) against the static
+    src0 fingerprint store; the surviving hash set must equal the batch
+    query's keeper hashes, redeliveries dropped by in-stream state."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.corpus import (
+        incremental_dedup_stream,
+        read_docs_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = docs.filter(F.col("source") == "src0").select(
+        F.md5("text").alias("text_hash")
+    )
+    incoming = docs.filter(F.col("source") != "src0")
+
+    src = tmp_path / "docs_stream"
+    incoming.write.mode("overwrite").parquet(str(src / "batch1"))
+    # redeliver the same rows — the stream must emit each hash once
+    incoming.limit(50).write.mode("overwrite").parquet(str(src / "batch2"))
+
+    stream = read_docs_stream(spark, f"{src}/*")
+    q = (
+        incremental_dedup_stream(stream, store)
+        .writeStream.format("memory")
+        .queryName("inc_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["text_hash"] for r in spark.sql("SELECT text_hash FROM inc_dedup").collect()}
+    want = {
+        r["text_hash"]
+        for r in all_queries()["incremental_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
