@@ -150,3 +150,54 @@ def test_conditional_upsert_skips_nonmatching_rows(spark, tmp_path):
     final = {r["id"]: r["status"] for r in store.read().collect()}
     assert final[1] == "x - Waiting"   # was free -> claimed
     assert final[6] == "Done"          # was Done -> guard held
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+def test_scd2_versions_formats_dimension(spark):
+    """Two change batches over a 3-row dimension: changed rows close and
+    re-version, no-op updates leave history untouched, new keys appear,
+    and as-of queries return the version current at that instant."""
+    from encodesrv_spark.operators.scd import scd2_apply, scd2_asof, scd2_init
+
+    dim = spark.createDataFrame(
+        [(1, "mp4", 2000), (2, "webm", 1000), (3, "thumb", 0)],
+        "id int, format_name string, video_bitrate int",
+    )
+    hist = scd2_init(dim, "2026-01-01 00:00:00")
+
+    # batch 1: real change to id=1, no-op update to id=2, new id=4
+    b1 = spark.createDataFrame(
+        [(1, "mp4", 4000), (2, "webm", 1000), (4, "av1", 3000)],
+        "id int, format_name string, video_bitrate int",
+    )
+    hist = scd2_apply(hist, b1, "id", ["format_name", "video_bitrate"],
+                      "2026-02-01 00:00:00")
+
+    rows = {(r["id"], r["is_current"]): r for r in hist.collect()}
+    assert rows[(1, False)]["video_bitrate"] == 2000  # closed old version
+    assert rows[(1, True)]["video_bitrate"] == 4000
+    assert rows[(1, False)]["valid_to"] is not None
+    assert (2, False) not in rows  # no-op update did not churn history
+    assert rows[(4, True)]["format_name"] == "av1"
+    assert hist.count() == 5  # 3 original + 1 closed-replacement + 1 new
+
+    # batch 2: change id=1 again -> three versions total for that key
+    b2 = spark.createDataFrame(
+        [(1, "mp4", 8000)], "id int, format_name string, video_bitrate int"
+    )
+    hist = scd2_apply(hist, b2, "id", ["format_name", "video_bitrate"],
+                      "2026-03-01 00:00:00")
+    v1 = hist.filter("id = 1").orderBy("valid_from").collect()
+    assert [r["video_bitrate"] for r in v1] == [2000, 4000, 8000]
+    assert [r["is_current"] for r in v1] == [False, False, True]
+
+    # as-of: mid-February sees the 4000 version; today sees 8000
+    feb = {r["id"]: r["video_bitrate"]
+           for r in scd2_asof(hist, "2026-02-15 00:00:00").collect()}
+    assert feb[1] == 4000 and feb[2] == 1000 and feb[4] == 3000
+    now = {r["id"]: r["video_bitrate"]
+           for r in scd2_asof(hist, "2026-03-02 00:00:00").collect()}
+    assert now[1] == 8000
