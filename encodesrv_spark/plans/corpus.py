@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
+from encodesrv_spark.functions import hashing as H
 from encodesrv_spark.functions import text as T
 from encodesrv_spark.operators import dedup, similarity
 from encodesrv_spark.plans.registry import register
@@ -666,4 +667,118 @@ def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.round(F.avg("cos"), 3).alias("avg_cohesion"),
         F.round(F.min("cos"), 4).alias("min_cohesion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "unigram_lm_score",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, unnest({_TOKS_NE}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        gterm AS (SELECT tok, sum(cnt) AS gcnt FROM tf GROUP BY 1),
+        tot AS (SELECT sum(gcnt) AS total FROM gterm)
+        SELECT doc_id,
+               sum(cnt)::BIGINT AS n_tokens,
+               round(sum(cnt * -log2(gcnt * 1.0 / total)) / sum(cnt), 3)
+                   AS bits_per_token
+        FROM tf JOIN gterm USING (tok) CROSS JOIN tot
+        GROUP BY 1
+    """,
+    tags=("llm", "text", "quality"),
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (bits/token) under the corpus unigram
+    LM — the cheap stand-in for perplexity-based quality filtering: low
+    bits = repetitive/common text, high bits = rare-token soup, and the
+    filter is a percentile band on this column.  The global term table
+    is vocabulary-sized (aggregated map-side from the same tf frame the
+    per-doc pass uses) and BROADCAST back; the corpus-scale shuffle is
+    the one (doc_id, tok) aggregate.  At 100 TB the vocab table is the
+    only state that grows sub-linearly — exactly what you want resident."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode_outer(_tokens_ne()).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    glob = tf.groupBy("tok").agg(F.sum("cnt").alias("gcnt"))
+    tot = glob.agg(F.sum("gcnt").alias("total"))
+    return (
+        tf.join(F.broadcast(glob), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * -F.log2(F.col("gcnt") / F.col("total")))
+                / F.sum("cnt"),
+                3,
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (share of first-seen shingles per document)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_novelty",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+            FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(
+                        len(string_split_regex(text, '\\s+')) - 2, 0)),
+                    i -> array_to_string(list_slice(
+                        string_split_regex(text, '\\s+'), i, i + 2), ' ')
+                ))) AS s
+                FROM documents
+            )
+        ),
+        first AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        SELECT doc_id, count(*)::BIGINT AS n_shingles,
+               round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 4) AS novelty
+        FROM sh JOIN first USING (h)
+        GROUP BY 1
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-word
+    shingles whose FIRST occurrence (min doc_id, the ingest-order proxy)
+    is this document — the scoring view of near-dedup, where ~0 novelty
+    means the document is assembled from already-seen text.  Shingles
+    travel as 60-bit hashes (8-byte shuffle keys, never strings); the
+    first-seen table reuses the same hash partitioning for its join
+    back, so the plan is two aggregates and one co-partitioned join."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_shingles("text", 3))).alias("s"),
+    ).select("doc_id", H.stable_hash64(F.col("s")).alias("h"))
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("novelty"),
+        )
     )
