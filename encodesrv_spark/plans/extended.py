@@ -376,3 +376,116 @@ def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY r.r_name
     """)
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (ordered multi-stage user journey)
+# ---------------------------------------------------------------------------
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        ),
+        v AS (
+            SELECT user_id, min(tus) AS vt FROM e
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, min(tus) AS ct
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND tus > vt GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(tus) AS pt
+            FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND tus > ct GROUP BY 1
+        )
+        SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+               (SELECT count(*) FROM c)::BIGINT AS n_click_after_view,
+               (SELECT count(*) FROM p)::BIGINT AS n_purchase_after_click
+    """,
+    tags=("events", "analytics"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: users counted at a
+    stage only if the stage's FIRST event strictly follows their first
+    event of the previous stage.  Each stage is one filtered min-
+    aggregate on user_id; the per-user stage tables shrink monotonically
+    down the funnel, so each successive join is smaller than the last
+    and every shuffle shares the user_id key (one exchange per stage,
+    all co-partitioned).  Timestamps compared as epoch-us integers —
+    zero cross-engine float/timezone risk."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("tus")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("vt"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("tus") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("tus") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("pt"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (first-seen day x activity-day offset)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        ),
+        f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        SELECT cohort_day::BIGINT AS cohort_day,
+               (day - cohort_day)::BIGINT AS day_offset,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM e JOIN f USING (user_id)
+        WHERE day - cohort_day <= 7
+        GROUP BY 1, 2
+    """,
+    tags=("events", "analytics"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-active day
+    (epoch-day integers — no timezone ambiguity in either engine),
+    counted distinct per (cohort, day-offset) for the first week.  The
+    first-seen table is user-cardinality (<< events) and shares the
+    user_id exchange with the distinct count, so the plan is two
+    user-keyed aggregates around one join — AQE picks broadcast when
+    the user dimension fits, plain shuffle join when it doesn't."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("(ts_ns DIV 1000) DIV 86400000000").alias("day")
+    )
+    f = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(f, "user_id")
+        .filter(F.col("day") - F.col("cohort_day") <= 7)
+        .groupBy(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            (F.col("day") - F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
