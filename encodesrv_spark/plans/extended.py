@@ -489,3 +489,113 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph (aggregate-big, iterate-small)
+# ---------------------------------------------------------------------------
+
+_PR_EDGES = """
+    SELECT n1.n_name AS src, n2.n_name AS dst,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS w
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+"""
+
+
+def _pr_step(prev: str) -> str:
+    return f"""
+        SELECT nodes.node, nodes.cnt,
+               0.15 / nodes.cnt
+                   + 0.85 * coalesce(sum({prev}.r * (e.w / outw.ow)), 0) AS r
+        FROM nodes
+        LEFT JOIN edges e ON e.dst = nodes.node
+        LEFT JOIN outw ON outw.src = e.src
+        LEFT JOIN {prev} ON {prev}.node = e.src
+        GROUP BY nodes.node, nodes.cnt
+    """
+
+
+@register(
+    "trade_pagerank",
+    oracle=f"""
+        WITH edges AS ({_PR_EDGES}),
+        outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+        nodes AS (
+            SELECT n_name AS node,
+                   (SELECT count(*) FROM nation)::DOUBLE AS cnt
+            FROM nation
+        ),
+        r0 AS (SELECT node, cnt, 1.0 / cnt AS r FROM nodes),
+        r1 AS ({_pr_step('r0')}),
+        r2 AS ({_pr_step('r1')}),
+        r3 AS ({_pr_step('r2')})
+        SELECT node AS nation, round(r, 6) AS pagerank FROM r3
+    """,
+    tags=("iterative", "graph", "tpch"),
+)
+def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, 3 synchronous iterations, dangling
+    mass dropped) over the nation->nation trade graph.  The 100 TB
+    pattern on display: ONE corpus-scale join-aggregate collapses the
+    fact tables to a nodes^2-bounded edge list (weights rounded to 2
+    before iterating, so both engines fold identical doubles), and the
+    iteration then runs entirely on that tiny graph — each step is a
+    broadcast join + re-aggregate, no further contact with the fact
+    data.  For graphs too large to broadcast, the same loop runs with
+    hash joins + per-iteration localCheckpoint (the dedup_clusters
+    pattern); the oracle unrolls the identical three steps as CTEs."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("src", "dst")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("w")
+        )
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e2 = edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+    ncnt = nation.agg(F.count("*").cast("double").alias("cnt"))
+    nodes = nation.select(F.col("n_name").alias("node")).crossJoin(F.broadcast(ncnt))
+    r = nodes.select("node", "cnt", (F.lit(1.0) / F.col("cnt")).alias("r"))
+    for _ in range(3):
+        contrib = (
+            F.broadcast(e2)
+            .join(r.select(F.col("node").alias("src"), "r"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("share")).alias("contrib"))
+        )
+        r = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                "cnt",
+                (
+                    F.lit(0.15) / F.col("cnt")
+                    + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return r.select(F.col("node").alias("nation"), F.round("r", 6).alias("pagerank"))

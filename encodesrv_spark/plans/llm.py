@@ -934,8 +934,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise near-dup hits into groups with one keeper each).  The
     Spark side is a bounded join-aggregate loop with lineage
     checkpointing; the oracle computes the same components with a
-    recursive CTE — the only iterative-algorithm operator in the
-    registry, and it still hash-matches exactly."""
+    recursive CTE — an iterative-algorithm operator (see also
+    trade_pagerank) that still hash-matches exactly."""
     prep(spark)
     pairs = dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), k=3, n_hashes=8, band_size=2
