@@ -81,10 +81,15 @@ class JobStore:
     Readers resolve _CURRENT and only ever see fully-written versions.
     """
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "id") -> None:
+    def __init__(
+        self, spark: SparkSession, path: str, key: str = "id", retain: int = 2
+    ) -> None:
         self.spark = spark
         self.path = path
         self.key = key
+        # versions kept behind _CURRENT: >=2 covers concurrent readers;
+        # raise it for time-travel (`read_version`) / audit windows
+        self.retain = max(2, retain)
 
     # -- version plumbing --
 
@@ -106,6 +111,27 @@ class JobStore:
         if v < 0:
             raise FileNotFoundError(f"JobStore at {self.path} not initialized")
         return self.spark.read.parquet(self._version_dir(v))
+
+    def read_version(self, v: int) -> DataFrame:
+        """Time-travel: the table exactly as of commit `v` (must still
+        be inside the retention window — the Delta `VERSION AS OF`
+        analog; pair with a larger `retain` for audit trails)."""
+        d = self._version_dir(v)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {v} not retained (retain={self.retain}, "
+                f"current={self.current_version()})"
+            )
+        return self.spark.read.parquet(d)
+
+    def history(self) -> list[int]:
+        """Retained, readable version numbers, oldest first."""
+        cur = self.current_version()
+        return [
+            v
+            for v in range(max(0, cur - self.retain + 1), cur + 1)
+            if os.path.isdir(self._version_dir(v))
+        ]
 
     def _marker(self, v: int) -> str:
         return os.path.join(self.path, f"_COMMIT_{v:08d}")
@@ -132,8 +158,9 @@ class JobStore:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer())  # atomic pointer bump
-        # retain previous version for concurrent readers; GC older ones
-        for old in range(v - 2, -1, -1):
+        # retain a window of versions for concurrent readers and
+        # time-travel; GC everything older
+        for old in range(v - self.retain, -1, -1):
             d = self._version_dir(old)
             if os.path.isdir(d):
                 shutil.rmtree(d, ignore_errors=True)

@@ -201,3 +201,34 @@ def test_scd2_versions_formats_dimension(spark):
     now = {r["id"]: r["video_bitrate"]
            for r in scd2_asof(hist, "2026-03-02 00:00:00").collect()}
     assert now[1] == 8000
+
+
+def test_jobstore_time_travel(spark, tmp_path):
+    """read_version reconstructs each retained snapshot exactly;
+    history lists the retention window; GC'd versions raise."""
+    from encodesrv_spark.jobs.state import JobStore
+
+    store = JobStore(spark, str(tmp_path / "tt"), retain=3)
+    store.init(
+        spark.createDataFrame(
+            [(1, "Not Encoding"), (2, "Not Encoding")], "id int, status string"
+        )
+    )
+    for n, st in enumerate(["srv - Waiting", "srv - Encoding Pass 1", "Done"]):
+        store.upsert(
+            spark.createDataFrame([(1, st)], "id int, status string"), ["status"]
+        )
+    assert store.current_version() == 3
+    assert store.history() == [1, 2, 3]
+
+    def status_at(v):
+        return {r["id"]: r["status"] for r in store.read_version(v).collect()}
+
+    assert status_at(1)[1] == "srv - Waiting"
+    assert status_at(2)[1] == "srv - Encoding Pass 1"
+    assert status_at(3)[1] == "Done"
+    assert status_at(3) == {r["id"]: r["status"] for r in store.read().collect()}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.read_version(0)  # GC'd: outside retain=3
