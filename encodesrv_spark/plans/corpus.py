@@ -782,3 +782,51 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string-similarity join (blocked levenshtein)
+# ---------------------------------------------------------------------------
+
+_FUZZ_MAX = 60
+
+
+@register(
+    "fuzzy_pairs_levenshtein",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, lang, n_chars // 16 AS blk FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.text, b.text)::BIGINT AS edit_dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= {_FUZZ_MAX}
+    """,
+    tags=("llm", "dedup", "fuzzy"),
+)
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with blocking: candidates must share
+    (lang, length-bucket) — the equi-join key that keeps the O(n*m)
+    levenshtein OFF the cross product and inside small buckets.  The
+    join shuffles both sides on the block key (same-sized sides — no
+    broadcast), and the quadratic work is bounded per bucket, which is
+    the knob you tune at 100 TB (narrower buckets = fewer candidates).
+    Distance is integer, so cross-engine parity is exact."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", F.expr("n_chars DIV 16").alias("blk")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "lang", "blk"
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "lang", "blk"
+    )
+    return (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("long"))
+        .filter(F.col("edit_dist") <= _FUZZ_MAX)
+        .select("doc_a", "doc_b", "edit_dist")
+    )

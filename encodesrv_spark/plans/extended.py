@@ -599,3 +599,76 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select(F.col("node").alias("nation"), F.round("r", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Operational monitoring: hourly error rate + anomaly z-scores
+# ---------------------------------------------------------------------------
+
+@register(
+    "error_rate_hourly",
+    oracle="""
+        SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour_id,
+               count(*)::BIGINT AS n_events,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_errors,
+               round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 4) AS error_rate,
+               (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+                / count(*) > 0.25) AS alert
+        FROM events GROUP BY 1
+    """,
+    tags=("events", "monitoring"),
+)
+def error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-side form of the reference's error escalation (its
+    SMTP-on-ERROR handler, encodesrv/logs/log.py:32-38): per-hour error
+    share over the event stream with an alert flag.  One partial-
+    aggregated groupBy on epoch-hour integers; the streaming twin is
+    hourly_counts + a filter on the rate."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("(ts_ns DIV 1000) DIV 3600000000").alias("hour_id"), "event_type"
+    )
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return e.groupBy(F.col("hour_id").cast("long").alias("hour_id")).agg(
+        F.count("*").alias("n_events"),
+        err.cast("long").alias("n_errors"),
+        F.round(err * 1.0 / F.count("*"), 4).alias("error_rate"),
+        (err * 1.0 / F.count("*") > 0.25).alias("alert"),
+    )
+
+
+@register(
+    "value_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type,
+               round(e.value, 2) AS value,
+               round((e.value - s.mu) / s.sd, 2) AS z
+        FROM events e JOIN stats s USING (event_type)
+        WHERE abs(round((e.value - s.mu) / s.sd, 2)) >= 3.0
+    """,
+    tags=("events", "monitoring"),
+)
+def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| >= 3): the two-pass pattern — a
+    type-cardinality stats aggregate BROADCAST back onto the stream-
+    scale side, so the detector is one map-side join away from the raw
+    events (no second shuffle).  z is rounded before thresholding on
+    both sides, the established cross-engine fp rule."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"), "z")
+    )
