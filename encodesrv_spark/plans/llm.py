@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
 from encodesrv_spark.functions import text as T
@@ -1075,4 +1076,95 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("bucket", "local_bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_toks").alias("bin_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix + near-dedup drop list
+# ---------------------------------------------------------------------------
+
+@register(
+    "lang_confusion",
+    oracle=f"""
+        WITH s AS (
+            SELECT lang AS labeled_lang, {_lang_scores_sql()} FROM documents
+        ),
+        p AS (SELECT labeled_lang, {_lang_case_sql()} AS pred_lang FROM s)
+        SELECT labeled_lang, pred_lang, count(*)::BIGINT AS n,
+               round(count(*) * 1.0 /
+                     sum(count(*)) OVER (PARTITION BY labeled_lang), 4) AS share
+        FROM p GROUP BY 1, 2
+    """,
+    tags=("llm", "text", "quality"),
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix — the evaluation
+    view of the lang_id classifier (per-label row shares sum to 1).
+    The matrix is langs^2-bounded, so after the map-side scoring pass
+    everything downstream is dimension-sized; the window runs on the
+    already-aggregated frame, not the corpus."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    p = d.select(
+        F.col("lang").alias("labeled_lang"),
+        T.predicted_lang("text").alias("pred_lang"),
+    )
+    counts = p.groupBy("labeled_lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = W.partitionBy("labeled_lang")
+    return counts.select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("share"),
+    )
+
+
+@register(
+    "neardup_removals",
+    oracle=f"""
+        WITH RECURSIVE sig AS ({_SIG8}),
+        bands AS (
+            SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1, concat(h2::VARCHAR, '_', h3::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 2, concat(h4::VARCHAR, '_', h5::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 3, concat(h6::VARCHAR, '_', h7::VARCHAR) FROM sig
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(node, comp) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+            UNION
+            SELECT e.src, w.comp FROM edges e JOIN walk w ON w.node = e.dst
+        )
+        SELECT node AS doc_id, min(comp)::BIGINT AS keeper_doc_id
+        FROM walk GROUP BY node
+        HAVING min(comp) <> node
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def neardup_removals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of the near-dedup pipeline: the DROP LIST —
+    every non-canonical cluster member mapped to its keeper (min doc_id
+    in its connected component).  Applying it is one anti-join of the
+    corpus against this table; at 100 TB the list is duplicates-sized
+    (a small fraction of the corpus) and joins on the compact doc_id
+    key, never on content."""
+    prep(spark)
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, n_hashes=8, band_size=2
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.filter(F.col("component") != F.col("doc_id")).select(
+        "doc_id", F.col("component").alias("keeper_doc_id")
     )
