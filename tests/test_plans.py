@@ -178,3 +178,30 @@ def test_tfidf_rank_filter_is_predicate_not_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tfidf_topk")
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "GlobalLimit" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    """value_anomaly_zscore: the per-type stats table is type-cardinality
+    and must broadcast — the events side stays map-side after its one
+    aggregate (no second corpus-scale shuffle for the join)."""
+    plan = plan_of(spark, sf_dir, "value_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcasts_df_side(spark, sf_dir):
+    """bm25_search: the per-term df table (query-terms-sized) and the
+    corpus stats scalar must broadcast; the top-20 must be a
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    plan = plan_of(spark, sf_dir, "bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fuzzy_pairs_joins_on_block_key(spark, sf_dir):
+    """fuzzy_pairs_levenshtein: the self-join must be an equi-join on
+    the (lang, length-bucket) block key — never a cartesian product
+    with a levenshtein filter."""
+    plan = plan_of(spark, sf_dir, "fuzzy_pairs_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
