@@ -73,3 +73,30 @@ def missing_sources(jobs: DataFrame, listing: DataFrame) -> DataFrame:
     return jobs.join(
         listing.select(F.col("path").alias("source_file")), "source_file", "left_anti"
     )
+
+
+DOCS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str = DOCS_JSONL_SCHEMA
+) -> DataFrame:
+    """JSON-lines corpus source with an EXPLICIT schema — the common
+    raw-ingest format for training-data pipelines (one document object
+    per line, splittable, so a 100 TB prefix parallelizes per-block).
+
+    Schema inference is disabled by contract: on a large prefix
+    inference costs a full extra pass and silently widens types on
+    dirty data.  Corrupt lines land in `_corrupt_record` instead of
+    failing the scan (PERMISSIVE), so a bad shard quarantines rather
+    than kills a day-long ingest; count them and route to a dead-letter
+    path."""
+    full = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

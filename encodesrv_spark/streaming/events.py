@@ -167,3 +167,32 @@ def click_purchase_attribution(
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "value")
+
+
+def error_rate_alerts(
+    events: DataFrame, watermark: str = "2 hours", threshold: float = 0.25
+) -> DataFrame:
+    """Streaming twin of the batch error_rate_hourly query: watermarked
+    tumbling-hour error share with an alert flag — the continuous form
+    of the reference's SMTP-on-ERROR escalation (its log handler fires
+    per record; this fires per closed window, which is what a fleet
+    needs).  State is one window per hour per trigger and closes at the
+    watermark, so memory is bounded regardless of stream length."""
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            err.cast("long").alias("n_errors"),
+            F.round(err * 1.0 / F.count("*"), 4).alias("error_rate"),
+            (err * 1.0 / F.count("*") > threshold).alias("alert"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+            "n_errors",
+            "error_rate",
+            "alert",
+        )
+    )

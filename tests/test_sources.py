@@ -168,3 +168,26 @@ def test_range_predicate_prunes_clustered_files(spark, sf_dir, tmp_path):
         .count()
     )
     assert hit == 1  # 5 adjacent ids live in exactly one range file
+
+
+def test_read_jsonl_with_corrupt_quarantine(spark, tmp_path):
+    """JSONL ingest: explicit schema (no inference pass), good rows
+    parse, corrupt lines quarantine into _corrupt_record instead of
+    failing the scan."""
+    from encodesrv_spark.sources.files import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "a b c", "lang": "en", "source": "s0", "n_chars": 5}\n'
+        '{"doc_id": 2, "text": "d e", "lang": "de", "source": "s1", "n_chars": 3}\n'
+        "this is not json\n"
+    )
+    df = read_jsonl(spark, str(p)).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2
+    assert bad.count() == 1
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "a b c", 2: "d e"}
+    assert df.schema["doc_id"].dataType.typeName() == "long"
+    df.unpersist()

@@ -271,3 +271,31 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
         for r in all_queries()["incremental_dedup"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_error_rate_alerts_match_batch(spark, tmp_path, events_dir, sf_dir):
+    """The streaming hourly error-rate agg must agree with the batch
+    error_rate_hourly query on (n_events, n_errors, error_rate, alert)
+    per hour."""
+    from encodesrv_spark.streaming.events import error_rate_alerts, read_events_stream
+
+    stream = read_events_stream(spark, events_dir)
+    _run_available_now(error_rate_alerts(stream), tmp_path, "err_rate")
+    got = {
+        r["hour_start"]: (r["n_events"], r["n_errors"], r["error_rate"], r["alert"])
+        for r in spark.sql("SELECT * FROM err_rate").collect()
+    }
+
+    from encodesrv_spark.plans.registry import all_queries
+
+    batch = all_queries()["error_rate_hourly"].fn(spark, sf_dir)
+    # batch keys hours as epoch-hour ints (UTC); render them the same way
+    want = {}
+    for r in batch.collect():
+        from datetime import datetime, timezone
+
+        hs = datetime.fromtimestamp(r["hour_id"] * 3600, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        want[hs] = (r["n_events"], r["n_errors"], r["error_rate"], r["alert"])
+    assert got == want
