@@ -576,7 +576,9 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e2 = edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+    e2 = edges.join(F.broadcast(outw), "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("share")
+    )
     ncnt = nation.agg(F.count("*").cast("double").alias("cnt"))
     nodes = nation.select(F.col("n_name").alias("node")).crossJoin(F.broadcast(ncnt))
     r = nodes.select("node", "cnt", (F.lit(1.0) / F.col("cnt")).alias("r"))
@@ -588,7 +590,7 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("r") * F.col("share")).alias("contrib"))
         )
         r = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 "cnt",
