@@ -83,6 +83,40 @@ class ProcessConfig:
     target_lufs_default: float = -23.0
     fail_fast: bool = False  # tests: re-raise instead of Error status
     progress_dir: str | None = None  # ST7 side-channel (see emit_progress)
+    # per-stage wall-clock bound for the external stages (copy/encode/
+    # mp4box).  Hours-long encodes fight Spark's task-retry assumptions
+    # (SURVEY §7.3.4): without a bound, one wedged ffmpeg holds its task
+    # slot forever and the job never reaches Error.  None = unbounded.
+    stage_timeout_s: float | None = None
+
+
+class StageTimeout(Exception):
+    """An external stage exceeded ProcessConfig.stage_timeout_s."""
+
+
+def _bounded(cfg: ProcessConfig, stage: str, fn: Callable, *args) -> object:
+    """Run an external-stage callable under the per-stage wall-clock
+    bound.  The guard thread is daemonized — a wedged subprocess-based
+    stage should ALSO pass its own kill-timeout (subprocess.run
+    timeout=) so the child dies; this bound guarantees the TASK makes
+    progress (job → Error) regardless."""
+    if cfg.stage_timeout_s is None:
+        return fn(*args)
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FutTimeout
+
+    # no context manager: its shutdown(wait=True) would block on the
+    # very stage the timeout is protecting against
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(fn, *args)
+    try:
+        return fut.result(timeout=cfg.stage_timeout_s)
+    except FutTimeout:
+        raise StageTimeout(
+            f"stage {stage!r} exceeded {cfg.stage_timeout_s}s"
+        ) from None
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 PROGRESS_SCHEMA = "id long, seq int, stage string, status string"
@@ -151,7 +185,7 @@ def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
         args = synthesize_params(row, row, scratch, pass_no=1)
         # 1. monitored copy source → scratch (S7/U4)
         mark("copy", f"{cfg.server} - Copying Source")
-        cfg.copy(src, args["_SourceFile"])
+        _bounded(cfg, "copy", cfg.copy, src, args["_SourceFile"])
         log.append("copied")
 
         # 2. optional loudness analysis (U2; gated on normalise_level,
@@ -174,14 +208,14 @@ def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
         for p in range(1, n_passes + 1):
             args = synthesize_params(row, row, scratch, pass_no=p)
             argv = assemble_argv(args)
-            cfg.encode(argv, scratch)
+            _bounded(cfg, f"pass{p}", cfg.encode, argv, scratch)
             passes_run = p
             log.append(f"pass {p}")
             mark(f"pass{p}", f"{cfg.server} - Encoding Pass {p}")
 
         # 4. optional MP4Box interleave (U3)
         if row.get("apply_mp4box") and cfg.apply_mp4box is not None:
-            cfg.apply_mp4box(args["_TempDest"])
+            _bounded(cfg, "mp4box", cfg.apply_mp4box, args["_TempDest"])
             log.append("mp4box")
 
         # 5. publish: mkdir -p + staged move (S12/S13)

@@ -201,3 +201,37 @@ def test_publish_is_idempotent_on_retry(tmp_path):
     assert r1["final_status"] == r2["final_status"] == "Done"
     assert dest.read_bytes() == first_bytes
     assert r1["size"] == r2["size"] == len(first_bytes)
+
+
+def test_stage_timeout_yields_error_status(tmp_path):
+    """A wedged encode stage must hit stage_timeout_s and turn the job
+    into '<server> - Error' with the timeout recorded — the task makes
+    progress even when the external binary never returns."""
+    import time
+
+    from encodesrv_spark.jobs.process import ProcessConfig, run_job_row
+
+    src = tmp_path / "in.mov"
+    src.write_bytes(b"x")
+
+    def wedged_encode(argv, cwd):
+        time.sleep(5)
+
+    cfg = ProcessConfig(
+        server="srv",
+        encode=wedged_encode,
+        scratch_root=str(tmp_path),
+        stage_timeout_s=0.2,
+    )
+    row = {
+        "id": 1,
+        "source_file": str(src),
+        "destination_file": str(tmp_path / "out" / "o.mp4"),
+        "video_id": None,
+        "pass_count": 1,
+    }
+    t0 = time.monotonic()
+    out = run_job_row(row, cfg)
+    assert time.monotonic() - t0 < 4  # did not wait out the wedge
+    assert out["final_status"] == "srv - Error"
+    assert "StageTimeout" in out["log"]
