@@ -830,3 +830,106 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= _FUZZ_MAX)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Export shard manifest + quality decile bands
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+        SELECT (('0x' || substr(md5(concat('shard:', doc_id::VARCHAR)), 1, 15))::BIGINT)
+                   % {_N_SHARDS} AS shard,
+               count(*)::BIGINT AS n_docs,
+               sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '')))::BIGINT AS n_tokens,
+               sum(n_chars)::BIGINT AS n_bytes,
+               min(doc_id)::BIGINT AS min_doc_id,
+               max(doc_id)::BIGINT AS max_doc_id
+        FROM documents GROUP BY 1
+    """,
+    tags=("llm", "sampling", "layout"),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard assignment + manifest: documents hash-bucket into
+    16 shards by content-stable doc_id hash (the write
+    partitioning for a corpus export — reproducible across engines,
+    runs, and cluster sizes), with per-shard doc/token/byte totals.
+    This is the manifest a downstream trainer reads to plan its data
+    loader; the aggregation is one partial-agg shuffle on the shard
+    key, and the same expression is the `repartition` column at write
+    time, so manifest and layout can never disagree."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    shard = (
+        H.stable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % _N_SHARDS
+    )
+    return (
+        d.withColumn("shard", shard)
+        .withColumn("n_toks", F.size(_tokens_ne()))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "quality_decile_bands",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, unnest({_TOKS_NE}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        gterm AS (SELECT tok, sum(cnt) AS gcnt FROM tf GROUP BY 1),
+        tot AS (SELECT sum(gcnt) AS total FROM gterm),
+        scored AS (
+            SELECT doc_id,
+                   round(sum(cnt * -log2(gcnt * 1.0 / total)) / sum(cnt), 3)
+                       AS bits
+            FROM tf JOIN gterm USING (tok) CROSS JOIN tot GROUP BY 1
+        ),
+        banded AS (
+            SELECT doc_id, bits,
+                   ntile(10) OVER (ORDER BY bits, doc_id) AS decile
+            FROM scored
+        )
+        SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+               min(bits) AS lo_bits, max(bits) AS hi_bits
+        FROM banded GROUP BY 1
+    """,
+    tags=("llm", "quality", "sampling"),
+)
+def quality_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bands over the unigram-LM quality score — the band edges
+    a percentile-based quality filter actually uses ('drop the top and
+    bottom decile', the perplexity-filter recipe).  Scores round to 3
+    BEFORE the ntile and ties break on doc_id, so band assignment is
+    cross-engine deterministic.  The global ntile is the one
+    scale-caveat (single-partition window over doc-cardinality rows);
+    at 100 TB you'd swap it for approx quantile edges — shown exactly
+    by token_quantiles — and keep these bands as the exact verifier."""
+    prep(spark)
+    from encodesrv_spark.plans.registry import all_queries
+
+    scored = all_queries()["unigram_lm_score"].fn(spark, sf_dir).select(
+        "doc_id", F.col("bits_per_token").alias("bits")
+    )
+    banded = scored.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("bits", "doc_id")).cast("long")
+    )
+    return banded.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("bits").alias("lo_bits"),
+        F.max("bits").alias("hi_bits"),
+    )
