@@ -57,3 +57,69 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful funnel: per-user ordered view -> click -> purchase progress
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, view_tus long, click_tus long, purchase_tus long, stage long"
+)
+FUNNEL_STATE_SCHEMA = "vt long, ct long, pt long"
+
+_NONE = -1  # sentinel: GroupState tuples round-trip cleanly as ints
+
+
+def _update_funnel(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    vt, ct, pt = state.get if state.exists else (_NONE, _NONE, _NONE)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # fold in event-time order: the stage gates (click strictly after
+    # first view, purchase strictly after first click) are order-
+    # dependent, so late re-ordering within the batch is handled here;
+    # cross-batch lateness needs event-time delivery (a watermarked
+    # upstream sort), same caveat as any ordered stateful operator
+    rows = rows.sort_values(["tus", "event_id"])
+    for _, r in rows.iterrows():
+        t, typ = int(r["tus"]), r["event_type"]
+        if typ == "view" and vt == _NONE:
+            vt = t
+        elif typ == "click" and ct == _NONE and vt != _NONE and t > vt:
+            ct = t
+        elif typ == "purchase" and pt == _NONE and ct != _NONE and t > ct:
+            pt = t
+    state.update((vt, ct, pt))
+    state.setTimeoutDuration(86_400_000)  # 1 day idle → funnel closes
+    stage = (vt != _NONE) + (ct != _NONE) + (pt != _NONE)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "view_tus": [vt],
+            "click_tus": [ct],
+            "purchase_tus": [pt],
+            "stage": [stage],
+        }
+    )
+
+
+def funnel_progress(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch funnel_conversion query: per-user
+    funnel state (first view / first qualifying click / first
+    qualifying purchase, as epoch-us ints) evolving across
+    micro-batches — the reference's status state machine (ST4)
+    generalized to event funnels.  State is three ints per active user
+    and expires after a day idle, so the working set, not the stream
+    length, bounds memory.  Input needs columns (user_id, event_id,
+    event_type, tus)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -50,3 +50,58 @@ def test_running_user_totals(spark, tmp_path, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_funnel_progress_matches_batch(spark, tmp_path, sf_dir):
+    """The stateful streaming funnel's final per-user stages must agree
+    with the batch funnel_conversion stage counts (same ordered-gate
+    semantics), with redelivered batches changing nothing."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.stateful import funnel_progress
+
+    src = str(tmp_path / "funnel_events")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("ts_ns DIV 1000").alias("tus"),
+        )
+    )
+    e.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, event_type string, tus long"
+    ).parquet(src)
+    q = (
+        funnel_progress(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last update per user is the final state
+    got = (
+        spark.sql("SELECT * FROM funnel_state")
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+        .collect()
+    )
+    n_view = sum(1 for r in got if r["stage"] >= 1)
+    n_click = sum(1 for r in got if r["stage"] >= 2)
+    n_purchase = sum(1 for r in got if r["stage"] >= 3)
+
+    batch = all_queries()["funnel_conversion"].fn(spark, sf_dir).collect()[0]
+    assert (n_view, n_click, n_purchase) == (
+        batch["n_view"],
+        batch["n_click_after_view"],
+        batch["n_purchase_after_click"],
+    )
