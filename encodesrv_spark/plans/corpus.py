@@ -933,3 +933,69 @@ def quality_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bits").alias("lo_bits"),
         F.max("bits").alias("hi_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest-batch quality drift
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_drift_by_source",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, unnest({_TOKS_NE}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        gterm AS (SELECT tok, sum(cnt) AS gcnt FROM tf GROUP BY 1),
+        tot AS (SELECT sum(gcnt) AS total FROM gterm),
+        scored AS (
+            SELECT doc_id,
+                   round(sum(cnt * -log2(gcnt * 1.0 / total)) / sum(cnt), 3)
+                       AS bits
+            FROM tf JOIN gterm USING (tok) CROSS JOIN tot GROUP BY 1
+        ),
+        b AS (
+            SELECT d.source, d.doc_id // 100 AS batch, s.bits
+            FROM documents d JOIN scored s USING (doc_id)
+        ),
+        agg AS (
+            SELECT source, batch::BIGINT AS batch,
+                   count(*)::BIGINT AS n_docs,
+                   round(avg(bits), 3) AS avg_bits
+            FROM b GROUP BY 1, 2
+        )
+        SELECT source, batch, n_docs, avg_bits,
+               round(avg_bits - lag(avg_bits) OVER (
+                   PARTITION BY source ORDER BY batch), 3) AS delta_bits
+        FROM agg
+    """,
+    tags=("llm", "quality", "monitoring"),
+)
+def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: mean unigram-LM quality per (source,
+    ingest-batch) with the batch-over-batch delta — the alarm a corpus
+    pipeline watches for 'source X suddenly got noisier' (doc_id//100
+    stands in for the ingest-batch id the loader would stamp).  The
+    corpus-scale work is the shared tf aggregate; the drift frame is
+    (sources x batches)-sized, so the lag window runs on dimension-
+    scale data.  Averages round to 3 before the lag so the delta is
+    computed on identical values in both engines."""
+    prep(spark)
+    from encodesrv_spark.plans.registry import all_queries
+
+    scored = all_queries()["unigram_lm_score"].fn(spark, sf_dir).select(
+        "doc_id", F.col("bits_per_token").alias("bits")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr("doc_id DIV 100").alias("batch")
+    )
+    agg = (
+        d.join(scored, "doc_id")
+        .groupBy("source", F.col("batch").cast("long").alias("batch"))
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("bits"), 3).alias("avg_bits"))
+    )
+    w = W.partitionBy("source").orderBy("batch")
+    return agg.withColumn(
+        "delta_bits", F.round(F.col("avg_bits") - F.lag("avg_bits").over(w), 3)
+    )

@@ -196,3 +196,19 @@ def error_rate_alerts(
             "alert",
         )
     )
+
+
+def value_anomalies_stream(events: DataFrame, stats: DataFrame) -> DataFrame:
+    """Streaming twin of the batch value_anomaly_zscore query: score
+    each incoming event against a PRECOMPUTED per-type stats table
+    (stream-static broadcast join — the stats refresh on whatever
+    cadence the batch job runs, the standard split for detectors whose
+    baseline must not drift within a window).  Stateless: no streaming
+    aggregation, bounded by the dimension-sized stats side."""
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"), "z")
+    )

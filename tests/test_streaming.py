@@ -299,3 +299,37 @@ def test_error_rate_alerts_match_batch(spark, tmp_path, events_dir, sf_dir):
         )
         want[hs] = (r["n_events"], r["n_errors"], r["error_rate"], r["alert"])
     assert got == want
+
+
+def test_value_anomalies_stream_matches_batch(spark, tmp_path, events_dir, sf_dir):
+    """Stream-static anomaly scoring with batch-computed stats must
+    flag exactly the batch query's outlier set."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.events import (
+        read_events_stream,
+        value_anomalies_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        value_anomalies_stream(stream, stats)
+        .writeStream.format("memory")
+        .queryName("anomalies")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["event_id"] for r in spark.sql("SELECT event_id FROM anomalies").collect()}
+    want = {
+        r["event_id"]
+        for r in all_queries()["value_anomaly_zscore"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
