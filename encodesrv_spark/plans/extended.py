@@ -674,3 +674,116 @@ def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) >= 3.0)
         .select("event_id", "event_type", F.round("value", 2).alias("value"), "z")
     )
+
+
+@register(
+    "bloom_prune_join",
+    oracle="""
+        SELECT o.o_orderpriority,
+               count(*)::BIGINT AS n,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("extended", "scale", "bloom"),
+)
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/bloom.py): the fact side is
+    cut to might-match rows BEFORE the join, so at 100 TB the shuffle
+    moves only the selective subset instead of the whole table.  A
+    Bloom filter has no false negatives and the prune is followed by an
+    exact join, so the result equals the plain join — which is exactly
+    what the oracle runs.  The bit array is built distributed (bit_or
+    per 64-bit word), ships as ONE broadcast row, and the k bit probes
+    are JVM expressions inside codegen — no Python, no driver collect."""
+    from encodesrv_spark.operators.bloom import bloom_prune
+
+    prep(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prune(l, o, "l_orderkey", "o_orderkey")
+    return (
+        pruned.join(F.broadcast(o), pruned["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "events_moving_avg",
+    oracle="""
+        SELECT event_id, event_type,
+               epoch_us(ts) // 1000000 AS tsec,
+               round(avg(value) OVER w, 6) AS avg_1h,
+               count(*) OVER w AS n_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY event_type
+            ORDER BY epoch_us(ts) // 1000000
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
+    """,
+    tags=("extended", "window", "events"),
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — trailing 1-hour moving average per
+    event type.  A RANGE frame over epoch seconds (not a row frame):
+    peers at the same second share a frame, and gaps in time shrink it,
+    which row-count frames get wrong.  Epoch-integer ordering keeps the
+    frame arithmetic identical across engines (the established
+    timestamp rule); the avg is rounded before compare (fp rule)."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "tsec", F.expr("ts_ns DIV 1000000000")
+    )
+    w = W.partitionBy("event_type").orderBy("tsec").rangeBetween(-3600, 0)
+    return e.select(
+        "event_id",
+        "event_type",
+        "tsec",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "regression_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+               round(covar_samp(l_extendedprice, l_quantity), 4) AS covar,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("extended", "agg", "stats"),
+)
+def regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covariance / OLS
+    regression family) per group — single-pass, map-side-combinable
+    moment sketches, so the shuffle carries one moment tuple per
+    (partition, group) no matter the fact-table size."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr(y, x), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(y, x), 4).alias("covar"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

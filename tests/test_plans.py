@@ -205,3 +205,79 @@ def test_fuzzy_pairs_joins_on_block_key(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "fuzzy_pairs_levenshtein")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prune_stays_jvm_side(spark, sf_dir):
+    """bloom_prune_join: build + probe must be pure JVM expressions —
+    a Python UDF in the probe path would serialize the whole fact
+    table through Arrow; the one-row bit array must arrive by
+    broadcast, never a shuffle."""
+    plan = plan_of(spark, sf_dir, "bloom_prune_join")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bloom_prune_no_false_negatives(spark, sf_dir):
+    """Pruned set must be a superset of the true matching rows (Bloom
+    filters admit false positives only) and — with a selective filter
+    side — strictly smaller than the full fact table."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.operators.bloom import bloom_prune
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    pruned = bloom_prune(l, o, "l_orderkey", "o_orderkey")
+    true_match = l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_semi")
+    assert pruned.count() >= true_match.count()
+    assert pruned.count() < l.count()
+    # every true match survives the prune
+    missing = true_match.exceptAll(
+        pruned.join(o, pruned["l_orderkey"] == o["o_orderkey"], "left_semi")
+    )
+    assert missing.count() == 0
+
+
+def test_native_runtime_bloom_filter_injects(spark, sf_dir):
+    """Spark's own runtime row-level filtering (InjectRuntimeFilter)
+    is the zero-code form of the same lever: past its size thresholds
+    (10 GB application-side scans in a real deployment; forced to 0
+    here) a selective dim filter sprouts a bloom probe on the fact
+    scan.  SCALE.md documents the production thresholds."""
+    from encodesrv_spark.catalog import load_table
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        # the rule only fires for probably-shuffle joins; at test SF the
+        # dim would broadcast, so pin the shuffle-join shape it targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized or "bloom_filter_agg" in optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
