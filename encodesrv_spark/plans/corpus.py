@@ -999,3 +999,134 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "delta_bits", F.round(F.col("avg_bits") - F.lag("avg_bits").over(w), 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture diagnostics: per-source language entropy / KL divergence
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT source, lang, count(*)::DOUBLE AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        s AS (SELECT source, sum(n) AS sn FROM c GROUP BY 1),
+        l AS (SELECT lang, sum(n) AS lt FROM c GROUP BY 1),
+        t AS (SELECT sum(n) AS tn FROM c)
+        SELECT c.source,
+               s.sn::BIGINT AS n_docs,
+               round(-sum((n / sn) * log2(n / sn)), 6) AS entropy_bits,
+               round(sum((n / sn) * log2((n / sn) / (lt / tn))), 6)
+                   AS kl_vs_corpus_bits
+        FROM c JOIN s USING (source) JOIN l USING (lang), t
+        GROUP BY c.source, s.sn
+    """,
+    tags=("llm", "sampling", "stats"),
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture diagnostics per source: Shannon entropy of the
+    within-source language distribution and its KL divergence from the
+    corpus-wide mix — the monitoring twin of `domain_mix_weights`
+    (a source whose KL spikes is drifting from the target blend).
+
+    One corpus-scale aggregate keyed (source, lang); everything after
+    is (sources × langs)-sized, so the entropy/KL arithmetic runs on
+    broadcast-joined tiny tables — no second pass over documents."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    # materialize the (source, lang) counts once: s/lang-totals/grand-total
+    # all derive from it, and without the checkpoint each branch re-runs
+    # the corpus-scale aggregate (4 scans of documents at 100 TB)
+    c = (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    s = c.groupBy("source").agg(F.sum("n").alias("sn"))
+    lang_tot = c.groupBy("lang").agg(F.sum("n").alias("lt"))
+    t = c.agg(F.sum("n").alias("tn"))
+    p = F.col("n") / F.col("sn")
+    q = F.col("lt") / F.col("tn")
+    return (
+        c.join(F.broadcast(s), "source")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(t))
+        .groupBy("source", "sn")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_vs_corpus_bits"),
+        )
+        .select(
+            "source",
+            F.col("sn").cast("long").alias("n_docs"),
+            "entropy_bits",
+            "kl_vs_corpus_bits",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trigram language-model counts: top continuations per bigram context
+# ---------------------------------------------------------------------------
+
+@register(
+    "trigram_continuations",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+            FROM (SELECT doc_id, {_TOKS_NE} AS t FROM documents)
+        ),
+        tri AS (
+            SELECT tok AS w1,
+                   lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                   lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+            FROM toks
+        ),
+        cnt AS (
+            SELECT w1, w2, w3, count(*)::BIGINT AS n
+            FROM tri WHERE w3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 2
+        )
+        SELECT w1, w2, w3, n,
+               row_number() OVER (
+                   PARTITION BY w1, w2 ORDER BY n DESC, w3
+               )::BIGINT AS rnk
+        FROM cnt
+        QUALIFY rnk <= 3
+    """,
+    tags=("llm", "text"),
+)
+def trigram_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM counts: for each bigram context (w1, w2), the top-3
+    continuations w3 by frequency (min count 2) — the raw material of
+    count-based n-gram language models and autocomplete-style quality
+    probes.
+
+    Trigrams form inside each document (lead-over-position window keyed
+    by doc_id — no cross-doc shuffle of token streams), counts combine
+    map-side, and the per-context top-3 is a WindowGroupLimit-prunable
+    ranked filter, never a global sort.  Ties break on w3 ascending."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens_ne()).alias("pos", "tok")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        F.col("tok").alias("w1"),
+        F.lead("tok", 1).over(wdoc).alias("w2"),
+        F.lead("tok", 2).over(wdoc).alias("w3"),
+    ).filter(F.col("w3").isNotNull())
+    cnt = (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    wctx = W.partitionBy("w1", "w2").orderBy(F.desc("n"), F.asc("w3"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(wctx).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -787,3 +787,53 @@ def regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*)::BIGINT AS n,
+               round(count(*) * 1.0 /
+                     sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    tags=("extended", "events", "stats"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral-model twin
+    of `events_sessionize`.  One shuffle keyed user_id builds the
+    sequences (lead over the per-user time order, event_id tiebreak);
+    the count matrix is (types × types)-sized, so the row-normalizing
+    window runs on a tiny aggregate, not the event stream."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts_ns DIV 1000")
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cnt = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wrow = W.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wrow), 6).alias("p"),
+    )
