@@ -837,3 +837,58 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wrow), 6).alias("p"),
     )
+
+
+@register(
+    "value_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type,
+               round(d.value, 2) AS value,
+               round(d.adev / (1.4826 * m.mad), 2) AS score
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE round(d.adev / (1.4826 * m.mad), 2) >= 5.0
+    """,
+    tags=("extended", "events", "monitoring"),
+)
+def value_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    resistant twin of `value_anomaly_zscore`: mean/stddev are dragged
+    by the very outliers being hunted, median/MAD are not (1.4826
+    rescales MAD to sigma under normality).
+
+    Two type-cardinality percentile aggregates, each broadcast back
+    onto the event stream — the fact side is scanned, never shuffled.
+    Both engines share the continuous-interpolation percentile
+    definition (the `token_quantiles` parity rule) and the score is
+    rounded before thresholding (the fp rule)."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    score = F.round(F.col("adev") / (1.4826 * F.col("mad")), 2)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("score", score)
+        .filter(F.col("score") >= 5.0)
+        .select("event_id", "event_type", F.round("value", 2).alias("value"), "score")
+    )

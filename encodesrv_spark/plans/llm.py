@@ -1168,3 +1168,83 @@ def neardup_removals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.filter(F.col("component") != F.col("doc_id")).select(
         "doc_id", F.col("component").alias("keeper_doc_id")
     )
+
+
+_LEAK_ORACLE = f"""
+    WITH idx AS (
+        SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               round(common * 1.0 / (sa.c + sb.c - common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(common * 1.0 / (sa.c + sb.c - common), 4) >= 0.5
+    ),
+    assigned AS (
+        SELECT doc_id,
+               CASE WHEN {_SPLIT_H} < 80 THEN 'train'
+                    WHEN {_SPLIT_H} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN assigned sa ON sa.doc_id = p.doc_a
+    JOIN assigned sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+"""
+
+
+@register(
+    "split_leakage",
+    oracle=_LEAK_ORACLE,
+    tags=("llm", "sampling", "dedup"),
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: near-duplicate document pairs
+    (3-shingle Jaccard >= 0.5, same machinery as `neardup_jaccard`)
+    whose two members land in DIFFERENT splits of
+    `corpus_sample_split`'s hash-bucket assignment — each pair is
+    leakage: an eval document with a training-set near-copy.  Exact-dup
+    leakage is the jaccard = 1.0 subset.
+
+    Identical split arithmetic to `corpus_sample_split` (content-stable
+    hash, any worker re-derives it — no split-assignment table to join
+    at corpus scale); the split columns attach to the PAIRS output
+    (duplicate-cardinality), so the post-dedup joins never touch
+    corpus-scale data."""
+    prep(spark)
+    from encodesrv_spark.functions.hashing import stable_hash64
+
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.jaccard_pairs(d, k=3, threshold=0.5)
+    bucket = stable_hash64(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    assigned = d.select("doc_id", split.alias("split"))
+    sa = assigned.alias("sa")
+    sb = assigned.alias("sb")
+    return (
+        pairs.join(sa, pairs["doc_a"] == F.col("sa.doc_id"))
+        .join(sb, pairs["doc_b"] == F.col("sb.doc_id"))
+        .filter(F.col("sa.split") != F.col("sb.split"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.col("sa.split").alias("split_a"),
+            F.col("sb.split").alias("split_b"),
+        )
+    )

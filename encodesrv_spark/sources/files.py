@@ -100,3 +100,36 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema and corrupt-row quarantine —
+    same ingest contract as `read_jsonl`: no inference pass (a full
+    extra scan at 100 TB, type-widening on dirty data), PERMISSIVE
+    parse so malformed rows land in `_corrupt_record` for dead-letter
+    routing instead of failing the shard.  CSV is splittable only
+    without multiline quoting, so keep `multiLine` off for scale."""
+    full = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def write_read_orc(df: DataFrame, path: str) -> DataFrame:
+    """ORC interchange sink/source — columnar alternative when the
+    downstream consumer is Hive/Trino-side.  Same predicate-pushdown
+    and column-pruning contract as parquet (ORC carries min/max +
+    bloom indexes); the engine's internal format stays parquet."""
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.orc(path)

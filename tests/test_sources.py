@@ -191,3 +191,43 @@ def test_read_jsonl_with_corrupt_quarantine(spark, tmp_path):
     assert rows == {1: "a b c", 2: "d e"}
     assert df.schema["doc_id"].dataType.typeName() == "long"
     df.unpersist()
+
+
+def test_read_csv_with_corrupt_quarantine(spark, tmp_path):
+    """CSV ingest: explicit schema, malformed rows quarantined to
+    _corrupt_record (dead-letter contract), clean rows typed."""
+    from encodesrv_spark.sources.files import read_csv
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,lang,n_chars\n"
+        "1,en,100\n"
+        "2,de,not_a_number\n"
+        "3,fr,250\n"
+    )
+    df = read_csv(spark, str(p), "doc_id long, lang string, n_chars long").cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert {r.doc_id for r in good.collect()} == {1, 3}
+    df.unpersist()
+
+
+def test_orc_roundtrip_preserves_schema_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC interchange: schema and values survive the round trip and
+    predicates reach the ORC scan (PushedFilters)."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources.files import write_read_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    back = write_read_orc(nation, str(tmp_path / "nation_orc"))
+    assert back.schema == nation.schema
+    assert back.count() == nation.count()
+    plan = (
+        back.filter("n_nationkey = 3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan
