@@ -892,3 +892,50 @@ def value_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 5.0)
         .select("event_id", "event_type", F.round("value", 2).alias("value"), "score")
     )
+
+
+@register(
+    "incremental_hourly_merge",
+    oracle="""
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hr,
+               count(*)::BIGINT AS n,
+               round(sum(value), 4) AS total,
+               round(min(value), 4) AS vmin,
+               round(max(value), 4) AS vmax,
+               round(sum(value) / count(*), 6) AS vavg
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("extended", "events", "incremental"),
+)
+def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/incremental.py): the
+    hourly aggregate is produced by MERGING two independently-computed
+    partial tables — history (hours < cutoff) and a delta batch
+    (hours >= cutoff) — never by re-scanning the union.  The oracle IS
+    the from-scratch recompute, which is the whole point:
+    merge(agg(base), agg(delta)) must equal agg(base ∪ delta).  At
+    100 TB the base partials are a stored table and each cycle touches
+    only the delta partition; work is O(delta + groups), not O(history).
+    """
+    from encodesrv_spark.operators import incremental as I
+
+    prep(spark)
+    cutoff = 473712  # mid-range epoch hour; base ≈ history, delta ≈ new batch
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.expr("ts_ns DIV 3600000000000")
+    )
+    keys = ["event_type", "hr"]
+    base = I.partials(e.filter(F.col("hr") < cutoff), keys, "value")
+    delta = I.partials(e.filter(F.col("hr") >= cutoff), keys, "value")
+    merged = I.finalize(I.merge(base, delta, keys))
+    return merged.select(
+        "event_type",
+        "hr",
+        "n",
+        F.round("total", 4).alias("total"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        F.round("vavg", 6).alias("vavg"),
+    )
