@@ -939,3 +939,68 @@ def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vmax", 4).alias("vmax"),
         F.round("vavg", 6).alias("vavg"),
     )
+
+
+@register(
+    "trending_types",
+    oracle="""
+        WITH c AS (
+            SELECT (epoch_us(ts) // 1000000 // 600) * 600 AS wstart,
+                   event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT wstart, event_type, n,
+               row_number() OVER (
+                   PARTITION BY wstart ORDER BY n DESC, event_type
+               )::BIGINT AS rnk
+        FROM c
+        QUALIFY rnk <= 3
+    """,
+    tags=("extended", "events", "window"),
+)
+def trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard query: top-3 event types per 10-minute
+    tumbling window.  Window starts are epoch-aligned integers
+    ((tsec DIV 600)·600 ≡ Spark's `window()` start), so the batch form
+    and the streaming twin (`streaming/events.py:trending_counts`)
+    produce byte-identical keys.  The per-window rank runs on the
+    (windows × types) aggregate — WindowGroupLimit-prunable, tiny."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "wstart", F.expr("(ts_ns DIV 1000000000 DIV 600) * 600")
+    )
+    c = e.groupBy("wstart", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("wstart").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+    tags=("extended", "window"),
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions — percent_rank and cume_dist
+    of order value within its priority class (the 'how unusual is this
+    order' primitive).  Both are rank ratios over the partition's row
+    count: one sort per partition, no second pass, and ties share a
+    value exactly in both engines (integer rank arithmetic)."""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

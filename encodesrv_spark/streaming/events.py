@@ -212,3 +212,35 @@ def value_anomalies_stream(events: DataFrame, stats: DataFrame) -> DataFrame:
         .filter(F.abs(F.col("z")) >= 3.0)
         .select("event_id", "event_type", F.round("value", 2).alias("value"), "z")
     )
+
+
+def trending_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch trending_types query: watermarked
+    10-minute tumbling-window counts per event type.  Ranking (top-3
+    per window) is NOT part of the streaming aggregate — row_number
+    over a still-open window would churn every trigger; rank the
+    closed windows at read time (`rank_trending`), which is exactly
+    what the batch twin does.  State: one (window, type) row until the
+    watermark closes the window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("wstart"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def rank_trending(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Read-time top-k over closed trending windows (batch DataFrame —
+    e.g. the memory/Delta sink trending_counts writes to)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("wstart").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -333,3 +333,20 @@ def test_value_anomalies_stream_matches_batch(spark, tmp_path, events_dir, sf_di
         for r in all_queries()["value_anomaly_zscore"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_trending_counts_match_batch(spark, tmp_path, events_dir, sf_dir):
+    """Streaming windowed counts + read-time rank == the batch
+    trending_types query on the same events."""
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.events import (
+        rank_trending,
+        read_events_stream,
+        trending_counts,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    _run_available_now(trending_counts(stream), tmp_path, "trending")
+    got = rank_trending(spark.table("trending")).collect()
+    want = all_queries()["trending_types"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
