@@ -1004,3 +1004,70 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "ab_test_conversion",
+    oracle="""
+        WITH assigned AS (
+            SELECT DISTINCT user_id,
+                   CASE WHEN (('0x' || substr(md5(concat('exp1:',
+                        user_id::VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                        THEN 'control' ELSE 'treatment' END AS arm
+            FROM events
+        ),
+        conv AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        ),
+        per AS (
+            SELECT a.arm,
+                   count(*)::BIGINT AS n_users,
+                   sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_converted
+            FROM assigned a LEFT JOIN conv c ON a.user_id = c.user_id
+            GROUP BY 1
+        )
+        SELECT arm, n_users, n_converted,
+               round(n_converted * 1.0 / n_users, 6) AS rate
+        FROM per
+    """,
+    tags=("extended", "events", "stats"),
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: users deterministically hash-assigned to
+    control/treatment (same content-stable bucketing as the corpus
+    splits — any worker re-derives an assignment, no assignment table
+    exists), conversion = did the user ever purchase.  Per-arm rates
+    from two user-cardinality aggregates; a significance test is
+    driver-side arithmetic on this 2-row result."""
+    prep(spark)
+    from encodesrv_spark.functions.hashing import stable_hash64
+
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        stable_hash64(F.concat(F.lit("exp1:"), F.col("user_id").cast("string")))
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assigned = e.select("user_id").distinct().withColumn("arm", arm)
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per = (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("n_converted"),
+        )
+    )
+    return per.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        F.round(F.col("n_converted") * 1.0 / F.col("n_users"), 6).alias("rate"),
+    )
