@@ -1071,3 +1071,103 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_converted",
         F.round(F.col("n_converted") * 1.0 / F.col("n_users"), 6).alias("rate"),
     )
+
+
+@register(
+    "nation_top_customer_concat",
+    oracle="""
+        WITH ranked AS (
+            SELECT n.n_name, c.c_name, c.c_acctbal,
+                   row_number() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY c.c_acctbal DESC, c.c_custkey
+                   ) AS rn
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        )
+        SELECT n_name,
+               string_agg(c_name, ', ' ORDER BY rn) AS top_customers
+        FROM ranked WHERE rn <= 5
+        GROUP BY n_name
+    """,
+    tags=("extended", "agg"),
+)
+def nation_top_customer_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED list aggregation — top-5 customers per nation as a
+    comma-joined string (the reference's running-jobs roster, A3,
+    generalized to ranked rosters).  collect_list order is
+    NONDETERMINISTIC under parallelism — the classic cross-engine trap
+    — so the order is pinned by collecting (rank, name) structs and
+    array_sort-ing BEFORE the join; the per-nation top-5 itself is a
+    WindowGroupLimit-prunable ranked filter."""
+    prep(spark)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ranked = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "c_name"))
+                    ),
+                    lambda s: s["c_name"],
+                ),
+                ", ",
+            ).alias("top_customers")
+        )
+    )
+
+
+@register(
+    "lineitem_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, measure,
+               round(value, 2) AS value
+        FROM (
+            UNPIVOT (
+                SELECT l_orderkey, l_linenumber,
+                       l_quantity AS quantity,
+                       l_extendedprice AS extendedprice,
+                       l_discount AS discount
+                FROM lineitem WHERE l_orderkey < 100
+            )
+            ON quantity, extendedprice, discount
+            INTO NAME measure VALUE value
+        )
+    """,
+    tags=("extended", "reshape"),
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide measures to long (measure, value) rows,
+    the inverse of `pivot_linestatus`.  Spark's `unpivot` expands
+    in-place (an Expand node, no shuffle, no UDF); row identity is
+    (orderkey, linenumber) so the long form keys deterministically."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount"],
+            "measure",
+            "value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("value", 2).alias("value"),
+        )
+    )
