@@ -1171,3 +1171,53 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@register(
+    "lineitem_dq_audit",
+    oracle="""
+        WITH base AS (
+            SELECT count(*)::BIGINT AS n,
+                   sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS null_orderkey,
+                   sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1
+                       ELSE 0 END)::BIGINT AS discount_out_of_range,
+                   sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0
+                       END)::BIGINT AS nonpositive_quantity,
+                   sum(CASE WHEN l_extendedprice < l_quantity THEN 1 ELSE 0
+                       END)::BIGINT AS price_below_quantity
+            FROM lineitem
+        )
+        SELECT rule, violations, n AS n_rows,
+               round(violations * 1.0 / n, 6) AS violation_rate
+        FROM (
+            SELECT 'null_orderkey' AS rule, null_orderkey AS violations, n FROM base
+            UNION ALL
+            SELECT 'discount_out_of_range', discount_out_of_range, n FROM base
+            UNION ALL
+            SELECT 'nonpositive_quantity', nonpositive_quantity, n FROM base
+            UNION ALL
+            SELECT 'price_below_quantity', price_below_quantity, n FROM base
+        )
+    """,
+    tags=("extended", "quality"),
+)
+def lineitem_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (operators/quality.py): four
+    expectation rules over lineitem evaluated in ONE scan — each rule
+    is a conditional-sum aggregate, so adding rules never adds passes,
+    and the same predicates re-apply as row filters for dead-letter
+    routing (`quality.violating_rows`).  The set-at-a-time form of the
+    reference's per-row try/except → 'Error' status."""
+    from encodesrv_spark.operators.quality import audit
+
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "null_orderkey": F.col("l_orderkey").isNull(),
+        "discount_out_of_range": (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1),
+        "nonpositive_quantity": F.col("l_quantity") <= 0,
+        "price_below_quantity": F.col("l_extendedprice") < F.col("l_quantity"),
+    }
+    return audit(l, rules)

@@ -292,3 +292,34 @@ def test_every_registry_query_documented_in_coverage():
     text = pathlib.Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
     missing = [name for name in QUERIES if f"`{name}`" not in text]
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
+
+
+def test_dq_audit_is_single_scan(spark, sf_dir):
+    """The rule audit must evaluate ALL rules in one aggregate over one
+    scan — a per-rule scan would multiply the 100 TB read by the rule
+    count."""
+    plan = plan_of(spark, sf_dir, "lineitem_dq_audit")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_dq_violating_rows_tags_failed_rules(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.operators.quality import violating_rows
+
+    l = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "high_discount": F.col("l_discount") > 0.05,
+        "big_order": F.col("l_quantity") > 30,
+    }
+    tagged = violating_rows(l, rules)
+    rows = tagged.select("l_discount", "l_quantity", "failed_rules").collect()
+    assert rows, "expected some violating rows at any SF"
+    for r in rows:
+        expect = []
+        if r.l_discount is not None and r.l_discount > 0.05:
+            expect.append("high_discount")
+        if r.l_quantity is not None and r.l_quantity > 30:
+            expect.append("big_order")
+        assert sorted(r.failed_rules) == sorted(expect)
