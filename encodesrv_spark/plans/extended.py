@@ -421,10 +421,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("tus")
     )
+    # each stage table feeds BOTH the next stage and the final count —
+    # materialize them (user-cardinality, monotonically shrinking) so
+    # lineage replay doesn't re-scan events per consumer (plan audit
+    # showed 6 fact scans for a 3-stage funnel; now one per stage)
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("tus").alias("vt"))
+        .localCheckpoint(eager=True)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -432,6 +437,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tus") > F.col("vt"))
         .groupBy("user_id")
         .agg(F.min("tus").alias("ct"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -576,8 +582,13 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e2 = edges.join(F.broadcast(outw), "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("share")
+    # materialize the nodes^2-bounded edge list ONCE: without this the
+    # iteration's lineage re-derives the corpus-scale join-aggregate on
+    # every step (the plan audit showed 44 FileScans for 3 iterations)
+    e2 = (
+        edges.join(F.broadcast(outw), "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+        .localCheckpoint(eager=True)
     )
     ncnt = nation.agg(F.count("*").cast("double").alias("cnt"))
     nodes = nation.select(F.col("n_name").alias("node")).crossJoin(F.broadcast(ncnt))
@@ -876,14 +887,21 @@ def value_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded before thresholding (the fp rule)."""
     prep(spark)
     e = load_table(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+    # both stats tables are type-cardinality — materialize each so the
+    # final pass is exactly the second fact scan (exact percentiles are
+    # inherently two-pass; lineage replay would make it four)
+    med = (
+        e.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("med"))
+        .localCheckpoint(eager=True)
     )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+        .localCheckpoint(eager=True)
     )
     score = F.round(F.col("adev") / (1.4826 * F.col("mad")), 2)
     return (
