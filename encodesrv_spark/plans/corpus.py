@@ -403,6 +403,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").isNotNull())
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
+        # tf feeds doc-lengths, corpus stats, df AND the scorer —
+        # materialize the tokenized aggregate once (the jaccard-index
+        # checkpoint rationale; plan audit showed 4 corpus scans)
+        .localCheckpoint(eager=True)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
     stats = dl.agg(
@@ -709,6 +713,9 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").isNotNull())
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
+        # tf feeds the vocab aggregate AND the per-doc scorer: one
+        # tokenization pass, not two (bm25's checkpoint rationale)
+        .localCheckpoint(eager=True)
     )
     glob = tf.groupBy("tok").agg(F.sum("cnt").alias("gcnt"))
     tot = glob.agg(F.sum("gcnt").alias("total"))
