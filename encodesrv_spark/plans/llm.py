@@ -1248,3 +1248,77 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sb.split").alias("split_b"),
         )
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE sig AS ({_SIG8}),
+        bands AS (
+            SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1, concat(h2::VARCHAR, '_', h3::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 2, concat(h4::VARCHAR, '_', h5::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 3, concat(h6::VARCHAR, '_', h7::VARCHAR) FROM sig
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(node, comp) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+            UNION
+            SELECT e.src, w.comp FROM edges e JOIN walk w ON w.node = e.dst
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(comp)::BIGINT AS component
+            FROM walk GROUP BY node
+        )
+        SELECT component, doc_id AS keeper_doc_id, n_members, kept_chars
+        FROM (
+            SELECT c.component, c.doc_id, d.n_chars AS kept_chars,
+                   count(*) OVER (PARTITION BY c.component)::BIGINT AS n_members,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc_id
+                   ) AS rn
+            FROM comp c JOIN documents d USING (doc_id)
+        ) WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    (same LSH→connected-components machinery as `dedup_clusters`) keep
+    the LONGEST member (ties → lowest doc_id) — the content-aware
+    alternative to `neardup_removals`' min-id canonicalization, e.g.
+    keeping the least-truncated copy of a boilerplate-stripped page.
+    The argmax is a per-cluster window on the cluster table
+    (duplicate-cardinality), joined to document metadata only — the
+    text itself never moves."""
+    prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, n_hashes=8, band_size=2)
+    cc = dedup.connected_components(pairs)
+    j = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    wc = W.partitionBy("component")
+    wr = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        j.withColumn("n_members", F.count("*").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_doc_id"),
+            "n_members",
+            F.col("n_chars").alias("kept_chars"),
+        )
+    )
