@@ -123,3 +123,58 @@ def funnel_progress(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful Markov transitions: per-user (last type -> next type) increments
+# ---------------------------------------------------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = "user_id long, from_type string, to_type string, n long"
+TRANSITION_STATE_SCHEMA = "last string"
+
+
+def _update_transitions(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    last = state.get[0] if state.exists else None
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # same ordered-fold contract as the funnel operator: in-batch order
+    # restored here, cross-batch order carried by the `last` state
+    rows = rows.sort_values(["tus", "event_id"])
+    pairs: dict[tuple, int] = {}
+    for typ in rows["event_type"]:
+        if last is not None:
+            pairs[(last, typ)] = pairs.get((last, typ), 0) + 1
+        last = typ
+    state.update((last,))
+    state.setTimeoutDuration(86_400_000)  # 1 day idle → chain closes
+    if pairs:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pairs),
+                "from_type": [a for a, _ in pairs],
+                "to_type": [b for _, b in pairs],
+                "n": list(pairs.values()),
+            }
+        )
+
+
+def transition_increments(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch event_transitions query: per-user
+    Markov chain maintained incrementally — ONE string of state per
+    active user (the last event type), per-batch (from, to) count
+    INCREMENTS as output.  Summing the increments downstream
+    reproduces the batch transition matrix exactly; emitting deltas
+    (not snapshots) keeps the output additive, so the normalizing
+    aggregation is an ordinary rollup in foreachBatch or at read time.
+    Input needs columns (user_id, event_id, event_type, tus)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -105,3 +105,52 @@ def test_funnel_progress_matches_batch(spark, tmp_path, sf_dir):
         batch["n_click_after_view"],
         batch["n_purchase_after_click"],
     )
+
+
+def test_transition_increments_match_batch(spark, tmp_path, sf_dir):
+    """Summing the stateful operator's per-batch (from, to) increments
+    must reproduce the batch event_transitions count matrix exactly."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.stateful import transition_increments
+
+    src = str(tmp_path / "transition_events")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("ts_ns DIV 1000").alias("tus"),
+        )
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, event_type string, tus long"
+    ).parquet(src)
+    q = (
+        transition_increments(stream)
+        .writeStream.format("memory")
+        .queryName("transition_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.from_type, r.to_type): r.total
+        for r in spark.sql("SELECT * FROM transition_state")
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in all_queries()["event_transitions"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
