@@ -1239,3 +1239,114 @@ def lineitem_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_below_quantity": F.col("l_extendedprice") < F.col("l_quantity"),
     }
     return audit(l, rules)
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS hr,
+                   value, epoch_us(ts) AS tus, event_id
+            FROM events
+        ),
+        o AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY event_type, hr ORDER BY tus, event_id
+                   ) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type, hr ORDER BY tus DESC, event_id DESC
+                   ) AS rn_d
+            FROM b
+        )
+        SELECT event_type, hr,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+               round(max(value), 2) AS high,
+               round(min(value), 2) AS low,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+               count(*)::BIGINT AS n
+        FROM o GROUP BY 1, 2
+    """,
+    tags=("extended", "events", "agg"),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup — per (type, hour): first/max/min/last
+    value, the downsampling aggregate every timeseries store offers.
+    Spark side uses `min_by`/`max_by` keyed on a (time, event_id)
+    struct: ONE aggregation pass, no ranking windows — open/close
+    resolve inside the same map-side-combinable aggregate as high/low
+    (the oracle's two row_number windows express the identical
+    first/last semantics; ties break on event_id in both)."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns DIV 3600000000000").alias("hr"),
+        "value",
+        F.expr("ts_ns DIV 1000").alias("tus"),
+        "event_id",
+    )
+    order = F.struct(F.col("tus"), F.col("event_id"))
+    return e.groupBy("event_type", "hr").agg(
+        F.round(F.min_by("value", order), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", order), 2).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "supplier_pareto_abc",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY 1
+        ),
+        t AS (SELECT sum(revenue) AS tot FROM rev),
+        c AS (
+            SELECT l_suppkey, revenue,
+                   round(sum(revenue) OVER (
+                       ORDER BY revenue DESC, l_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) / tot, 6) AS cum_share
+            FROM rev, t
+        )
+        SELECT l_suppkey, revenue, cum_share,
+               CASE WHEN cum_share <= 0.7 THEN 'A'
+                    WHEN cum_share <= 0.9 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c
+    """,
+    tags=("extended", "window", "agg"),
+)
+def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: suppliers ranked by revenue with a
+    running cumulative share — A up to 70% of total, B to 90%, C the
+    tail (the inventory-analysis classic).  The corpus-scale work is
+    the one revenue aggregate; the ordered running sum runs on the
+    supplier-cardinality result (per-supplier revenues rounded to 2
+    BEFORE accumulating, and the share rounded before classifying, so
+    both engines fold identical doubles — the fp rule twice over)."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("tot"))
+    w = (
+        W.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.round(F.sum("revenue").over(w) / F.col("tot"), 6)
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.7, "A")
+        .when(F.col("cum_share") <= 0.9, "B")
+        .otherwise("C")
+    )
+    return c.select("l_suppkey", "revenue", "cum_share", abc.alias("abc_class"))
