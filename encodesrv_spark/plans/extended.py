@@ -1350,3 +1350,72 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
     )
     return c.select("l_suppkey", "revenue", "cum_share", abc.alias("abc_class"))
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        single AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
+        pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   count(*)::BIGINT AS n_both
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        )
+        SELECT p1, p2, n_both,
+               round(n_both * 1.0 * n_orders / (s1.c * s2.c), 4) AS lift
+        FROM pairs
+        JOIN single s1 ON s1.l_partkey = p1
+        JOIN single s2 ON s2.l_partkey = p2, n
+    """,
+    tags=("extended", "basket"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order
+    at least twice, with lift = P(a,b)/(P(a)·P(b)) — the association-
+    mining primitive behind 'bought together'.  The pair blowup is
+    bounded per-basket (k items → k(k-1)/2 pairs inside one order),
+    never cross-order: the self-join key is l_orderkey, so baskets
+    co-partition and the quadratic term stays local to each small
+    group.  Part marginals are part-cardinality and broadcast back."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    single = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    s1 = single.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    s2 = single.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            F.round(
+                F.col("n_both") * 1.0 * F.col("n_orders")
+                / (F.col("c1") * F.col("c2")),
+                4,
+            ).alias("lift"),
+        )
+    )
