@@ -1419,3 +1419,67 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "daily_journey_paths",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS day,
+                   event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // 86400000000
+                       ORDER BY epoch_us(ts), event_id
+                   ) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id, day,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM seq WHERE rn <= 3
+            GROUP BY user_id, day
+        )
+        SELECT path, count(*)::BIGINT AS n_user_days
+        FROM paths
+        GROUP BY path
+        HAVING count(*) >= 5
+    """,
+    tags=("extended", "events", "paths"),
+)
+def daily_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user-day's first three event types as an
+    ordered 'a>b>c' journey prefix, counted across the corpus (the
+    funnel-discovery primitive — which entry paths actually occur,
+    before any funnel is declared).  Per-key ordering is pinned by
+    (time, event_id) rank BEFORE the collect — the same
+    nondeterministic-collect_list trap `nation_top_customer_concat`
+    documents — and the path table aggregates from user-day
+    cardinality, not event cardinality."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns DIV 86400000000000").alias("day"),
+        "event_type",
+        F.expr("ts_ns DIV 1000").alias("tus"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id", "day").orderBy("tus", "event_id")
+    seq = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = (
+        seq.groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_user_days"))
+        .filter(F.col("n_user_days") >= 5)
+    )
