@@ -1483,3 +1483,107 @@ def daily_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_user_days"))
         .filter(F.col("n_user_days") >= 5)
     )
+
+
+@register(
+    "funnel_latency",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(epoch_us(ts)) AS vt FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS ct
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.vt
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.ct
+            GROUP BY 1
+        )
+        SELECT count(*)::BIGINT AS n_converted,
+               round(quantile_cont((pt - vt) / 1000000.0, 0.5), 2) AS p50_sec,
+               round(quantile_cont((pt - vt) / 1000000.0, 0.9), 2) AS p90_sec,
+               round(avg((pt - vt) / 1000000.0), 2) AS mean_sec
+        FROM p JOIN v USING (user_id) JOIN c USING (user_id)
+    """,
+    tags=("extended", "events", "funnel"),
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for completed funnels: median, p90
+    and mean seconds from first view to first qualifying purchase —
+    the 'how long does the funnel take' readout that pairs with
+    funnel_conversion's 'how many make it'.  Same stage-gate
+    derivation (epoch-integer comparisons), converted-user cardinality
+    by the final join, percentile parity per the token_quantiles rule."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("tus")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("vt"))
+        .localCheckpoint(eager=True)
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("tus") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("ct"))
+        .localCheckpoint(eager=True)
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("tus") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("pt"))
+    )
+    lat = (
+        p.join(v, "user_id")
+        .select(((F.col("pt") - F.col("vt")) / 1000000.0).alias("sec"))
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("sec", F.lit(0.5)), 2).alias("p50_sec"),
+        F.round(F.percentile("sec", F.lit(0.9)), 2).alias("p90_sec"),
+        F.round(F.avg("sec"), 2).alias("mean_sec"),
+    )
+
+
+@register(
+    "hourly_profile",
+    oracle="""
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+               count(*)::BIGINT AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("extended", "events", "calendar"),
+)
+def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: load and mean value by hour-of-day per
+    event type (the capacity-planning heat map).  Hour-of-day derives
+    from epoch-hour modulo 24 — pure integer arithmetic, no calendar
+    functions, so both engines bucket identically regardless of
+    session timezone."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_of_day", F.expr("(ts_ns DIV 3600000000000) % 24"))
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count("*").alias("n"),
+            # sum, not avg: an average can land exactly on a rounding
+            # boundary (54.77875 did), where last-ulp association
+            # differences flip the 4th decimal across engines
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
