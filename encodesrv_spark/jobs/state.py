@@ -133,6 +133,47 @@ class JobStore:
             if os.path.isdir(self._version_dir(v))
         ]
 
+    def changes(self, from_v: int, to_v: int) -> DataFrame:
+        """Change-data-feed between two retained versions (the Delta
+        CDF `table_changes` analog): each row tagged `_change_type` in
+        {'insert', 'delete', 'update_preimage', 'update_postimage'}.
+
+        Computed as keyed diffs of the two snapshots — insert = key
+        only in `to`, delete = key only in `from`, update = key in both
+        with any non-key column changed (struct inequality, no
+        per-column plumbing).  Downstream incremental consumers (e.g.
+        `operators/incremental.py` partials) apply the feed instead of
+        re-reading the table."""
+        old = self.read_version(from_v)
+        new = self.read_version(to_v)
+        key = self.key
+        cols = old.columns
+        non_key = [c for c in cols if c != key]
+        o = old.alias("o")
+        n = new.alias("n")
+        ins = new.join(old.select(key), key, "left_anti").select(
+            *cols, F.lit("insert").alias("_change_type")
+        )
+        dele = old.join(new.select(key), key, "left_anti").select(
+            *cols, F.lit("delete").alias("_change_type")
+        )
+        changed = (
+            o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"))
+            .filter(
+                F.struct(*[F.col(f"o.{c}") for c in non_key])
+                != F.struct(*[F.col(f"n.{c}") for c in non_key])
+            )
+        )
+        pre = changed.select(
+            *[F.col(f"o.{c}").alias(c) for c in cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = changed.select(
+            *[F.col(f"n.{c}").alias(c) for c in cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
     def _marker(self, v: int) -> str:
         return os.path.join(self.path, f"_COMMIT_{v:08d}")
 
@@ -172,6 +213,30 @@ class JobStore:
 
     def init(self, df: DataFrame) -> None:
         self._commit(df)
+
+    def append(
+        self, rows: DataFrame, expected_version: int | None = None
+    ) -> None:
+        """Insert new rows (keys must not already exist — this is a
+        keyed table, silent key collisions would corrupt the MERGE
+        contract).  Same optimistic commit protocol as `upsert`."""
+        if expected_version is None:
+            expected_version = self.current_version()
+        cur = self.spark.read.parquet(self._version_dir(expected_version))
+        dup = rows.join(cur.select(self.key), self.key, "left_semi")
+        if dup.limit(1).count() > 0:
+            raise ValueError("append: key(s) already present; use upsert")
+        self._commit(cur.unionByName(rows), expected_version)
+
+    def delete_where(
+        self, predicate: str, expected_version: int | None = None
+    ) -> None:
+        """Delete rows matching a SQL predicate (the MERGE ... WHEN
+        MATCHED THEN DELETE analog); surviving rows carry over."""
+        if expected_version is None:
+            expected_version = self.current_version()
+        cur = self.spark.read.parquet(self._version_dir(expected_version))
+        self._commit(cur.filter(f"NOT ({predicate})"), expected_version)
 
     def upsert(
         self,

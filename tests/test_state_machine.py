@@ -232,3 +232,41 @@ def test_jobstore_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         store.read_version(0)  # GC'd: outside retain=3
+
+
+def test_jobstore_change_data_feed(spark, tmp_path):
+    """changes(v1, v2) yields the Delta-CDF-style typed diff: inserts,
+    deletes, and update pre/post images, computed from retained
+    snapshots."""
+    from encodesrv_spark.jobs.state import JobStore
+
+    store = JobStore(spark, str(tmp_path / "cdf"), retain=10)
+    store.init(
+        spark.createDataFrame(
+            [(1, "Not Encoding"), (2, "Not Encoding")], "id int, status string"
+        )
+    )
+    store.upsert(
+        spark.createDataFrame([(1, "srv - Waiting")], "id int, status string"),
+        ["status"],
+    )
+    store.append(spark.createDataFrame([(3, "Not Encoding")], "id int, status string"))
+    store.delete_where("id = 2")
+    assert store.current_version() == 3
+
+    feed = {
+        (r["id"], r["_change_type"]): r["status"]
+        for r in store.changes(0, 3).collect()
+    }
+    assert feed == {
+        (1, "update_preimage"): "Not Encoding",
+        (1, "update_postimage"): "srv - Waiting",
+        (2, "delete"): "Not Encoding",
+        (3, "insert"): "Not Encoding",
+    }
+    # single-step feed: only the append shows between v1 and v2
+    step = {(r["id"], r["_change_type"]) for r in store.changes(1, 2).collect()}
+    assert step == {(3, "insert")}
+    # reverse direction inverts inserts and deletes
+    rev = {(r["id"], r["_change_type"]) for r in store.changes(2, 1).collect()}
+    assert rev == {(3, "delete")}
