@@ -80,3 +80,31 @@ def hll_merge_estimate(base: DataFrame, delta: DataFrame, keys: list[str]) -> Da
     return both.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct")
     )
+
+
+def apply_feed(
+    partial: DataFrame, feed: DataFrame, keys: list[str], value: str
+) -> DataFrame:
+    """Maintain (n, total) partials from a change-data feed
+    (`JobStore.changes` shape: rows tagged `_change_type`) instead of a
+    delta snapshot: insert/update_postimage add, delete/update_preimage
+    subtract.  Groups whose count reaches zero drop out.
+
+    Only INVERTIBLE aggregates survive deletion-bearing feeds — counts
+    and sums subtract, min/max do not (a deleted minimum needs a
+    rescan or an auxiliary structure).  That asymmetry is why this
+    returns the (n, total) subset of `partials`' schema; pair with the
+    full partials on append-only streams."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy(*keys).agg(
+        F.sum(sign).alias("n"),
+        F.sum(sign * F.col(value)).alias("total"),
+    )
+    both = partial.select(*keys, "n", "total").unionByName(delta)
+    return (
+        both.groupBy(*keys)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .filter(F.col("n") > 0)
+    )

@@ -51,3 +51,39 @@ def test_hll_sketch_union_tracks_exact_distinct(spark, sf_dir):
     for r in exact.collect():
         approx = rows[r["event_type"]]
         assert abs(approx - r["exact"]) <= max(2, 0.05 * r["exact"])
+
+
+def test_apply_feed_tracks_snapshot_partials(spark, tmp_path):
+    """Partials maintained through a JobStore change feed (inserts,
+    updates, deletes) must equal partials recomputed from the final
+    snapshot — the CDF-consumer contract."""
+    from encodesrv_spark.jobs.state import JobStore
+
+    store = JobStore(spark, str(tmp_path / "feed"), key="id", retain=10)
+    store.init(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+            "id int, grp string, value double",
+        )
+    )
+    store.upsert(
+        spark.createDataFrame([(1, 15.0)], "id int, value double"), ["value"]
+    )
+    store.append(
+        spark.createDataFrame([(4, "b", 40.0)], "id int, grp string, value double")
+    )
+    store.delete_where("id = 2")
+
+    base = I.partials(store.read_version(0), ["grp"], "value")
+    feed = store.changes(0, 3)
+    maintained = {
+        r["grp"]: (r["n"], r["total"])
+        for r in I.apply_feed(base, feed, ["grp"], "value").collect()
+    }
+    recomputed = {
+        r["grp"]: (r["n"], r["total"])
+        for r in I.partials(store.read(), ["grp"], "value")
+        .select("grp", "n", "total")
+        .collect()
+    }
+    assert maintained == recomputed
