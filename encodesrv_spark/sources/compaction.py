@@ -112,3 +112,66 @@ def file_ranges(df_with_file: DataFrame, key: str) -> DataFrame:
         .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
         .orderBy("lo")
     )
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, n_files: int, col_a: str, col_b: str, bits: int = 8
+) -> None:
+    """Write `df` clustered on the Z-ORDER (Morton) curve of two
+    columns: each value maps to a `bits`-bit QUANTILE bucket, the
+    bucket ids' bits interleave into one z-value, and files are
+    range-partitioned + sorted on it.
+
+    Why: linear clustering (`write_range_clustered`) gives ONE column
+    file-level locality — predicates on the other column scan every
+    file.  The space-filling curve gives BOTH columns bounded per-file
+    ranges, so 2-D box predicates (customer AND price band, time AND
+    key, ...) prune files on either dimension.
+
+    Scale posture: bucket boundaries come from ONE `approxQuantile`
+    pass (driver holds 2^bits+1 doubles, nothing else), bucketization
+    is a JVM `Bucketizer`, and the interleave is a fold of shift/or
+    Column expressions — no global-order window, no rank shuffle, so
+    the layout job is sample + one write, same as repartitionByRange."""
+    from pyspark.ml.feature import Bucketizer
+
+    nb = 1 << bits
+    probs = [i / nb for i in range(nb + 1)]
+    splits_a = _monotone(df.approxQuantile(col_a, probs, 0.001))
+    splits_b = _monotone(df.approxQuantile(col_b, probs, 0.001))
+    tmp = df.withColumn("__a", F.col(col_a).cast("double")).withColumn(
+        "__b", F.col(col_b).cast("double")
+    )
+    buck = Bucketizer(
+        inputCols=["__a", "__b"],
+        outputCols=["__ab", "__bb"],
+        splitsArray=[splits_a, splits_b],
+        handleInvalid="keep",
+    )
+    bucketed = buck.transform(tmp)
+    a_bkt = F.col("__ab").cast("long")
+    b_bkt = F.col("__bb").cast("long")
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        z = F.shiftleft(z, 1).bitwiseOR(F.shiftright(a_bkt, i).bitwiseAND(one))
+        z = F.shiftleft(z, 1).bitwiseOR(F.shiftright(b_bkt, i).bitwiseAND(one))
+    (
+        bucketed.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__a", "__b", "__ab", "__bb")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _monotone(splits: list) -> list:
+    """Strictly-increasing splits for Bucketizer (approxQuantile can
+    repeat values on discrete/skewed data), bounded by ±inf."""
+    out = [float("-inf")]
+    for v in splits:
+        if v > out[-1]:
+            out.append(v)
+    out.append(float("inf"))
+    return out

@@ -231,3 +231,46 @@ def test_orc_roundtrip_preserves_schema_and_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "n_nationkey" in plan
+
+
+def test_zorder_gives_both_columns_file_locality(spark, sf_dir, tmp_path):
+    """Z-order layout: BOTH clustered columns get bounded per-file
+    ranges (2-D locality), where linear clustering on one key leaves
+    the other column's per-file ranges at full width."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources.compaction import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "orders_z")
+    lpath = str(tmp_path / "orders_linear")
+    write_zorder_clustered(o, zpath, 16, "o_custkey", "o_totalprice")
+    write_range_clustered(o, lpath, 16, "o_custkey")
+
+    def avg_range_width(path, col):
+        df = spark.read.parquet(path).withColumn(
+            "_file", F.input_file_name()
+        )
+        widths = (
+            df.groupBy("_file")
+            .agg((F.max(col) - F.min(col)).alias("w"))
+            .agg(F.avg("w").alias("aw"))
+            .collect()[0]["aw"]
+        )
+        glob = df.agg((F.max(col) - F.min(col)).alias("g")).collect()[0]["g"]
+        return widths / glob
+
+    # linear layout: custkey tight, totalprice ~full width per file
+    assert avg_range_width(lpath, "o_custkey") < 0.30
+    assert avg_range_width(lpath, "o_totalprice") > 0.80
+    # z-order: BOTH dimensions materially narrower than full width
+    assert avg_range_width(zpath, "o_custkey") < 0.60
+    assert avg_range_width(zpath, "o_totalprice") < 0.60
+    # and the data survives the round trip
+    assert spark.read.parquet(zpath).count() == o.count()
