@@ -1137,3 +1137,58 @@ def trigram_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.withColumn("rnk", F.row_number().over(wctx).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-RES, deterministic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_doc_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   round(
+                       ln((({H.stable_hash64_sql("concat('ws:', doc_id::VARCHAR)")}
+                            % 1000000007) + 1.0) / 1000000008.0) / n_chars,
+                       9) AS score
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars, score,
+               row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rnk
+        FROM keyed
+        QUALIFY rnk <= 50
+    """,
+    tags=("llm", "sampling"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-RES): each doc gets key ln(u)/w with u a content-stable hash
+    uniform and w = n_chars; the global top-k by key IS a weighted
+    sample — one pass, a top-k heap, no RNG state, reproducible across
+    engines/runs/cluster sizes (df.sample is none of those).  Keys are
+    compared in log space (u^(1/w) compresses near 1.0 for large w)
+    and rounded before ranking with a doc_id tiebreak — the fp rule."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        (
+            H.stable_hash64(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+            % 1000000007
+        )
+        + 1.0
+    ) / 1000000008.0
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("score"),
+    )
+    top = keyed.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long"),
+    )
