@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -56,18 +57,20 @@ def main() -> None:
         if name in qs:
             qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # Two measured reps per query, keep the min: a single rep at ~1 s
-    # granularity is dominated by whichever query catches a GC pause /
-    # noisy-neighbor stall; min-of-reps reports the plan's actual cost.
-    timings: dict[str, float] = {}
-    for _rep in range(2):
+    # Three measured reps per query, report the MEDIAN: a single rep at
+    # ~1 s granularity is dominated by whichever query catches a GC
+    # pause / noisy-neighbor stall (3-10x spikes observed on this box);
+    # the median of 3 warm reps is robust to one such spike while not
+    # under-reporting like min-of-reps can.
+    reps: dict[str, list[float]] = {}
+    for _rep in range(3):
         for name in HEADLINE:
             if name not in qs:
                 continue
             t0 = time.time()
             qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            reps.setdefault(name, []).append(time.time() - t0)
+    timings = {name: round(statistics.median(ts), 3) for name, ts in reps.items()}
 
     total = round(sum(timings.values()), 3)
     print(

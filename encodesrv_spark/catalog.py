@@ -4,20 +4,25 @@ Tables (TESTDATA.md): region nation customer supplier part orders
 lineitem events documents embeddings, one parquet file per table under
 ``{sf_dir}/``.
 
-The only special case is ``events``: its ``ts`` column is parquet
-TIMESTAMP(NANOS), which Spark 4 refuses to read natively
-([PARQUET_TYPE_ILLEGAL]).  We read it with an explicit schema as INT64
-nanoseconds and expose BOTH:
+The only special case is ``events``: its ``ts`` column has shipped as
+both parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read natively,
+[PARQUET_TYPE_ILLEGAL]) and TIMESTAMP(MICROS), depending on the
+generator run — so the loader sniffs the footer and handles either.
+Both paths expose the same two columns:
 
-* ``ts``    — TimestampType truncated to microseconds (Spark's native
-              precision) for window/date functions, and
-* ``ts_ns`` — the exact int64 epoch-nanoseconds, so queries that need
+* ``ts``    — TimestampType at microsecond precision (Spark's native
+              resolution) for window/date functions, and
+* ``ts_ns`` — exact int64 epoch-nanoseconds, so queries that need
               cross-engine exactness (sessionization gaps, orderings)
               can use integer arithmetic that DuckDB reproduces with
-              ``epoch_ns(ts)``.
+              ``epoch_ns(ts)`` (for MICROS files both engines see
+              µs·1000, still exact).
 """
 
 from __future__ import annotations
+
+import glob
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,16 +45,53 @@ _EVENTS_RAW_SCHEMA = (
 )
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer: True when `ts` is TIMESTAMP(NANOS)."""
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        f = parts[0]
+    try:
+        t = pq.read_schema(f).field("ts").type
+    except Exception:
+        return False
+    return "ns" in str(t)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        return (
-            df.withColumn("ts_ns", F.col("ts"))
-            # integer DIV keeps full precision (double division would lose
-            # bits: epoch-ns ~1.7e18 exceeds a double's 53-bit mantissa)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-            .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+        if _events_ts_is_nanos(path):
+            df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+            return (
+                df.withColumn("ts_ns", F.col("ts"))
+                # integer DIV keeps full precision (double division would
+                # lose bits: epoch-ns ~1.7e18 exceeds a double's 53-bit
+                # mantissa)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+                .select(
+                    "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
+                )
+            )
+        # TIMESTAMP(MICROS): Spark reads it natively as TIMESTAMP_NTZ
+        # (no-tz parquet annotation); cast to session-tz TIMESTAMP
+        # (UTC, same wall time) so downstream window/date functions and
+        # unix_micros behave exactly as on the NANOS path.
+        # ns = µs·1000, exact in int64.
+        df = spark.read.parquet(path)
+        ts = F.col("ts").cast("timestamp")
+        return df.select(
+            "event_id",
+            ts.alias("ts"),
+            (F.unix_micros(ts) * F.lit(1000).cast("long")).alias("ts_ns"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
         )
     return spark.read.parquet(path)
 

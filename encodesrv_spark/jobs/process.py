@@ -224,8 +224,13 @@ def run_job_row(row: dict, cfg: ProcessConfig) -> dict:
         seq = re.search(r"%([0-9]+)d", dest)
         if seq:
             # file-sequence publish (thumbnails): copy every scratch
-            # output matching the printf pattern (job.py:298-306)
-            pat = re.compile(re.sub(r"%([0-9]+)d", r"\\d+", os.path.basename(dest)))
+            # output matching the printf pattern (job.py:298-306).
+            # Escape the basename FIRST so its metacharacters match
+            # literally (a '.' in 'thumb%02d.png' must not match
+            # 'thumb01Xpng'), then swap the escaped %0Nd token for \d+.
+            pat = re.compile(
+                re.sub(r"%([0-9]+)d", r"\\d+", re.escape(os.path.basename(dest)))
+            )
             outputs = sorted(
                 f for f in os.listdir(scratch) if pat.fullmatch(f)
             )

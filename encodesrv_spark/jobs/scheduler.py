@@ -31,7 +31,26 @@ from pyspark.sql import functions as F
 
 from encodesrv_spark.jobs import state
 from encodesrv_spark.jobs.process import ProcessConfig, run_claimed_jobs
-from encodesrv_spark.jobs.state import JobStore
+from encodesrv_spark.jobs.state import CommitConflict, JobStore
+
+
+def _upsert_with_retry(
+    store: JobStore, updates: DataFrame, cols: list[str], max_retries: int = 5
+) -> None:
+    """Re-read-and-retry around a keyed upsert, same protocol as
+    `state.claim_jobs`: in the multi-server setup a racing commit
+    raises CommitConflict; without the retry the loser's terminal
+    Done/Error statuses are dropped and its jobs sit in
+    '<server> - Waiting' until the next startup_reset re-encodes them.
+    The upsert re-reads the current snapshot per attempt and publish
+    is idempotent, so retrying is safe."""
+    for _ in range(max_retries):
+        try:
+            store.upsert(updates, cols)
+            return
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"upsert of {cols} lost {max_retries} races")
 
 
 @dataclass
@@ -61,7 +80,7 @@ class Scheduler:
         updates = state.crash_reset_updates(self.jobs.read(), self.cfg.server)
         n = updates.count()
         if n:
-            self.jobs.upsert(updates, ["status"])
+            _upsert_with_retry(self.jobs, updates, ["status"])
         return n
 
     def run_cycle(self, free_slots: int | None = None) -> DataFrame | None:
@@ -89,9 +108,12 @@ class Scheduler:
         results = run_claimed_jobs(with_fmt, self.process_cfg).cache()
         results.count()  # materialize before the store mutates
 
-        # terminal status upserts (S8 sink)
-        self.jobs.upsert(
-            results.select("id", F.col("final_status").alias("status")), ["status"]
+        # terminal status upserts (S8 sink), conflict-retried: another
+        # server's racing claim commit must not drop our Done/Error rows
+        _upsert_with_retry(
+            self.jobs,
+            results.select("id", F.col("final_status").alias("status")),
+            ["status"],
         )
         # video_files publish (J2/S11)
         if self.video_files is not None:
@@ -99,7 +121,7 @@ class Scheduler:
                 results.filter(F.col("final_status").isin("Done", "Encoded"))
             )
             if vf_updates.count():
-                self.video_files.upsert(vf_updates, ["is_enabled", "size"])
+                _upsert_with_retry(self.video_files, vf_updates, ["is_enabled", "size"])
         claimed.unpersist()
         return results
 

@@ -50,13 +50,19 @@ def fan_out(docs: DataFrame) -> DataFrame:
     work.  Small corpora arrive as one parquet file = ONE partition, so
     without this every shingle/hash runs on a single core; the shuffle
     moves only raw text bytes — orders of magnitude cheaper than the
-    per-row compute it parallelizes.  (A 100 TB corpus is already
-    many-partitioned; the extra exchange is then a no-op cost-wise.)
+    per-row compute it parallelizes.
+
+    Gated on the input's partition count: a 100 TB corpus is already
+    many-partitioned, and an unconditional repartition would force a
+    full shuffle of raw text for nothing — inputs that already have
+    >= defaultParallelism partitions are returned untouched.
 
     The partition count is explicit: with a bare repartition(col), AQE
     sees a few-MB shuffle and coalesces straight back to one partition,
     silently re-serializing the CPU-heavy stage."""
     n = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= n:
+        return docs
     return docs.repartition(n, F.col("doc_id"))
 
 
@@ -78,13 +84,25 @@ def shingle_index(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5, df_cap: int | None = 10000
+) -> DataFrame:
     """Near-duplicate pairs by exact shingle-set Jaccard similarity.
 
     Self-join on the shingle inverted index (only co-shingled pairs are
     generated), count shared shingles per pair, then
     J = |A∩B| / (|A| + |B| - |A∩B|).  Hash the shingles before the join
     so the shuffle keys are fixed-width ints, not strings.
+
+    `df_cap` is stop-shingle pruning: a shingle occurring in more than
+    `df_cap` documents is dropped from the index BEFORE the self-join
+    (and from the per-doc set sizes, so Jaccard stays consistent over
+    the pruned shingle space).  Without it one hot shingle shared by
+    millions of documents makes the self-join O(df²) on that key — the
+    quadratic blow-up that kills this operator at 100 TB.  Recall
+    trade-off: near-dup evidence is carried by RARE shingles (a shingle
+    in >df_cap docs contributes ~0 to any pair's Jaccard anyway since
+    it inflates both union sizes), so sane caps drop no true near-dups.
     """
     # the hash is join-internal (never in the output), so use the fast
     # JVM xxhash64 — the oracle's own internal hash differs, outputs
@@ -96,12 +114,23 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFr
         sh.select("doc_id", F.explode_outer("shs").alias("s"))
         .filter(F.col("s").isNotNull())
         .select("doc_id", F.xxhash64("s").alias("h"))
-        # materialize once: the index feeds BOTH self-join sides and the
-        # size aggregate; without this the shingle pipeline re-executes
-        # three times (ReuseExchange does not fire across the aliases).
-        # 3-4x wall-clock win measured at sf0.1.
+        # materialize once: the index feeds the stop-shingle census,
+        # BOTH self-join sides, and the size aggregate; without this
+        # the shingle pipeline re-executes per consumer (ReuseExchange
+        # does not fire across the aliases). 3-4x wall-clock win
+        # measured at sf0.1.
         .localCheckpoint(eager=True)
     )
+    if df_cap is not None:
+        # hot shingles are by definition few (n_docs/df_cap at most),
+        # so the pruned-key set broadcasts
+        hot = (
+            idx.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("h")
+        )
+        idx = idx.join(F.broadcast(hot), "h", "left_anti").localCheckpoint(eager=True)
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")

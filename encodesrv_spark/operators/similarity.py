@@ -52,10 +52,7 @@ def brute_force_knn(
     """Exact cosine top-k: queries = vec_id < n_query_vecs (broadcast),
     candidates = full corpus. Similarity is rounded to 4 dp BEFORE
     ranking so the cut is deterministic; vec_id breaks remaining ties."""
-    e = embeddings.select(
-        "vec_id",
-        _as_double("embedding").alias("emb"),
-    ).withColumn("nrm", sq_norm(F.col("emb")))
+    e = _norm_projection(embeddings)
     # Norms are computed ONCE per row here (corpus side) and once per
     # query (broadcast side) — not once per (query, candidate) pair; at
     # N corpus × Q queries that turns 2·N·Q norm folds into N + Q.
@@ -198,7 +195,17 @@ def cosine_neardup_pairs(
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+def _norm_projection(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, emb, nrm) — the shared projection every similarity
+    operator starts from."""
+    return embeddings.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
+        "nrm", sq_norm(F.col("emb"))
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 16, _projected: DataFrame | None = None
+) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest
     centroid's cell (max cosine, centroid id breaks ties).
 
@@ -207,10 +214,12 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     probe machinery is identical; production would train centroids
     offline and broadcast them the same way).  The cell id is the
     IVF partition key: at 100 TB the corpus is written partitioned
-    by cell, so a probe reads only nprobe cells' files."""
-    e = embeddings.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
-        "nrm", sq_norm(F.col("emb"))
-    )
+    by cell, so a probe reads only nprobe cells' files.
+
+    `_projected` lets a caller (ivf_ann) hand in an already-
+    materialized (vec_id, emb, nrm) frame so the embedding scan isn't
+    re-derived per consumer."""
+    e = _projected if _projected is not None else _norm_projection(embeddings)
     c = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"),
         F.col("emb").alias("cemb"),
@@ -233,6 +242,111 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+def pq_encode(
+    embeddings: DataFrame, m: int = 4, n_sub: int = 16, dims: int = 64
+) -> DataFrame:
+    """Product quantization: split each vector into `m` segments, snap
+    every segment to its nearest sub-centroid (L2, centroid id breaks
+    ties), and keep only the m code ids — the classic memory-compression
+    path (d floats → m small ints per vector; 64×4B → 4×1B here).
+
+    The sub-codebook is deterministic — segment j of the first `n_sub`
+    corpus vectors — standing in for a trained codebook exactly like
+    `ivf_assign`'s centroids; the assignment machinery is identical.
+
+    Returns (vec_id, codes, recon, rnrm): `codes` are the stored
+    artifact at 100 TB; `recon` (the concatenated codebook segments)
+    is the decoded approximation, derived here in-plan from codes +
+    the broadcast codebook — NOT stored — so downstream scoring reads
+    it without ever shuffling raw vectors.
+
+    Scale shape: corpus explodes to N·m segment rows, the codebook
+    (m·n_sub tiny rows) broadcasts, and the arg-min is a window over
+    (vec_id, seg) — everything linear in N, no self-join.
+
+    L2² is computed as dot(x,x) - 2·dot(x,y) + dot(y,y) with the same
+    sequential fold DuckDB's list_inner_product uses, and rounded to
+    4 dp before the arg-min, so code assignment is reproducible
+    cross-engine (the established float rule)."""
+    seglen = dims // m
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    segs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("emb", j * seglen + 1, seglen) for j in range(m)])
+        ).alias("seg", "vseg"),
+    ).localCheckpoint(eager=True)  # feeds corpus side AND codebook: one scan
+    cb = segs.filter(F.col("vec_id") < n_sub).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("seg").alias("cseg_id"),
+        F.col("vseg").alias("cseg"),
+    )
+    l2sq = F.round(
+        sq_norm(F.col("vseg"))
+        - 2 * dot(F.col("vseg"), F.col("cseg"))
+        + sq_norm(F.col("cseg")),
+        4,
+    )
+    w = W.partitionBy("vec_id", "seg").orderBy(F.asc("d2"), F.asc("cent_id"))
+    assign = (
+        segs.join(F.broadcast(cb), F.col("seg") == F.col("cseg_id"))
+        .select("vec_id", "seg", "cent_id", "cseg", l2sq.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    grouped = assign.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("seg", F.col("cent_id").alias("code"), "cseg"))
+        ).alias("sc")
+    )
+    return grouped.select(
+        "vec_id",
+        F.expr("transform(sc, x -> x.code)").alias("codes"),
+        F.flatten(F.expr("transform(sc, x -> x.cseg)")).alias("recon"),
+    ).withColumn("rnrm", sq_norm(F.col("recon")))
+
+
+def pq_ann(
+    embeddings: DataFrame,
+    n_query_vecs: int = 8,
+    k: int = 3,
+    m: int = 4,
+    n_sub: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: full-precision queries scored
+    against the PQ-decoded corpus (dot(q, recon) ≡ the sum of
+    per-segment codebook lookups — the ADC table trick — expressed as
+    one 64-dim fold so both engines accumulate in the same order).
+
+    This is the compressed exhaustive scan: every corpus code is
+    scored, but the scan reads m-byte codes instead of d floats (the
+    bandwidth win that makes it viable).  At 100 TB it composes with
+    IVF — probe nprobe cells, PQ-score inside — exactly as in a
+    FAISS-style IVFPQ index."""
+    enc = pq_encode(embeddings, m, n_sub, dims)
+    q = _norm_projection(embeddings).filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    joined = enc.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qemb"), F.col("recon")) / F.sqrt(F.col("qnrm") * F.col("rnrm")),
+            4,
+        ).alias("approx_cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_cos", "rnk")
+    )
+
+
 def ivf_ann(
     embeddings: DataFrame,
     n_query_vecs: int = 8,
@@ -245,15 +359,16 @@ def ivf_ann(
     on nprobe exactly as in a production IVF index; candidates outside
     the probed cells are never scored (nor, with cell-partitioned
     storage, even read)."""
-    e = embeddings.select("vec_id", _as_double("embedding").alias("emb")).withColumn(
-        "nrm", sq_norm(F.col("emb"))
-    )
+    # materialize the shared projection ONCE: centroids, queries, and
+    # the cell assignment all derive from it — without the checkpoint
+    # the embeddings scan + norm fold replays 4x (one per consumer)
+    e = _norm_projection(embeddings).localCheckpoint(eager=True)
     c = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"),
         F.col("emb").alias("cemb"),
         F.col("nrm").alias("cnrm"),
     )
-    assigned = ivf_assign(embeddings, n_centroids)
+    assigned = ivf_assign(embeddings, n_centroids, _projected=e)
     q = e.filter(F.col("vec_id") < n_query_vecs).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),

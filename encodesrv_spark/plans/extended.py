@@ -213,12 +213,16 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     check); the exact twins are distinct_stats / q1."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
+    # Scalar quantile columns (not one array column): the driver's
+    # rows-only canonicalizer sorts cell values with pandas, and a
+    # list-typed cell is unhashable there.  Spark evaluates the three
+    # percentile_approx calls in a single aggregate pass regardless.
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_q50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_q95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_q99"),
     )
 
 

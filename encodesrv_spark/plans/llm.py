@@ -69,9 +69,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "neardup_jaccard",
+    # stop-shingle cap mirrored from jaccard_pairs(df_cap=10000):
+    # shingles in more than df_cap documents are pruned before the
+    # self-join AND before the per-doc sizes (no-op at test SFs, the
+    # scale guard at 100 TB)
     oracle=f"""
-        WITH idx AS (
+        WITH idx0 AS (
             SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
+        ),
+        idx AS (
+            SELECT doc_id, h FROM idx0
+            WHERE h IN (SELECT h FROM idx0 GROUP BY h HAVING count(*) <= 10000)
         ),
         sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
         common AS (
@@ -92,7 +100,9 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted-index
     self-join — only co-shingled documents ever meet."""
     prep(spark)
-    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5, df_cap=10000
+    )
 
 
 @register(
@@ -771,6 +781,101 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann(
         load_table(spark, sf_dir, "embeddings"),
         n_query_vecs=8, k=3, n_centroids=16, nprobe=2,
+    )
+
+
+_PQ_SEGS = """
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        segs AS (
+            SELECT e.vec_id, s.seg, e.emb[s.seg*16+1 : s.seg*16+16] AS vseg
+            FROM e, (SELECT unnest([0,1,2,3]) AS seg) s
+        ),
+        cb AS (SELECT vec_id AS cent_id, seg, vseg AS cseg FROM segs WHERE vec_id < 16),
+        assign AS (
+            SELECT vec_id, seg, cent_id, cseg FROM (
+                SELECT s.vec_id, s.seg, c.cent_id, c.cseg,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.seg
+                           ORDER BY round(list_inner_product(s.vseg, s.vseg)
+                                          - 2*list_inner_product(s.vseg, c.cseg)
+                                          + list_inner_product(c.cseg, c.cseg), 4) ASC,
+                                    c.cent_id
+                       ) AS rn
+                FROM segs s JOIN cb c ON s.seg = c.seg
+            ) WHERE rn = 1
+        )
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+        WITH {_PQ_SEGS}
+        SELECT vec_id,
+               array_to_string(list(cent_id ORDER BY seg), '_') AS codes_key
+        FROM assign GROUP BY vec_id
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: each 64-dim vector → 4 segment
+    codes (nearest of 16 deterministic sub-centroids per segment, L2).
+    The codes are the 100 TB storage artifact — m small ints instead
+    of d floats per vector (here 4 codes for 64 floats, a 64× byte
+    shrink at int8 codebooks).  Rendered as a '_'-joined string key so
+    the driver's canonicalizer never sees an array cell."""
+    prep(spark)
+    enc = similarity.pq_encode(
+        load_table(spark, sf_dir, "embeddings"), m=4, n_sub=16, dims=64
+    )
+    return enc.select(
+        "vec_id",
+        F.array_join(F.expr("transform(codes, c -> cast(c AS string))"), "_").alias(
+            "codes_key"
+        ),
+    )
+
+
+@register(
+    "embedding_pq_ann",
+    oracle=f"""
+        WITH {_PQ_SEGS},
+        recon AS (
+            SELECT vec_id, flatten(list(cseg ORDER BY seg)) AS recon
+            FROM assign GROUP BY vec_id
+        ),
+        r AS (SELECT vec_id, recon, list_inner_product(recon, recon) AS rnrm FROM recon),
+        q AS (
+            SELECT vec_id AS query_id, emb AS qemb,
+                   list_inner_product(emb, emb) AS qnrm
+            FROM e WHERE vec_id < 8
+        ),
+        scored AS (
+            SELECT q.query_id, r.vec_id AS neighbor_id,
+                   round(list_inner_product(q.qemb, r.recon)
+                         / sqrt(q.qnrm * r.rnrm), 4) AS approx_cos
+            FROM r, q WHERE r.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, approx_cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id
+               )::BIGINT AS rnk
+        FROM scored
+        QUALIFY rnk <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN: full-precision queries scored
+    against the PQ-decoded corpus (the ADC lookup-table sum, expressed
+    as one 64-dim fold so both engines accumulate identically).  The
+    compressed exhaustive scan — every code is scored but the scan
+    reads 4-byte codes, not 256-byte vectors; composes with IVF cells
+    (probe subset) for a FAISS-style IVFPQ at 100 TB."""
+    prep(spark)
+    return similarity.pq_ann(
+        load_table(spark, sf_dir, "embeddings"),
+        n_query_vecs=8, k=3, m=4, n_sub=16, dims=64,
     )
 
 

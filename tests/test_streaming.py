@@ -198,6 +198,47 @@ def test_sliding_rates_match_batch_windows(spark, tmp_path, events_dir, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_moving_avg_windows_match_batch_intervals(spark, tmp_path, events_dir, sf_dir):
+    """Streaming twin of events_moving_avg: every closed sliding window
+    must equal an INDEPENDENT batch mean over the same half-open
+    [win_start, win_end) interval — computed here by an explicit
+    range-condition join, not by re-running F.window, so the check is
+    not circular."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.streaming.events import moving_avg_windows
+
+    stream = read_events_stream(spark, events_dir)
+    _run_available_now(moving_avg_windows(stream), tmp_path, "mavg")
+    got_rows = spark.sql("SELECT * FROM mavg").collect()
+    got = {
+        (r["win_start"], r["win_end"], r["event_type"]): (r["avg_1h"], r["n_1h"])
+        for r in got_rows
+    }
+    assert len(got) > 0
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    wins = spark.createDataFrame(
+        [(ws, we, et) for (ws, we, et) in got],
+        "win_start timestamp, win_end timestamp, event_type string",
+    )
+    want_rows = (
+        wins.join(
+            events,
+            (events.ts >= wins.win_start)
+            & (events.ts < wins.win_end)
+            & (events.event_type == wins.event_type),
+        )
+        .groupBy("win_start", "win_end", wins.event_type)
+        .agg(F.round(F.avg("value"), 6).alias("avg_1h"), F.count("*").alias("n_1h"))
+        .collect()
+    )
+    want = {
+        (r["win_start"], r["win_end"], r["event_type"]): (r["avg_1h"], r["n_1h"])
+        for r in want_rows
+    }
+    assert got == want
+
+
 def test_click_purchase_attribution_matches_batch(spark, tmp_path, events_dir, sf_dir):
     """Stream-stream interval join must emit exactly the batch self-join
     pairs (watermark only bounds state; availableNow drains fully)."""
