@@ -121,16 +121,26 @@ def jaccard_pairs(
         # measured at sf0.1.
         .localCheckpoint(eager=True)
     )
-    if df_cap is not None:
+    # A shingle's df cannot exceed the document count, so the census +
+    # prune is provably a no-op when n_docs <= df_cap — skip it then
+    # (one cheap parquet-metadata count) and the small-corpus plan is
+    # identical to the uncapped one.  The DuckDB oracle keeps the cap
+    # unconditionally (HAVING df <= cap), which filters nothing in
+    # exactly the same case, so equivalence holds on both branches.
+    if df_cap is not None and docs.count() > df_cap:
         # hot shingles are by definition few (n_docs/df_cap at most),
-        # so the pruned-key set broadcasts
+        # so the pruned-key set broadcasts.  No second checkpoint: the
+        # anti-join is a hash probe over the already-checkpointed
+        # index, and the identical broadcast subplan is shared across
+        # the three consumers by ReuseExchange — re-materializing idx
+        # here measurably cost more than it saved.
         hot = (
             idx.groupBy("h")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > df_cap)
             .select("h")
         )
-        idx = idx.join(F.broadcast(hot), "h", "left_anti").localCheckpoint(eager=True)
+        idx = idx.join(F.broadcast(hot), "h", "left_anti")
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")

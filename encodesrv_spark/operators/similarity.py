@@ -347,6 +347,65 @@ def pq_ann(
     )
 
 
+def kmeans(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, round_cent: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means over the embedding column, fully
+    as DataFrame ops: assignment is an argmin over a broadcast
+    centroid table, the update step is a per-(cluster, dim) mean over
+    the exploded vectors.  Returns (assigned, centroids) after `iters`
+    rounds: assigned = (vec_id, cid), centroids = (cid, cemb).
+
+    Determinism for the cross-engine oracle: init centroids are the
+    first `k` corpus vectors (same stand-in rule as ivf_assign), L2²
+    uses the 3-inner-product form rounded to 4 dp before the argmin
+    (ties → lowest cid), and each new centroid component is a mean
+    ROUNDED to `round_cent` dp — so both engines carry bit-identical
+    centroids into the next iteration regardless of their summation
+    order (the only non-reproducible float op here; the rounding
+    absorbs the ~1 ulp partial-aggregation jitter).
+
+    Scale shape per iteration: one broadcast of k centroids, one
+    argmin window keyed on vec_id, one (cid, dim) mean — linear in
+    N·k·d with no self-joins; localCheckpoint truncates the iteration
+    lineage (the iterative-DataFrame rule, same as
+    connected_components)."""
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb")).localCheckpoint(
+        eager=True
+    )
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    assigned = None
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    for _ in range(iters):
+        d2 = F.round(
+            sq_norm(F.col("emb"))
+            - 2 * dot(F.col("emb"), F.col("cemb"))
+            + sq_norm(F.col("cemb")),
+            4,
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "emb", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "emb", "cid")
+        )
+        cmeans = (
+            assigned.select("cid", F.posexplode("emb").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("v"), round_cent).alias("cv"))
+        )
+        cent = (
+            cmeans.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("dc"))
+            .select("cid", F.expr("transform(dc, x -> x.cv)").alias("cemb"))
+            .localCheckpoint(eager=True)
+        )
+    return assigned.select("vec_id", "cid"), cent
+
+
 def ivf_ann(
     embeddings: DataFrame,
     n_query_vecs: int = 8,

@@ -1192,3 +1192,202 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
         .cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 50   # chunk size in tokens (the "context window")
+_CHUNK_S = 40   # stride (W - S = 10 tokens of overlap between chunks)
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKS_NE} AS toks FROM documents
+            WHERE len({_TOKS_NE}) > 0
+        ),
+        st AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, {_CHUNK_S})) AS start
+            FROM d
+        )
+        SELECT doc_id,
+               (start // {_CHUNK_S})::BIGINT AS chunk_idx,
+               len(list_slice(toks, start + 1, start + {_CHUNK_W}))::BIGINT AS n_words,
+               md5(array_to_string(
+                   list_slice(toks, start + 1, start + {_CHUNK_W}), ' '
+               )) AS chunk_hash
+        FROM st
+    """,
+    tags=("llm", "pipeline"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking: each document becomes
+    ceil(n_tokens / stride) chunks of up to 50 tokens with 10-token
+    overlap — the split-for-training step between curation and
+    sequence packing (`corpus_pack_bins` packs these chunks).
+
+    Pure array expressions (sequence → posexplode → slice), no UDF:
+    chunking is compute-light string slicing, so the only cost that
+    matters at 100 TB is never shuffling text — the explode happens
+    after `fan_out`, within a partition, and the output carries a
+    16-byte chunk hash (join key for downstream dedup-at-chunk-level),
+    not the chunk text."""
+    prep(spark)
+    d = (
+        dedup.fan_out(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", _tokens_ne().alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    st = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_S))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, _CHUNK_W)
+    return st.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding k-means (deterministic Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+def _kmeans_assign_sql(cent_cte: str, out: str) -> str:
+    """One Lloyd assignment round as SQL (argmin of rounded L2², tie ->
+    lowest cid) — mirrors operators/similarity.kmeans exactly."""
+    return f"""
+        {out} AS (
+            SELECT vec_id, emb, cid FROM (
+                SELECT e.vec_id, e.emb, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_inner_product(e.emb, e.emb)
+                                          - 2*list_inner_product(e.emb, c.cemb)
+                                          + list_inner_product(c.cemb, c.cemb), 4) ASC,
+                                    c.cid
+                       ) AS rn
+                FROM e, {cent_cte} c
+            ) WHERE rn = 1
+        )"""
+
+
+def _kmeans_update_sql(assign_cte: str, out: str) -> str:
+    """Centroid update: per-(cid, dim) mean rounded to 6 dp, assembled
+    in dim order."""
+    return f"""
+        {out} AS (
+            SELECT cid, list(cv ORDER BY dim) AS cemb FROM (
+                SELECT a.cid, d.dim, round(avg(a.emb[d.dim]), 6) AS cv
+                FROM {assign_cte} a, (SELECT unnest(generate_series(1, 64)) AS dim) d
+                GROUP BY a.cid, d.dim
+            ) GROUP BY cid
+        )"""
+
+
+@register(
+    "embedding_kmeans",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8),
+        {_kmeans_assign_sql('c0', 'a1')},
+        {_kmeans_update_sql('a1', 'c1')},
+        {_kmeans_assign_sql('c1', 'a2')},
+        {_kmeans_update_sql('a2', 'c2')}
+        SELECT a.cid AS cluster_id,
+               count(*)::BIGINT AS n_members,
+               round(list_inner_product(c2.cemb, c2.cemb), 4) AS centroid_nrm
+        FROM a2 a JOIN c2 ON a.cid = c2.cid
+        GROUP BY a.cid, c2.cemb
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd's k-means iterations (k=8) over the
+    embedding corpus, entirely as DataFrame ops — the iterative-ML
+    pattern (assign = argmin over a broadcast centroid table, update =
+    per-(cluster, dim) mean) that semantic-dedup / clustering-based
+    curriculum pipelines run at corpus scale.  Per-cluster member
+    counts + final centroid norms; centroids are rounded each round so
+    both engines iterate on identical values (see
+    operators/similarity.kmeans for the determinism rules)."""
+    prep(spark)
+    assigned, cent = similarity.kmeans(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return counts.join(cent, "cid").select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        F.round(similarity.dot(F.col("cemb"), F.col("cemb")), 4).alias("centroid_nrm"),
+    )
+
+
+@register(
+    "chunk_dup_stats",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, {_TOKS_NE} AS toks FROM documents
+            WHERE len({_TOKS_NE}) > 0
+        ),
+        st AS (
+            SELECT doc_id, source, toks,
+                   unnest(generate_series(0, len(toks) - 1, {_CHUNK_S})) AS start
+            FROM d
+        ),
+        ch AS (
+            SELECT source,
+                   md5(array_to_string(
+                       list_slice(toks, start + 1, start + {_CHUNK_W}), ' '
+                   )) AS chunk_hash
+            FROM st
+        )
+        SELECT source,
+               count(*)::BIGINT AS n_chunks,
+               count(DISTINCT chunk_hash)::BIGINT AS n_distinct,
+               round(1.0 - count(DISTINCT chunk_hash) * 1.0 / count(*), 6) AS dup_rate
+        FROM ch GROUP BY source
+    """,
+    tags=("llm", "pipeline"),
+)
+def chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication rate per source — the boilerplate
+    detector: document-level dedup misses repeated headers/footers/
+    navigation inside otherwise-distinct documents, which shows up as
+    duplicate CHUNK hashes.  High dup_rate sources are the ones worth
+    chunk-level (rather than doc-level) dedup before training.
+
+    Composes the `doc_chunks` machinery with a count-distinct
+    aggregate; the shuffle carries (source, 16-byte hash), never
+    chunk text."""
+    prep(spark)
+    d = (
+        dedup.fan_out(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", _tokens_ne().alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    st = d.select(
+        "source",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_S))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, _CHUNK_W)
+    ch = st.select("source", F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"))
+    return ch.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("chunk_hash") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
