@@ -1591,3 +1591,132 @@ def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "part_copurchase_triangles",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        deg AS (
+            SELECT node, count(*)::BIGINT AS d FROM (
+                SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e
+            ) GROUP BY node
+        ),
+        o AS (
+            SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+                        THEN e.p1 ELSE e.p2 END AS u,
+                   CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+                        THEN e.p2 ELSE e.p1 END AS v,
+                   CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+                        THEN d2.d ELSE d1.d END AS dv
+            FROM e
+            JOIN deg d1 ON d1.node = e.p1
+            JOIN deg d2 ON d2.node = e.p2
+        ),
+        tri AS (
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM o a
+            JOIN o b ON a.u = b.u
+                    AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))
+            JOIN o c ON c.u = a.v AND c.v = b.v
+        ),
+        agg AS (
+            SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges
+        )
+        SELECT n_edges, n_wedges, n_triangles,
+               round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+        FROM agg, tri
+    """,
+    tags=("extended", "graph"),
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (edges = part pairs bought together in >= 2
+    orders, the `basket_part_pairs` graph).
+
+    Degree-oriented counting: every undirected edge is directed toward
+    its higher-(degree, id) endpoint, wedges are generated only between
+    a node's ORIENTED out-neighbors, and a wedge closes iff the
+    orienting edge between its endpoints exists.  Each triangle is
+    counted exactly once, and — the scale property — wedge generation
+    is bounded by sum(out-degree²) = O(m^1.5) instead of being
+    quadratic in the max hub degree: a celebrity node of degree 1M
+    generates no wedges at all from its own adjacency because all its
+    edges point INTO it.  Graph building reuses the basket self-join
+    (baskets co-partition on l_orderkey; the quadratic term stays
+    within each small order)."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    d1 = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
+    ed = e.join(d1, "p1").join(d2, "p2")
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+        F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    wa = o.select(
+        F.col("u"), F.col("v").alias("va"), F.col("dv").alias("da")
+    )
+    wb = o.select(
+        F.col("u"), F.col("v").alias("vb"), F.col("dv").alias("db")
+    )
+    wedges = wa.join(wb, "u").filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("va") < F.col("vb")))
+    )
+    closing = o.select(F.col("u").alias("va"), F.col("v").alias("vb"))
+    tri = wedges.join(closing, ["va", "vb"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return (
+        n_edges.crossJoin(n_wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )

@@ -57,3 +57,32 @@ def incremental_dedup_stream(
             ["text_hash"]
         )
     return fresh.dropDuplicates(["text_hash"])
+
+
+def chunked_docs_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `doc_chunks` query: sliding
+    context-window chunking is a stateless per-row flatMap (sequence →
+    posexplode → slice), so the twin is literally the same expression
+    tree applied to the stream — no state, no watermark, append-mode
+    output.  Emits the same (doc_id, chunk_idx, n_words, chunk_hash)
+    rows; the hashes feed `incremental_dedup_stream` keyed on
+    chunk_hash for chunk-level streaming dedup (boilerplate removal at
+    ingest time)."""
+    from encodesrv_spark.plans.corpus import _CHUNK_S, _CHUNK_W
+
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    st = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_S))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, _CHUNK_W)
+    return st.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

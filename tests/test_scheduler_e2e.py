@@ -231,3 +231,51 @@ def test_streaming_poll_loop_runs_scheduler_cycles(spark, tmp_path):
     assert all(s == "Done" for s in statuses.values()), statuses
     published = {r["id"]: r["is_enabled"] for r in vf.read().collect()}
     assert all(published.values()), published
+
+
+def test_terminal_upsert_retries_through_commit_conflict(spark, tmp_path):
+    """A racing server's commit between our claim and our terminal
+    status write must NOT drop the Done/Error statuses: the scheduler
+    re-reads and retries the upsert (same protocol as claim_jobs).
+    Simulated by making the store's first upsert attempt lose the CAS
+    race; without the retry loop the jobs would stay
+    '<server> - Waiting' and be re-encoded after the next reset."""
+    from encodesrv_spark.jobs.state import CommitConflict
+
+    jobs, vf = seed_stores(spark, tmp_path)
+    sched = mk_scheduler(spark, tmp_path, jobs, vf)
+
+    real_upsert = jobs.upsert
+    fail_once = {"left": 2}
+
+    def flaky_upsert(*args, **kwargs):
+        if fail_once["left"] > 0:
+            fail_once["left"] -= 1
+            raise CommitConflict("simulated racing commit")
+        return real_upsert(*args, **kwargs)
+
+    results = None
+    try:
+        # patch AFTER claim: claim_jobs has its own retry; here we
+        # target the terminal upsert specifically
+        from encodesrv_spark.jobs import scheduler as sched_mod
+
+        orig = sched_mod.state.claim_jobs
+
+        def claim_then_patch(*a, **k):
+            out = orig(*a, **k)
+            jobs.upsert = flaky_upsert
+            return out
+
+        sched_mod.state.claim_jobs = claim_then_patch
+        results = sched.run_cycle()
+    finally:
+        jobs.upsert = real_upsert
+        sched_mod.state.claim_jobs = orig
+
+    assert results is not None
+    assert fail_once["left"] == 0, "flaky upsert was never exercised"
+    statuses = {r["id"]: r["status"] for r in jobs.read().collect()}
+    done = [s for s in statuses.values() if s in ("Done", "Encoded", "Error")]
+    assert done, f"terminal statuses lost on conflict: {statuses}"
+    assert not any(s == f"{SRV} - Waiting" for s in statuses.values())

@@ -391,3 +391,35 @@ def test_trending_counts_match_batch(spark, tmp_path, events_dir, sf_dir):
     got = rank_trending(spark.table("trending")).collect()
     want = all_queries()["trending_types"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_chunked_docs_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The streaming chunker must emit exactly the batch doc_chunks
+    rows (stateless op — stream/batch parity is exact, not
+    window-approximate)."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.corpus import chunked_docs_stream, read_docs_stream
+
+    src = str(tmp_path / "docs_stream")
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(src)
+    stream = read_docs_stream(spark, src)
+    q = (
+        chunked_docs_stream(stream)
+        .writeStream.format("memory")
+        .queryName("chunks_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["chunk_hash"])
+        for r in spark.sql("SELECT * FROM chunks_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["chunk_hash"])
+        for r in all_queries()["doc_chunks"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
