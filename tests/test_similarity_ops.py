@@ -59,3 +59,46 @@ def test_kmeans_partitions_the_corpus(spark, sf_dir):
     assert set(counts) <= set(range(8))
     cents = cent.collect()
     assert all(len(r["cemb"]) == 64 for r in cents)
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    """Chunking invariants on synthetic docs: every token index is
+    covered by at least one chunk, consecutive full chunks overlap by
+    exactly W-S tokens, and a short doc yields exactly one chunk of
+    its own length."""
+    from encodesrv_spark.plans.corpus import _CHUNK_S, _CHUNK_W, doc_chunks
+
+    import os
+    import tempfile
+
+    n_long = 130  # spans 4 starts: 0, 40, 80, 120
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(n_long)), "en", "srcX", 0),
+            (2, "only three words", "en", "srcX", 0),
+            (3, "", "en", "srcX", 0),  # empty: no chunks
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            (r["doc_id"], r["chunk_idx"]): r["n_words"]
+            for r in doc_chunks(spark, d).collect()
+        }
+    import math
+
+    expect_chunks = math.ceil(n_long / _CHUNK_S)  # starts at 0,40,80,120
+    got_long = {k: v for k, v in out.items() if k[0] == 1}
+    assert len(got_long) == expect_chunks
+    # full chunks are W tokens; the trailing one is n - last_start
+    for (_, idx), n_words in got_long.items():
+        start = idx * _CHUNK_S
+        assert n_words == min(_CHUNK_W, n_long - start)
+    # coverage: union of [start, start+n_words) spans [0, n_long)
+    covered = set()
+    for (_, idx), n_words in got_long.items():
+        covered.update(range(idx * _CHUNK_S, idx * _CHUNK_S + n_words))
+    assert covered == set(range(n_long))
+    assert out[(2, 0)] == 3 and (2, 1) not in out
+    assert not any(k[0] == 3 for k in out)
