@@ -1391,3 +1391,88 @@ def chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("chunk_hash") / F.count("*"), 6
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # cells per row
+
+
+def _cms_sketch_sql() -> str:
+    rows = "\n            UNION ALL ".join(
+        f"SELECT {i} AS r, ({H.seeded_hash64_sql('tok', i)} % {_CMS_W}) AS cell, "
+        f"count(*)::BIGINT AS n FROM toks GROUP BY 2"
+        for i in range(_CMS_D)
+    )
+    return rows
+
+
+def _cms_probe_sql() -> str:
+    rows = "\n            UNION ALL ".join(
+        f"SELECT tok, exact_n, {i} AS r, "
+        f"({H.seeded_hash64_sql('tok', i)} % {_CMS_W}) AS cell FROM top"
+        for i in range(_CMS_D)
+    )
+    return rows
+
+
+@register(
+    "token_cms_topk",
+    oracle=f"""
+        WITH toks AS (SELECT unnest({_TOKS_NE}) AS tok FROM documents),
+        exact AS (SELECT tok, count(*)::BIGINT AS exact_n FROM toks GROUP BY tok),
+        top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+        sk AS (
+            {_cms_sketch_sql()}
+        ),
+        probe AS (
+            {_cms_probe_sql()}
+        )
+        SELECT probe.tok, probe.exact_n, min(sk.n)::BIGINT AS cms_n
+        FROM probe JOIN sk ON probe.r = sk.r AND probe.cell = sk.cell
+        GROUP BY probe.tok, probe.exact_n
+    """,
+    tags=("llm", "sketch"),
+)
+def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token-frequency estimates vs exact counts for
+    the 20 most frequent tokens.
+
+    The sketch is d=4 hash rows x w=256 cells (Kirsch-Mitzenmacher-
+    style seeded hashes from the cross-engine md5 family, so DuckDB
+    builds the identical sketch): build is ONE map-side-combinable
+    aggregate over (row, cell) — the sketch is d·w counters however
+    large the corpus, which is the point: at 100 TB the frequency
+    table that doesn't fit anywhere ships as a 1024-cell array, and
+    estimates are one-sided (cms_n >= exact_n, over-count only from
+    collisions).  Probing joins the (broadcast) sketch on (row, cell)
+    and takes the min across rows.  Completes the sketch family next
+    to HLL distinct (incremental ops) and the Bloom join filter."""
+    prep(spark)
+    toks = (
+        dedup.fan_out(load_table(spark, sf_dir, "documents"))
+        .select(F.explode(_tokens_ne()).alias("tok"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
+    cells = F.array(
+        *[H.seeded_hash64("tok", i) % _CMS_W for i in range(_CMS_D)]
+    )
+    sk = (
+        toks.select(F.posexplode(cells).alias("r", "cell"))
+        .groupBy("r", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+    probe = top.select(
+        "tok",
+        "exact_n",
+        F.posexplode(cells).alias("r", "cell"),
+    )
+    return (
+        probe.join(F.broadcast(sk), ["r", "cell"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").alias("cms_n"))
+    )

@@ -102,3 +102,13 @@ def test_doc_chunks_cover_and_overlap(spark):
     assert covered == set(range(n_long))
     assert out[(2, 0)] == 3 and (2, 1) not in out
     assert not any(k[0] == 3 for k in out)
+
+
+def test_cms_estimates_are_one_sided(spark, sf_dir):
+    """Count-min guarantees estimate >= true count (collisions only
+    ever ADD) — the invariant the value-hash oracle can't state."""
+    from encodesrv_spark.plans.registry import all_queries
+
+    rows = all_queries()["token_cms_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["cms_n"] >= r["exact_n"] for r in rows)
