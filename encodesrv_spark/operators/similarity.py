@@ -347,6 +347,76 @@ def pq_ann(
     )
 
 
+def ivfpq_ann(
+    embeddings: DataFrame,
+    n_query_vecs: int = 8,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    n_sub: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS-style IVFPQ index shape: queries
+    probe their `nprobe` nearest coarse cells (exact, vs broadcast
+    centroids), and candidates INSIDE the probed cells are scored
+    against their PQ reconstructions (ADC), not their raw vectors.
+
+    At 100 TB this is the full storage story: the corpus is written
+    partitioned by cell carrying only (vec_id, m-byte codes); a probe
+    reads nprobe partitions of codes, decodes against the broadcast
+    sub-codebook, and never touches a full-precision corpus vector.
+    Recall trades on nprobe (cell misses) and m/n_sub (quantization
+    error) exactly as in the production index."""
+    e = _norm_projection(embeddings).localCheckpoint(eager=True)
+    c = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cells = ivf_assign(embeddings, n_centroids, _projected=e).select("vec_id", "cell")
+    enc = pq_encode(embeddings, m, n_sub, dims).select("vec_id", "recon", "rnrm")
+    cand_base = cells.join(enc, "vec_id")
+    q = e.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qscored = q.crossJoin(F.broadcast(c)).select(
+        "query_id",
+        "qemb",
+        "qnrm",
+        "cent_id",
+        F.round(
+            dot(F.col("qemb"), F.col("cemb")) / F.sqrt(F.col("qnrm") * F.col("cnrm")), 4
+        ).alias("csim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qemb", "qnrm", F.col("cent_id").alias("cell"))
+    )
+    cand = cand_base.join(
+        F.broadcast(probes),
+        (cand_base.cell == probes.cell) & (cand_base.vec_id != probes.query_id),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qemb"), F.col("recon")) / F.sqrt(F.col("qnrm") * F.col("rnrm")),
+            4,
+        ).alias("approx_cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_cos", "rnk")
+    )
+
+
 def kmeans(
     embeddings: DataFrame, k: int = 8, iters: int = 2, round_cent: int = 6
 ) -> tuple[DataFrame, DataFrame]:

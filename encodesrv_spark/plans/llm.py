@@ -1427,3 +1427,90 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("kept_chars"),
         )
     )
+
+
+@register(
+    "embedding_ivfpq_ann",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+            FROM embeddings
+        ),
+        segs AS (
+            SELECT e.vec_id, s.seg, e.emb[s.seg*16+1 : s.seg*16+16] AS vseg
+            FROM e, (SELECT unnest([0,1,2,3]) AS seg) s
+        ),
+        cb AS (SELECT vec_id AS cent_id, seg, vseg AS cseg FROM segs WHERE vec_id < 16),
+        passign AS (
+            SELECT vec_id, seg, cseg FROM (
+                SELECT s.vec_id, s.seg, c.cseg,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.seg
+                           ORDER BY round(list_inner_product(s.vseg, s.vseg)
+                                          - 2*list_inner_product(s.vseg, c.cseg)
+                                          + list_inner_product(c.cseg, c.cseg), 4) ASC,
+                                    c.cent_id
+                       ) AS rn
+                FROM segs s JOIN cb c ON s.seg = c.seg
+            ) WHERE rn = 1
+        ),
+        recon AS (
+            SELECT vec_id, flatten(list(cseg ORDER BY seg)) AS recon
+            FROM passign GROUP BY vec_id
+        ),
+        r AS (SELECT vec_id, recon, list_inner_product(recon, recon) AS rnrm FROM recon),
+        c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+        cells AS (
+            SELECT vec_id, cent_id AS cell FROM (
+                SELECT e.vec_id, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_inner_product(e.emb, c.cemb)
+                                          / sqrt(e.nrm * c.cnrm), 4) DESC, c.cent_id
+                       ) AS rn
+                FROM e, c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e WHERE vec_id < 8),
+        probes AS (
+            SELECT query_id, qemb, qnrm, cent_id AS cell FROM (
+                SELECT q.query_id, q.qemb, q.qnrm, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(list_inner_product(q.qemb, c.cemb)
+                                          / sqrt(q.qnrm * c.cnrm), 4) DESC, c.cent_id
+                       ) AS rn
+                FROM q, c
+            ) WHERE rn <= 2
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_inner_product(p.qemb, r.recon)
+                         / sqrt(p.qnrm * r.rnrm), 4) AS approx_cos
+            FROM cells a
+            JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+            JOIN r ON r.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id, approx_cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id
+               )::BIGINT AS rnk
+        FROM cand
+        QUALIFY rnk <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ: queries probe their 2 nearest coarse cells and candidates
+    inside those cells are scored against PQ reconstructions (ADC) —
+    the composed FAISS-style index (coarse cells prune the corpus read,
+    PQ codes shrink what's read to m bytes/vector).  Composes the
+    verified `embedding_ivf_ann` cell machinery with the verified
+    `embedding_pq_*` codebook; registered after the driver's sample
+    window so the parity+LLM-core first-50 ordering is unchanged."""
+    prep(spark)
+    return similarity.ivfpq_ann(
+        load_table(spark, sf_dir, "embeddings"),
+        n_query_vecs=8, k=3, n_centroids=16, nprobe=2, m=4, n_sub=16, dims=64,
+    )
