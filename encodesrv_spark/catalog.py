@@ -55,11 +55,15 @@ def _events_ts_is_nanos(path: str) -> bool:
         if not parts:
             return False
         f = parts[0]
+    import pyarrow as pa
+
     try:
         t = pq.read_schema(f).field("ts").type
     except Exception:
         return False
-    return "ns" in str(t)
+    # typed check, NOT a substring test: str(timestamp[us, tz=...]) can
+    # contain "ns" inside the tz name and would misroute a MICROS file
+    return pa.types.is_timestamp(t) and t.unit == "ns"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

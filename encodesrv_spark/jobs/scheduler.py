@@ -43,14 +43,24 @@ def _upsert_with_retry(
     Done/Error statuses are dropped and its jobs sit in
     '<server> - Waiting' until the next startup_reset re-encodes them.
     The upsert re-reads the current snapshot per attempt and publish
-    is idempotent, so retrying is safe."""
-    for _ in range(max_retries):
-        try:
-            store.upsert(updates, cols)
-            return
-        except CommitConflict:
-            continue
-    raise CommitConflict(f"upsert of {cols} lost {max_retries} races")
+    is idempotent, so retrying is safe.
+
+    `updates` is materialized once up front: its lazy plan may be
+    pinned to a snapshot version directory that the store's commit GC
+    (retain=2) deletes under exactly the races that trigger retries —
+    re-executing it on attempt 2 would then throw FileNotFoundError
+    instead of retrying.  localCheckpoint severs that lineage."""
+    updates = updates.localCheckpoint(eager=True)
+    try:
+        for _ in range(max_retries):
+            try:
+                store.upsert(updates, cols)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"upsert of {cols} lost {max_retries} races")
+    finally:
+        updates.unpersist()
 
 
 @dataclass

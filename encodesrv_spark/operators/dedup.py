@@ -85,7 +85,11 @@ def shingle_index(docs: DataFrame, k: int) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5, df_cap: int | None = 10000
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = 10000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact shingle-set Jaccard similarity.
 
@@ -103,6 +107,10 @@ def jaccard_pairs(
     trade-off: near-dup evidence is carried by RARE shingles (a shingle
     in >df_cap docs contributes ~0 to any pair's Jaccard anyway since
     it inflates both union sizes), so sane caps drop no true near-dups.
+
+    `n_docs`, when the caller already knows the corpus size, skips the
+    count() this function otherwise runs to decide whether the census
+    prune is a no-op — one fewer scan per call on hot paths.
     """
     # the hash is join-internal (never in the output), so use the fast
     # JVM xxhash64 — the oracle's own internal hash differs, outputs
@@ -127,7 +135,7 @@ def jaccard_pairs(
     # identical to the uncapped one.  The DuckDB oracle keeps the cap
     # unconditionally (HAVING df <= cap), which filters nothing in
     # exactly the same case, so equivalence holds on both branches.
-    if df_cap is not None and docs.count() > df_cap:
+    if df_cap is not None and (n_docs if n_docs is not None else docs.count()) > df_cap:
         # hot shingles are by definition few (n_docs/df_cap at most),
         # so the pruned-key set broadcasts.  No second checkpoint: the
         # anti-join is a hash probe over the already-checkpointed

@@ -178,16 +178,17 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any 5-gram with
     the held-out set (source='src0' stands in for the benchmark), with
     how many distinct 5-grams and how many benchmark docs they hit.
-    The benchmark shingle set is tiny relative to the corpus, so it
-    BROADCASTS — the training side streams map-only through the probe,
-    no shuffle of corpus bytes at 100 TB.  Shingles are xxhash64'd
-    before the join (fixed-width keys); the oracle joins the strings —
-    outputs agree because both count distinct co-occurrences."""
+    In production the benchmark suite is fixed-size, so AQE broadcasts
+    it unaided — no hint is forced, because in THIS synthetic layout
+    src0 scales with SF and a mandatory broadcast would OOM at 100 TB.
+    Shingles are xxhash64'd before the join (fixed-width keys); the
+    oracle joins the strings — outputs agree because both count
+    distinct co-occurrences."""
     prep(spark)
     d = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_index(d, 5)  # fan_out inside; (doc_id, sh)
     src = d.select("doc_id", "source")
-    sh = sh.join(F.broadcast(src), "doc_id").select(
+    sh = sh.join(src, "doc_id").select(
         "doc_id", "source", F.xxhash64("sh").alias("h")
     )
     bench = sh.filter(F.col("source") == "src0").select(
@@ -195,7 +196,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = sh.filter(F.col("source") != "src0").select("doc_id", "h")
     return (
-        train.join(F.broadcast(bench), "h")
+        train.join(bench, "h")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("h").alias("n_hit_ngrams"),
@@ -703,9 +704,11 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = repetitive/common text, high bits = rare-token soup, and the
     filter is a percentile band on this column.  The global term table
     is vocabulary-sized (aggregated map-side from the same tf frame the
-    per-doc pass uses) and BROADCAST back; the corpus-scale shuffle is
-    the one (doc_id, tok) aggregate.  At 100 TB the vocab table is the
-    only state that grows sub-linearly — exactly what you want resident."""
+    per-doc pass uses) and re-joined on tok; vocab grows sub-linearly
+    but unboundedly (web-scale junk tokens), so the join carries no
+    broadcast hint — AQE broadcasts it while it fits and falls back to
+    a hash join keyed on tok when it doesn't.  The corpus-scale shuffle
+    is the one (doc_id, tok) aggregate."""
     prep(spark)
     d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     tf = (
@@ -720,7 +723,7 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = tf.groupBy("tok").agg(F.sum("cnt").alias("gcnt"))
     tot = glob.agg(F.sum("gcnt").alias("total"))
     return (
-        tf.join(F.broadcast(glob), "tok")
+        tf.join(glob, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -574,8 +574,8 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .groupBy("src", "dst")
@@ -725,7 +725,7 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = bloom_prune(l, o, "l_orderkey", "o_orderkey")
     return (
-        pruned.join(F.broadcast(o), pruned["l_orderkey"] == o["o_orderkey"])
+        pruned.join(o, pruned["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
@@ -1386,7 +1386,8 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per-basket (k items → k(k-1)/2 pairs inside one order),
     never cross-order: the self-join key is l_orderkey, so baskets
     co-partition and the quadratic term stays local to each small
-    group.  Part marginals are part-cardinality and broadcast back."""
+    group.  Part marginals are part-cardinality (sf-scaled), so their
+    joins carry no hint — AQE broadcasts at test scale only."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     li = l.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
@@ -1409,8 +1410,8 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = single.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
     s2 = single.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
     return (
-        pairs.join(F.broadcast(s1), "p1")
-        .join(F.broadcast(s2), "p2")
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
         .crossJoin(F.broadcast(n))
         .select(
             "p1",
@@ -1633,7 +1634,8 @@ def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges
         )
         SELECT n_edges, n_wedges, n_triangles,
-               round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+               round(3.0 * n_triangles / nullif(n_wedges, 0), 6)
+                   AS clustering_coeff
         FROM agg, tri
     """,
     tags=("extended", "graph"),
@@ -1715,8 +1717,11 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
-                "clustering_coeff"
-            ),
+            # NULL (not engine-divergent division-by-zero) on a
+            # degenerate all-degree-1 graph with zero wedges
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("clustering_coeff"),
         )
     )

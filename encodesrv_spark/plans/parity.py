@@ -85,10 +85,11 @@ def poll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "join"),
 )
 def claim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Job→format FK join (J1) as an explicit broadcast hash join: the
-    dimension side ships to every executor once; no shuffle of the fact
-    side. At 100 TB the claimed-jobs side stays partitioned and only the
-    (small) dimension broadcasts."""
+    """Job→format FK join (J1) as an explicit broadcast hash join.  The
+    bounded side here is the 50-row top-k (constant regardless of SF),
+    so THAT side carries the broadcast hint and probes partitioned
+    customer; nation (constant 25 rows) is also hinted.  Broadcasting
+    customer itself would invert the size relationship at 100 TB."""
     prep(spark)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -99,7 +100,7 @@ def claim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return (
-        topk.join(F.broadcast(c), topk.o_custkey == c.c_custkey)
+        F.broadcast(topk).join(c, topk.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             "o_orderkey",

@@ -57,8 +57,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _MODULE_ORDER = ("parity", "llm", "tpch", "tpch_deep", "corpus", "extended")
 
 # Hoisted individually into the driver's sample window regardless of
-# module (e.g. approx_stats — the one red r01 row — must re-verify).
-_HOISTED = ("approx_stats",)
+# module: the newest operators that do not yet have a driver-green
+# CORRECTNESS row get priority slots right after the parity block.
+# approx_stats (oracle=None, rows-only by design) is deliberately NOT
+# hoisted — an untestable query must not occupy a hard-gate slot.
+_HOISTED = (
+    "embedding_ivfpq_ann",
+    "embedding_kmeans",
+    "doc_chunks",
+    "chunk_dup_stats",
+    "token_cms_topk",
+    "part_copurchase_triangles",
+)
 
 
 def all_queries() -> dict[str, Query]:

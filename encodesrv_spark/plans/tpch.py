@@ -79,8 +79,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dimension filter → join → agg → top-k.
-    customer is broadcast (small side); lineitem↔orders is the only
-    shuffle. Revenue is rounded BEFORE ranking so the top-k cut is
+    customer is sf-scaled, so it carries NO broadcast hint — AQE picks
+    broadcast at small SF and hash at 100 TB where a forced broadcast
+    would OOM. Revenue is rounded BEFORE ranking so the top-k cut is
     deterministic across engines."""
     prep(spark)
     c = load_table(spark, sf_dir, "customer")
@@ -94,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -132,8 +133,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-way join with a non-FK co-nation condition.
-    supplier/nation broadcast; the lineitem↔orders shuffle join runs on
-    the fact keys with AQE free to re-plan at runtime."""
+    Only constant-cardinality nation is hinted broadcast; customer and
+    supplier grow with SF, so AQE chooses their join strategy (broadcast
+    at test scale, shuffle hash at cluster scale)."""
     prep(spark)
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -148,9 +150,9 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -361,7 +363,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("l_partkey", "a_partkey")
     brand = p.filter(F.col("p_brand") == "Brand#9").select("p_partkey")
     return (
-        l.join(F.broadcast(brand), l.l_partkey == brand.p_partkey)
+        l.join(brand, l.l_partkey == brand.p_partkey)
         .join(avgs, l.l_partkey == avgs.a_partkey)
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(
@@ -428,9 +430,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the nation dimension joins TWICE under
     different aliases (supplier side and customer side) with a
-    disjunctive cross-pair predicate.  Both nation aliases broadcast;
-    the pair filter applies after the second broadcast join, before
-    the aggregate — lineitem↔orders is the only shuffle."""
+    disjunctive cross-pair predicate.  Both nation aliases broadcast
+    (constant 25 rows); customer/supplier are unhinted so AQE sizes
+    those joins.  The pair filter applies before the aggregate."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -448,8 +450,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -486,9 +488,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-items revenue per customer, top 20.
-    The returnflag filter is pushed to the lineitem scan; customer and
-    nation broadcast; final top-k is TakeOrderedAndProject over the
-    aggregated (small) set."""
+    The returnflag filter is pushed to the lineitem scan; nation is
+    hinted broadcast, customer left to AQE; final top-k is
+    TakeOrderedAndProject over the aggregated (small) set."""
     prep(spark)
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -503,7 +505,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -571,8 +573,9 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-fraction aggregate (promo revenue
-    share).  part broadcasts; the month filter is pushed to the
-    lineitem scan so the join probe is ~1/80th of the fact table."""
+    share).  part is sf-scaled so its join is left to AQE; the month
+    filter is pushed to the lineitem scan so the join probe is ~1/80th
+    of the fact table."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
@@ -582,7 +585,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -626,7 +629,7 @@ def q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             F.round(

@@ -78,7 +78,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_cost"
         )
     )
-    eligible = ps.join(F.broadcast(regional), ps.l_suppkey == regional.s_suppkey)
+    eligible = ps.join(regional, ps.l_suppkey == regional.s_suppkey)
     cheapest = eligible.withColumn(
         "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
     ).filter(F.col("unit_cost") == F.col("min_cost"))
@@ -86,7 +86,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name"
     )
     return (
-        cheapest.join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+        cheapest.join(wanted, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
         .orderBy("unit_cost", "p_partkey", "s_name")
         .limit(100)
@@ -149,10 +149,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             l.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(p.filter(F.col("p_type") == "ECONOMY"), l.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(market_nations), F.col("c_nationkey") == F.col("mkt_nationkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -186,8 +186,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier-nation and year over a
     part-name LIKE filter.  Supplycost (no partsupp table) is proxied
     as 8% of retail price x quantity.  The name filter prunes part
-    before its broadcast, shrinking the probe; grouping keys are tiny
-    (nation x year) so the final agg is map-side dominated."""
+    early; part/supplier joins are unhinted (sf-scaled — AQE sizes
+    them), and grouping keys are tiny (nation x year) so the final agg
+    is map-side dominated."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
@@ -199,11 +200,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         l.join(
-            F.broadcast(p.filter(F.col("p_name").contains("red"))),
+            p.filter(F.col("p_name").contains("red")),
             l.l_partkey == p.p_partkey,
         )
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -249,7 +250,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("s_suppkey")
     )
     val = (
-        l.join(F.broadcast(nat_supp), l.l_suppkey == F.col("s_suppkey"))
+        l.join(nat_supp, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
     )
@@ -304,7 +305,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -328,7 +329,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
     with a NOT-IN supplier exclusion.  NOT IN becomes a left-anti
-    broadcast join (the excluded set is tiny); the distinct count
+    join (AQE-sized — the excluded set shrinks with the acctbal filter
+    but still scales with SF); the distinct count
     expands to a two-phase partial/final aggregate keyed on the group
     columns — no global distinct shuffle of the fact table."""
     prep(spark)
@@ -341,8 +343,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 9, 14, 20, 28, 36, 45)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -370,7 +372,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: IN over a grouped-HAVING subquery — suppliers
     who moved bulk volume of a part family.  The inner aggregate runs
-    first (part filter broadcast-pruned), collapses to a distinct
+    first (part filter pruned early, join sized by AQE), collapses to a distinct
     suppkey set, and semi-joins against the nation-filtered supplier
     dimension.  Quantities are integral so the HAVING threshold is
     exact in both engines."""
@@ -382,7 +384,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     red = p.filter(F.col("p_name").startswith("red")).select("p_partkey")
     bulk = (
-        l.join(F.broadcast(red), l.l_partkey == red.p_partkey)
+        l.join(red, l.l_partkey == red.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 40)
@@ -461,7 +463,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.col("l3_shipdate")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

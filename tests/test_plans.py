@@ -163,12 +163,16 @@ def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
 
 
 def test_decontaminate_broadcasts_bench_side(spark, sf_dir):
-    """Decontamination must broadcast the benchmark shingle set — the
-    training corpus (100 TB side) streams map-only through the probe;
-    a shuffled join here would move corpus-scale shingles."""
-    plan = plan_of(spark, sf_dir, "decontaminate_overlap")
+    """Decontamination carries NO forced hint (the synthetic bench
+    side scales with SF), so the broadcast decision is AQE's: after
+    execution the runtime-replanned join must be a broadcast hash join
+    — the production case, where the benchmark suite is small.  The
+    join keys are xxhash64 fixed-width, so even the SMJ fallback never
+    shuffles corpus text bytes."""
+    df = QUERIES["decontaminate_overlap"].fn(spark, sf_dir)
+    df.collect()  # let AQE replan with runtime statistics
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
 
 
 def test_tfidf_rank_filter_is_predicate_not_sort(spark, sf_dir):
@@ -350,6 +354,55 @@ def test_jaccard_stop_shingle_cap_kills_hot_key(spark):
     )
     pairs = jaccard_pairs(twins, k=3, threshold=0.3, df_cap=5).collect()
     assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+_SF_SCALED_MARKERS = (
+    "c_custkey",  # customer
+    "s_suppkey",  # supplier
+    "p_partkey",  # part
+    "o_orderkey",  # orders
+    "l_orderkey",  # lineitem
+    "l_partkey",
+)
+
+
+def _resolved_hints(df):
+    """Yield every ResolvedHint node in the analyzed logical plan."""
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            yield node
+        children = node.children()
+        for i in range(children.length()):
+            yield from walk(children.apply(i))
+
+    yield from walk(df._jdf.queryExecution().analyzed())
+
+
+def test_no_forced_broadcast_of_sf_scaled_relations(spark, sf_dir):
+    """100 TB posture guard: a broadcast HINT is mandatory — AQE cannot
+    demote it — so no hint may wrap a frame derived from an sf-scaled
+    TPC-H relation (customer/supplier/part/orders/lineitem) unless the
+    frame is provably bounded (global aggregate or LIMIT, i.e. the
+    logical plan reports a defined maxRows).  Constant-cardinality
+    sides (nation=25, region=5, literal frames) stay hinted; at test
+    SF AQE broadcasts the de-hinted sides anyway, so plans at sf0.1
+    are unchanged while the 100x scale-up stops OOMing."""
+    offenders = []
+    for name, q in QUERIES.items():
+        df = q.fn(spark, sf_dir)
+        for hint in _resolved_hints(df):
+            child = hint.child()
+            if child.maxRows().isDefined():
+                continue  # bounded by construction: global agg / limit
+            subtree = child.toString()
+            hit = [m for m in _SF_SCALED_MARKERS if m in subtree]
+            if hit:
+                offenders.append((name, hit))
+    assert not offenders, (
+        "broadcast hints wrapping sf-scaled relations (would OOM at "
+        f"100 TB): {offenders}"
+    )
 
 
 def test_fan_out_skips_well_partitioned_input(spark):
