@@ -418,13 +418,27 @@ def ivfpq_ann(
 
 
 def kmeans(
-    embeddings: DataFrame, k: int = 8, iters: int = 2, round_cent: int = 6
-) -> tuple[DataFrame, DataFrame]:
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    round_cent: int = 6,
+    tol: float | None = None,
+    return_info: bool = False,
+):
     """Deterministic Lloyd's k-means over the embedding column, fully
     as DataFrame ops: assignment is an argmin over a broadcast
     centroid table, the update step is a per-(cluster, dim) mean over
-    the exploded vectors.  Returns (assigned, centroids) after `iters`
-    rounds: assigned = (vec_id, cid), centroids = (cid, cemb).
+    the exploded vectors.  Returns (assigned, centroids) after at most
+    `iters` rounds: assigned = (vec_id, cid), centroids = (cid, cemb).
+
+    `tol` turns on run-to-convergence: after each update the max
+    absolute per-component centroid shift (a k×d-sized aggregate —
+    negligible next to the assignment pass) is compared against `tol`
+    and iteration stops early once movement <= tol.  `tol=None`
+    (default) keeps the exact fixed-iteration schedule the DuckDB
+    oracle unrolls.  With `return_info=True` a third DataFrame is
+    returned as the convergence readout: one row per executed round
+    (iter, max_shift, converged).
 
     Determinism for the cross-engine oracle: init centroids are the
     first `k` corpus vectors (same stand-in rule as ivf_assign), L2²
@@ -447,8 +461,10 @@ def kmeans(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     assigned = None
+    history: list[tuple[int, float]] = []
+    track_shift = tol is not None or return_info
     w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
-    for _ in range(iters):
+    for i in range(iters):
         d2 = F.round(
             sq_norm(F.col("emb"))
             - 2 * dot(F.col("emb"), F.col("cemb"))
@@ -467,13 +483,39 @@ def kmeans(
             .groupBy("cid", "dim")
             .agg(F.round(F.avg("v"), round_cent).alias("cv"))
         )
-        cent = (
+        new_cent = (
             cmeans.groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("dc"))
             .select("cid", F.expr("transform(dc, x -> x.cv)").alias("cemb"))
             .localCheckpoint(eager=True)
         )
-    return assigned.select("vec_id", "cid"), cent
+        if track_shift:
+            # k×d rows on already-checkpointed frames — the scalar
+            # readout that makes the stop decision is the one driver
+            # action per round any convergence loop needs
+            shift = (
+                new_cent.select("cid", F.posexplode("cemb").alias("dim", "nv"))
+                .join(
+                    cent.select("cid", F.posexplode("cemb").alias("dim", "ov")),
+                    ["cid", "dim"],
+                )
+                .agg(F.max(F.abs(F.col("nv") - F.col("ov"))).alias("s"))
+                .collect()[0]["s"]
+            )
+            history.append((i + 1, float(shift if shift is not None else 0.0)))
+        cent = new_cent
+        if tol is not None and history and history[-1][1] <= tol:
+            break
+    out = (assigned.select("vec_id", "cid"), cent)
+    if not return_info:
+        return out
+    spark = embeddings.sparkSession
+    converged = tol is not None and bool(history) and history[-1][1] <= tol
+    info = spark.createDataFrame(
+        [(it, s, converged and it == history[-1][0]) for it, s in history],
+        "iter int, max_shift double, converged boolean",
+    )
+    return out + (info,)
 
 
 def ivf_ann(
