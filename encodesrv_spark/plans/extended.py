@@ -1725,3 +1725,235 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph: label-propagation communities + per-node clustering
+# ---------------------------------------------------------------------------
+
+# Shared oracle fragment: the co-purchase edge list (part pairs bought
+# together in >= 2 orders) and its undirected expansion — identical to
+# the part_copurchase_triangles graph.
+_COPURCHASE_EDGE_CTES = """
+        li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed co-purchase edge list (p1 < p2, support >= 2) —
+    the graph behind part_copurchase_triangles, factored out for the
+    community / clustering queries.  The basket self-join keys on
+    l_orderkey, so the quadratic pair term stays inside each (small)
+    order; the checkpoint stops every downstream graph pass from
+    re-deriving the corpus-scale join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _lpa_round_sql(i: int) -> str:
+    """One synchronous label-propagation round as an unrolled CTE:
+    node takes its neighbors' plurality label, ties to the smallest."""
+    return f"""
+        l{i} AS (
+            SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, lab
+                       ) AS rn
+                FROM (
+                    SELECT und.u AS node, p.lab AS lab, count(*) AS c
+                    FROM und JOIN l{i - 1} p ON und.v = p.node
+                    GROUP BY 1, 2
+                )
+            ) WHERE rn = 1
+        )"""
+
+
+@register(
+    "part_label_communities",
+    oracle=f"""
+        WITH {_COPURCHASE_EDGE_CTES},
+        und AS (
+            SELECT p1 AS u, p2 AS v FROM e
+            UNION ALL
+            SELECT p2, p1 FROM e
+        ),
+        l0 AS (SELECT DISTINCT u AS node, u AS lab FROM und),
+        {",".join(_lpa_round_sql(i) for i in (1, 2, 3))}
+        SELECT node AS part, lab AS community FROM l3
+    """,
+    tags=("extended", "graph", "iterative"),
+)
+def part_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (3 synchronous rounds) over the
+    co-purchase graph: every node starts as its own label; each round
+    it adopts the plurality label among its neighbors, ties broken to
+    the SMALLEST label — fully deterministic, so the DuckDB oracle
+    unrolls the identical three rounds as CTEs (the trade_pagerank
+    pattern).
+
+    Scale shape per round: one hash join of the undirected edge list
+    against the label table (both keyed on node — AQE sizes it; no
+    forced broadcast since labels are node-cardinality, which is
+    sf-scaled) and one (node, label) plurality aggregate whose argmax
+    is a per-node window.  localCheckpoint per round keeps the
+    iteration's lineage flat (the dedup_clusters rule); rounds are
+    fixed, not run-to-fixpoint, which bounds the cost and sidesteps
+    synchronous LPA's oscillation pathology."""
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .unionAll(e.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
+    )
+    wlab = W.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(3):
+        labels = (
+            und.join(labels.select(F.col("node").alias("v"), "lab"), "v")
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(wlab))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("part"), F.col("lab").alias("community"))
+
+
+@register(
+    "part_local_clustering",
+    oracle=f"""
+        WITH {_COPURCHASE_EDGE_CTES},
+        deg AS (
+            SELECT node, count(*)::BIGINT AS d FROM (
+                SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e
+            ) GROUP BY node
+        ),
+        o AS (
+            SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+                        THEN e.p1 ELSE e.p2 END AS u,
+                   CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+                        THEN e.p2 ELSE e.p1 END AS v,
+                   CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+                        THEN d2.d ELSE d1.d END AS dv
+            FROM e
+            JOIN deg d1 ON d1.node = e.p1
+            JOIN deg d2 ON d2.node = e.p2
+        ),
+        tri AS (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM o a
+            JOIN o b ON a.u = b.u
+                    AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))
+            JOIN o c ON c.u = a.v AND c.v = b.v
+        ),
+        tn AS (
+            SELECT node, count(*)::BIGINT AS t FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.node AS part, d.d AS degree,
+               coalesce(tn.t, 0)::BIGINT AS n_triangles,
+               round(2.0 * coalesce(tn.t, 0) / nullif(d.d * (d.d - 1), 0), 6)
+                   AS lcc
+        FROM deg d LEFT JOIN tn ON tn.node = d.node
+    """,
+    tags=("extended", "graph"),
+)
+def part_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient — the node-level twin of
+    part_copurchase_triangles' global coefficient: lcc(v) = 2·T(v) /
+    (d(v)·(d(v)−1)), NULL for degree-1 nodes (guarded with nullif on
+    both engines, the division-by-zero rule).
+
+    Reuses the degree-oriented triangle enumeration: each edge points
+    at its higher-(degree, id) endpoint, wedges form only between
+    oriented out-neighbors (sum out-deg² = O(m^1.5), hub-safe), and
+    every triangle is emitted exactly once as (center, va, vb) — then
+    exploded to its three member nodes and counted per node.  The edge
+    list and orientation are checkpointed once; no additional fact
+    scans beyond the shared basket self-join."""
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    d1 = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    o = (
+        e.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+            F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("dv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wa = o.select("u", F.col("v").alias("va"), F.col("dv").alias("da"))
+    wb = o.select("u", F.col("v").alias("vb"), F.col("dv").alias("db"))
+    tri = (
+        wa.join(wb, "u")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("va") < F.col("vb")))
+        )
+        .join(o.select(F.col("u").alias("va"), F.col("v").alias("vb")), ["va", "vb"])
+    )
+    tn = (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("va"), F.col("vb"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0).cast("long")).alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2.0 * F.coalesce(F.col("t"), F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ),
+            ).alias("lcc"),
+        )
+    )

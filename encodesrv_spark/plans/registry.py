@@ -68,6 +68,8 @@ _HOISTED = (
     "chunk_dup_stats",
     "token_cms_topk",
     "part_copurchase_triangles",
+    "part_label_communities",
+    "part_local_clustering",
 )
 
 
