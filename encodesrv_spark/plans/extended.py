@@ -737,6 +737,53 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_prune_selective",
+    oracle="""
+        SELECT o.o_orderstatus,
+               count(*)::BIGINT AS n,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 128 = 0
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("extended", "scale", "bloom"),
+)
+def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloom_prune_join at its design point: the filter side is a
+    ~0.8% key sample (orderkey ≡ 0 mod 128 — the drill-down-a-sample
+    shape), so the Bloom probe eliminates >99% of the fact side BEFORE
+    the join.  At 100 TB that is the difference between shuffling the
+    whole lineitem table and shuffling <1% of it; the bit array is
+    still one broadcast row (m/8 bytes) regardless of SF.  The join
+    itself carries no broadcast hint (both sides sf-scaled — AQE
+    decides); the oracle is the plain join, which must agree exactly
+    because Bloom filters have no false negatives and the prune is
+    followed by the exact join."""
+    from encodesrv_spark.operators.bloom import bloom_prune
+
+    prep(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 128 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prune(l, o, "l_orderkey", "o_orderkey")
+    return (
+        pruned.join(o, pruned["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
     "events_moving_avg",
     oracle="""
         SELECT event_id, event_type,

@@ -70,6 +70,7 @@ _HOISTED = (
     "part_copurchase_triangles",
     "part_label_communities",
     "part_local_clustering",
+    "bloom_prune_selective",
 )
 
 

@@ -221,6 +221,33 @@ def test_bloom_prune_stays_jvm_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_bloom_prune_sizes_join_input_by_selectivity(spark, sf_dir):
+    """The operator's whole point: with a <1% filter side, the pruned
+    fact side entering the join must be ~the true match count (false
+    positives bounded by the m=2^20-bit array), NOT the full table —
+    at 100 TB this is what keeps the join shuffle proportional to
+    selectivity."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.operators.bloom import bloom_prune
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 128 == 0)
+        .select("o_orderkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    n_big = l.count()
+    true_matches = l.join(o, l.l_orderkey == o.o_orderkey, "left_semi").count()
+    pruned = bloom_prune(l, o, "l_orderkey", "o_orderkey").count()
+    assert pruned >= true_matches  # no false negatives
+    # false-positive slack: generous 5% + 10 absolute over the exact
+    # match count — far below the full table
+    assert pruned <= true_matches * 1.05 + 10
+    assert pruned < n_big * 0.05
+
+
 def test_bloom_prune_no_false_negatives(spark, sf_dir):
     """Pruned set must be a superset of the true matching rows (Bloom
     filters admit false positives only) and — with a selective filter
