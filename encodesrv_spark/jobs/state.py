@@ -177,6 +177,24 @@ class JobStore:
     def _marker(self, v: int) -> str:
         return os.path.join(self.path, f"_COMMIT_{v:08d}")
 
+    def _read_snapshot(self, v: int) -> DataFrame:
+        """Read a pinned version for an optimistic write.  If the dir
+        was already GC'd by a newer writer's retention sweep the
+        snapshot is stale beyond repair — surface that as
+        :class:`CommitConflict` (re-read and retry), not as a raw
+        path-not-found error that would abort the caller's retry
+        loop."""
+        d = self._version_dir(v)
+        try:
+            return self.spark.read.parquet(d)
+        except Exception as exc:
+            if not os.path.isdir(d):
+                raise CommitConflict(
+                    f"version {v} GC'd by a newer commit "
+                    f"(current={self.current_version()})"
+                ) from exc
+            raise
+
     def _commit(self, df: DataFrame, expected_version: int | None = None) -> None:
         cur = self.current_version()
         if expected_version is not None and cur != expected_version:
@@ -194,7 +212,18 @@ class JobStore:
         except FileExistsError:
             raise CommitConflict(f"version {v} already reserved") from None
         target = self._version_dir(v)
-        df.write.mode("overwrite").parquet(target)
+        try:
+            df.write.mode("overwrite").parquet(target)
+        except Exception:
+            # release the reservation: a marker left behind by a failed
+            # write would make every later commit target a permanently
+            # reserved version number and wedge the store
+            shutil.rmtree(target, ignore_errors=True)
+            try:
+                os.unlink(self._marker(v))
+            except FileNotFoundError:
+                pass
+            raise
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
@@ -222,7 +251,7 @@ class JobStore:
         contract).  Same optimistic commit protocol as `upsert`."""
         if expected_version is None:
             expected_version = self.current_version()
-        cur = self.spark.read.parquet(self._version_dir(expected_version))
+        cur = self._read_snapshot(expected_version)
         dup = rows.join(cur.select(self.key), self.key, "left_semi")
         if dup.limit(1).count() > 0:
             raise ValueError("append: key(s) already present; use upsert")
@@ -235,7 +264,7 @@ class JobStore:
         MATCHED THEN DELETE analog); surviving rows carry over."""
         if expected_version is None:
             expected_version = self.current_version()
-        cur = self.spark.read.parquet(self._version_dir(expected_version))
+        cur = self._read_snapshot(expected_version)
         self._commit(cur.filter(f"NOT ({predicate})"), expected_version)
 
     def upsert(
@@ -261,7 +290,7 @@ class JobStore:
         """
         if expected_version is None:
             expected_version = self.current_version()
-        cur = self.spark.read.parquet(self._version_dir(expected_version))
+        cur = self._read_snapshot(expected_version)
         upd = updates.select(
             F.col(self.key).alias("__k"),
             *[F.col(c).alias(f"__u_{c}") for c in cols],
@@ -294,8 +323,14 @@ def claim_jobs(
     never own the same job.  Returns the claimed candidate rows."""
     for _ in range(max_retries):
         v0 = store.current_version()
-        snapshot = store.spark.read.parquet(store._version_dir(v0))
+        snapshot = store._read_snapshot(v0)
         candidates = poll_candidates(snapshot, limit)
+        # empty poll = drained queue: return without committing — an
+        # empty upsert would still write a full new version (pure
+        # write amplification, and under contention it steals the CAS
+        # from a writer with real claims)
+        if not candidates.limit(1).count():
+            return candidates
         try:
             store.upsert(
                 claim_updates(candidates, server),

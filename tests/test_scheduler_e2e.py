@@ -279,3 +279,80 @@ def test_terminal_upsert_retries_through_commit_conflict(spark, tmp_path):
     done = [s for s in statuses.values() if s in ("Done", "Encoded", "Error")]
     assert done, f"terminal statuses lost on conflict: {statuses}"
     assert not any(s == f"{SRV} - Waiting" for s in statuses.values())
+
+
+def test_two_real_writers_claim_exactly_once(spark, tmp_path):
+    """Two REAL threads drain one store through the optimistic-commit
+    protocol (no simulated conflicts): every job is claimed by exactly
+    one server, no claim is lost, and the version history is linear —
+    one commit per successful claim batch, monotonically numbered.
+    This is the §7.3.1 claim-exactly-once story under genuine
+    interleaving: losers hit the CAS (or a GC'd snapshot, surfaced as
+    CommitConflict by _read_snapshot) and retry from a fresh read."""
+    import threading
+
+    from encodesrv_spark.jobs.schema import ENCODE_JOBS_SCHEMA
+    from encodesrv_spark.jobs.state import (
+        NOT_ENCODING,
+        CommitConflict,
+        JobStore,
+        claim_jobs,
+    )
+
+    n_jobs = 24
+    rows = [
+        (
+            i,
+            f"/media/src{i}.mov",
+            f"/media/out/dest{i}.mp4",
+            1,
+            NOT_ENCODING,
+            i * 10,
+            None,
+            None,
+            float(i),
+        )
+        for i in range(1, n_jobs + 1)
+    ]
+    store = JobStore(spark, str(tmp_path / "jobs_race"))
+    store.init(spark.createDataFrame(rows, ENCODE_JOBS_SCHEMA))
+
+    claimed: dict[str, list[int]] = {"srv-A": [], "srv-B": []}
+    errors: list[Exception] = []
+
+    def worker(server: str) -> None:
+        try:
+            while True:
+                got = claim_jobs(store, server, limit=2, max_retries=200)
+                ids = [r["id"] for r in got.collect()]
+                if not ids:
+                    return
+                claimed[server].extend(ids)
+        except Exception as exc:  # noqa: BLE001 — recorded for assert
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(s,)) for s in ("srv-A", "srv-B")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, f"writer crashed under contention: {errors!r}"
+
+    a, b = set(claimed["srv-A"]), set(claimed["srv-B"])
+    assert not (a & b), f"double-claimed jobs: {sorted(a & b)}"
+    assert a | b == set(range(1, n_jobs + 1)), "claims lost"
+
+    final = {r["id"]: r["status"] for r in store.read().collect()}
+    for i in range(1, n_jobs + 1):
+        owner = "srv-A" if i in a else "srv-B"
+        assert final[i] == f"{owner} - Waiting"
+
+    # linear history: every successful non-empty claim batch is one
+    # commit (empty drain polls commit nothing); at most one batch in
+    # the whole run is partial (free count stays even until 1 remains)
+    n_batches = (len(a) + 1) // 2 + (len(b) + 1) // 2
+    assert store.current_version() == n_batches
+    hist = store.history()
+    assert hist == sorted(hist) and len(hist) == store.retain
