@@ -577,3 +577,104 @@ def ivf_ann(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance top-k: greedily pick `k` results that
+    balance relevance to the query against redundancy with what is
+    already picked — score(d) = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s).
+    The diversity-aware retrieval step of a RAG / dedup-aware search
+    stack, and the natural consumer of the ANN candidate generators.
+
+    Scale shape: ONE corpus-scale pass scores relevance and takes the
+    top `n_candidates` (TakeOrderedAndProject); everything after —
+    the candidate×candidate similarity matrix and the k greedy rounds —
+    runs on the constant-size candidate set (n_candidates² pairs),
+    checkpointed once.  The greedy loop is k−1 unrolled tiny plans, the
+    same aggregate-big/iterate-small pattern as trade_pagerank.
+
+    Determinism for the cross-engine oracle: all similarities rounded
+    to 6 dp before any comparison, argmax ties broken by lowest vec_id,
+    penalty over an empty selected set is 0 (first pick = pure
+    relevance scaled by λ)."""
+    e = _norm_projection(embeddings).localCheckpoint(eager=True)
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.round(
+                dot(F.col("emb"), F.col("qemb")) / F.sqrt(F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("qsim"),
+        )
+        .orderBy(F.desc("qsim"), F.asc("vec_id"))
+        .limit(n_candidates)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("av"), F.col("emb").alias("aemb"), F.col("nrm").alias("anrm")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("bv"), F.col("emb").alias("bemb"), F.col("nrm").alias("bnrm")
+    )
+    psim = (
+        a.join(b, F.col("av") != F.col("bv"))
+        .select(
+            "av",
+            "bv",
+            F.round(
+                dot(F.col("aemb"), F.col("bemb"))
+                / F.sqrt(F.col("anrm") * F.col("bnrm")),
+                6,
+            ).alias("psim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = cand.select("vec_id", "qsim")
+    selected = (
+        base.select(
+            F.lit(1).cast("long").alias("rnk"),
+            "vec_id",
+            "qsim",
+            F.round(F.lit(lam) * F.col("qsim"), 6).alias("mmr_score"),
+        )
+        .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    for step in range(2, k + 1):
+        pen = (
+            psim.join(selected.select(F.col("vec_id").alias("bv")), "bv")
+            .groupBy("av")
+            .agg(F.max("psim").alias("pen"))
+        )
+        pick = (
+            base.join(selected.select("vec_id"), "vec_id", "left_anti")
+            .join(pen, base.vec_id == pen.av, "left")
+            .select(
+                F.lit(step).cast("long").alias("rnk"),
+                "vec_id",
+                "qsim",
+                F.round(
+                    F.lit(lam) * F.col("qsim")
+                    - F.lit(1 - lam) * F.coalesce(F.col("pen"), F.lit(0.0)),
+                    6,
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        selected = selected.unionAll(pick).localCheckpoint(eager=True)
+    return selected

@@ -1479,3 +1479,128 @@ def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok", "exact_n")
         .agg(F.min("n").alias("cms_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc repetition audit + temperature-scaled mixture weights
+# ---------------------------------------------------------------------------
+
+@register(
+    "repeated_ngram_audit",
+    oracle=f"""
+        WITH sh AS ({_DOC_SHINGLES5}),
+        census AS (
+            SELECT s, count(DISTINCT doc_id)::BIGINT AS df
+            FROM sh GROUP BY s
+        )
+        SELECT sh.doc_id,
+               count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN c.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+               round(sum(CASE WHEN c.df >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS shared_frac
+        FROM sh JOIN census c ON sh.s = c.s
+        GROUP BY sh.doc_id
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def repeated_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit (the exact-substring-dedup signal of
+    Lee et al.'s 'Deduplicating Training Data Makes Language Models
+    Better', arXiv:2107.06499, computed at 5-gram granularity): for
+    each document, how many of its distinct 5-grams also occur in at
+    least one OTHER document, and the shared fraction.  High
+    shared_frac = boilerplate/templated text the model will memorize.
+
+    Scale shape: one (doc_id, shingle-hash) inverted index (fan-out +
+    explode, hashed to fixed-width keys), one vocabulary-sized census
+    aggregate keyed on the shingle hash, and one hash join back on the
+    same key — no self-join, no pair blowup, and the census join
+    carries no broadcast hint (shingle vocabulary is corpus-scaled;
+    AQE decides).  Documents with zero 5-grams (shorter than 5 words)
+    drop out on both engines (inner join semantics)."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    idx = (
+        dedup.shingle_index(d, 5)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        # feeds BOTH the census and the per-doc join probe: one
+        # tokenization pass (the jaccard/bm25 checkpoint rationale)
+        .localCheckpoint(eager=True)
+    )
+    census = idx.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    shared = F.when(F.col("df") >= 2, 1).otherwise(0)
+    return (
+        idx.join(census, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(shared).alias("n_shared"),
+            F.round(F.sum(shared) * 1.0 / F.count("*"), 6).alias("shared_frac"),
+        )
+    )
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+        WITH per AS (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS n_chars
+            FROM documents GROUP BY source
+        ),
+        shares AS (
+            SELECT source, n_docs, n_chars,
+                   n_chars * 1.0 / (SELECT sum(n_chars) FROM per) AS p
+            FROM per
+        ),
+        pw AS (
+            SELECT source, n_docs, n_chars, p,
+                   sqrt(p) AS p05, sqrt(sqrt(p)) AS p025
+            FROM shares
+        )
+        SELECT source, n_docs, n_chars,
+               round(p, 6) AS raw_share,
+               round(p05 / (SELECT sum(p05) FROM pw), 6) AS w_alpha05,
+               round(p025 / (SELECT sum(p025) FROM pw), 6) AS w_alpha025
+        FROM pw
+    """,
+    tags=("llm", "sampling"),
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights w_i = p_i^α / Σ p_j^α — the
+    multilingual/domain rebalancing rule (α<1 upsamples the tail, α=1
+    keeps natural proportions; the α-sampling scheme of the mBERT/XLM-R
+    lineage).  α is restricted to dyadic roots here (0.5 = sqrt,
+    0.25 = sqrt∘sqrt) because IEEE-754 specifies sqrt EXACTLY, making
+    the weights bit-identical across engines — a general pow(x, α)
+    differs in the last ulp between libm implementations.
+
+    Scale shape: one source-keyed corpus aggregate; every later step
+    (shares, powers, normalizers) runs on the source-cardinality frame
+    with 1-row broadcast totals."""
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = per.agg(F.sum("n_chars").alias("all_chars"))
+    pw = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("n_chars") * 1.0 / F.col("all_chars"))
+        .withColumn("p05", F.sqrt("p"))
+        .withColumn("p025", F.sqrt(F.sqrt("p")))
+    )
+    norms = pw.agg(
+        F.sum("p05").alias("z05"), F.sum("p025").alias("z025")
+    )
+    return (
+        pw.crossJoin(F.broadcast(norms))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round("p", 6).alias("raw_share"),
+            F.round(F.col("p05") / F.col("z05"), 6).alias("w_alpha05"),
+            F.round(F.col("p025") / F.col("z025"), 6).alias("w_alpha025"),
+        )
+    )

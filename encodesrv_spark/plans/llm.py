@@ -1514,3 +1514,75 @@ def embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         n_query_vecs=8, k=3, n_centroids=16, nprobe=2, m=4, n_sub=16, dims=64,
     )
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.7, n_cand: int = 20) -> str:
+    """Unrolled-CTE oracle for the greedy MMR selection: one CTE pair
+    (pick, accumulated-selection) per round, same pattern as
+    trade_pagerank's unrolled iterations.  λ and 1−λ are emitted with
+    repr() so both engines multiply by the bit-identical double."""
+    ip = "list_inner_product"
+    parts = [
+        f"e AS ({_EMB})",
+        "q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)",
+        f"""cand AS (
+            SELECT e.vec_id,
+                   round({ip}(q.qemb, e.emb) /
+                         sqrt({ip}(q.qemb, q.qemb) * {ip}(e.emb, e.emb)), 6) AS qsim
+            FROM e, q WHERE e.vec_id <> 0
+            ORDER BY qsim DESC, e.vec_id LIMIT {n_cand}
+        )""",
+        "ce AS (SELECT c.vec_id, e.emb FROM cand c JOIN e USING (vec_id))",
+        f"""ps AS (
+            SELECT a.vec_id AS av, b.vec_id AS bv,
+                   round({ip}(a.emb, b.emb) /
+                         sqrt({ip}(a.emb, a.emb) * {ip}(b.emb, b.emb)), 6) AS psim
+            FROM ce a JOIN ce b ON a.vec_id <> b.vec_id
+        )""",
+        f"""s1 AS (
+            SELECT 1::BIGINT AS rnk, vec_id, qsim,
+                   round({lam!r}::DOUBLE * qsim, 6) AS mmr_score
+            FROM cand ORDER BY mmr_score DESC, vec_id LIMIT 1
+        )""",
+        "sel1 AS (SELECT * FROM s1)",
+    ]
+    for step in range(2, k + 1):
+        parts.append(f"""s{step} AS (
+            SELECT {step}::BIGINT AS rnk, c.vec_id, c.qsim,
+                   round({lam!r}::DOUBLE * c.qsim - {1 - lam!r}::DOUBLE * coalesce((
+                       SELECT max(ps.psim) FROM ps
+                       WHERE ps.av = c.vec_id
+                         AND ps.bv IN (SELECT vec_id FROM sel{step - 1})
+                   ), 0), 6) AS mmr_score
+            FROM cand c
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{step - 1})
+            ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+        )""")
+        parts.append(
+            f"sel{step} AS (SELECT * FROM sel{step - 1} UNION ALL SELECT * FROM s{step})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT rnk, vec_id, qsim, mmr_score FROM sel{k}"
+    )
+
+
+@register(
+    "embedding_mmr_topk",
+    oracle=_mmr_oracle(),
+    tags=("llm", "similarity", "iterative"),
+)
+def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-5 for query vector 0:
+    one corpus-scale relevance pass cuts to 20 candidates
+    (TakeOrderedAndProject), then the greedy λ·relevance −
+    (1−λ)·max-redundancy selection runs entirely on the constant-size
+    candidate set (aggregate-big/iterate-small).  The diversity-aware
+    retrieval step of a RAG stack, sitting downstream of the ANN
+    candidate generators."""
+    prep(spark)
+    return similarity.mmr_select(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0, n_candidates=20, k=5, lam=0.7,
+    )

@@ -71,6 +71,9 @@ _HOISTED = (
     "part_label_communities",
     "part_local_clustering",
     "bloom_prune_selective",
+    "embedding_mmr_topk",
+    "repeated_ngram_audit",
+    "mixture_temperature_weights",
 )
 
 
