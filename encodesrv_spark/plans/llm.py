@@ -1586,3 +1586,94 @@ def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         query_vec_id=0, n_candidates=20, k=5, lam=0.7,
     )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, emb, {similarity.lsh_bucket_sql('emb')} AS bucket
+            FROM ({_EMB})
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qbucket
+              FROM e WHERE vec_id < 8),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(list_inner_product(q.qemb, e.emb) /
+                                 sqrt(list_inner_product(q.qemb, q.qemb)
+                                      * list_inner_product(e.emb, e.emb)), 4)
+                                 DESC, e.vec_id
+                       ) AS rnk
+                FROM e, q WHERE e.vec_id <> q.query_id
+            ) WHERE rnk <= 3
+        ),
+        ann AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(list_inner_product(q.qemb, e.emb) /
+                                 sqrt(list_inner_product(q.qemb, q.qemb)
+                                      * list_inner_product(e.emb, e.emb)), 4)
+                                 DESC, e.vec_id
+                       ) AS rnk
+                FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+            ) WHERE rnk <= 3
+        )
+        SELECT ex.query_id,
+               count(*)::BIGINT AS n_exact,
+               sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_hits,
+               round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS recall
+        FROM exact ex
+        LEFT JOIN ann a
+          ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+        GROUP BY ex.query_id
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH ANN index against the exact brute-force
+    baseline, per query — the evaluation harness that makes the ANN
+    quality/latency trade-off measurable instead of asserted.  Both
+    sub-pipelines are the already-verified operators (brute_force_knn,
+    lsh_ann) joined on (query, neighbor); recall = |ANN ∩ exact|/k.
+
+    Scale shape: the exact arm is the one intentionally corpus-scale
+    pass (the baseline you run on a SAMPLE at 100 TB — the eval
+    doesn't need the full corpus, just a representative slice); the
+    ANN arm and the comparison join are bucket-pruned and
+    result-sized."""
+    prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_knn(emb, n_query_vecs=8, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    ann = similarity.lsh_ann(emb, n_query_vecs=8, k=3).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(
+                F.when(F.col("a_nid").isNotNull(), 1).otherwise(0)
+            ).alias("n_hits"),
+            F.round(
+                F.sum(F.when(F.col("a_nid").isNotNull(), 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("recall"),
+        )
+    )

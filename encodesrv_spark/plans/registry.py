@@ -74,6 +74,7 @@ _HOISTED = (
     "embedding_mmr_topk",
     "repeated_ngram_audit",
     "mixture_temperature_weights",
+    "ann_recall_eval",
 )
 
 
