@@ -73,6 +73,32 @@ def main() -> None:
     timings = {name: round(statistics.median(ts), 3) for name, ts in reps.items()}
 
     total = round(sum(timings.values()), 3)
+
+    # Non-headline tracking (round-3+): newest operators, one warm-up +
+    # one measured rep each.  Deliberately OUTSIDE `value`/`queries` so
+    # the headline metric stays directly comparable across rounds
+    # (methodology frozen in round 2: median-of-3 over the same 16).
+    EXTRA = [
+        "part_label_communities",
+        "part_local_clustering",
+        "bloom_prune_selective",
+        "embedding_mmr_topk",
+        "repeated_ngram_audit",
+        "mixture_temperature_weights",
+        "ann_recall_eval",
+        "embedding_ivfpq_ann",
+        "embedding_kmeans",
+        "token_cms_topk",
+    ]
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in qs:
+            continue
+        qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        extra[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -80,6 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -15,10 +15,16 @@ and no Python UDFs:
   word with a distributed ``bit_or`` aggregate, and densified into ONE
   row holding an ``array<long>`` — bytes shipped = m/8 regardless of
   filter-side row count.
-* probe: the one-row bit array is broadcast (BroadcastNestedLoopJoin of
-  a single row = a free scalar broadcast) and each probe row checks all
-  k bits with JVM-side ``element_at``/``shiftright`` expressions inside
-  whole-stage codegen.
+* probe: the built bit array — ONE row of m/8 bytes, independent of
+  data size — is materialized like a ScalarSubquery (the exact
+  mechanism Spark's own InjectRuntimeFilter uses to ship its runtime
+  bloom filter) and embedded as a single array literal; each probe row
+  checks all k bits with JVM-side ``element_at``/``shiftright``
+  expressions inside whole-stage codegen, referencing that one
+  constant.  Carrying the array as a joined COLUMN instead (the naive
+  crossJoin-a-one-row-frame formulation) makes every probe row's
+  UnsafeRow copy the full m/8 bytes — measured 10x slower at sf0.1
+  (77 GB of memcpy for a 6M-row probe at m=2^20).
 
 False positives only widen the pruned set; a Bloom filter has NO false
 negatives, so `prune → exact join` returns exactly the plain join's
@@ -34,7 +40,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_BITS = 1 << 20
@@ -49,10 +55,14 @@ def build_bloom_bits(
 ) -> DataFrame:
     """One-row DataFrame ``[__bloom_bits: array<long>]`` over ``small[key]``.
 
-    Entirely distributed: hash → per-word ``bit_or`` → densify with a
-    ``transform(sequence(...))`` over a collected word→bits map.  The
-    map is at most ``num_bits/64`` entries (8 B words), independent of
-    the filter side's cardinality.
+    Entirely distributed: hash → per-word ``bit_or`` → densify by
+    unioning an all-zero word range and assembling the sorted
+    ``(word, bits)`` structs into the positional array (the kmeans
+    centroid-assembly pattern, O(n log n)).  A map-lookup densify
+    (``element_at`` per position over a 16 K-entry map) is O(n²) —
+    Spark's ArrayBasedMapData lookup is a linear scan — and measured
+    ~17 s per build at m=2^20; this form is sub-second.  The array is
+    ``num_bits/64`` longs regardless of the filter side's cardinality.
     """
     nwords = (num_bits + 63) // 64
     hashes = [
@@ -64,32 +74,31 @@ def build_bloom_bits(
         F.expr("CAST(pos DIV 64 AS INT)").alias("word"),
         F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
     ).groupBy("word").agg(F.bit_or("bit").alias("bits"))
+    zeros = (
+        small.sparkSession.range(nwords)
+        .select(F.col("id").cast("int").alias("word"), F.lit(0).cast("long").alias("bits"))
+    )
+    dense = (
+        words.unionByName(zeros)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
     return (
-        words.agg(
-            F.map_from_arrays(
-                F.collect_list("word"), F.collect_list("bits")
-            ).alias("wm")
+        dense.agg(
+            F.array_sort(F.collect_list(F.struct("word", "bits"))).alias("wb")
         )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nwords - 1)),
-                lambda w: F.coalesce(F.element_at(F.col("wm"), w), F.lit(0).cast("long")),
-            ).alias("__bloom_bits")
-        )
+        .select(F.expr("transform(wb, x -> x.bits)").alias("__bloom_bits"))
     )
 
 
-def _might_contain(key: str, num_bits: int, num_hashes: int):
-    """AND-of-k bit probes as a single JVM Column (codegen-friendly)."""
+def _might_contain(key: str, bits: Column, num_bits: int, num_hashes: int):
+    """AND-of-k bit probes as a single JVM Column (codegen-friendly).
+    ``bits`` is the array<long> literal holding the filter."""
     checks = []
     for s in range(num_hashes):
-        h = f"pmod(xxhash64({key}, {s}), {num_bits})"
-        checks.append(
-            F.expr(
-                f"(shiftright(element_at(__bloom_bits, CAST({h} DIV 64 AS INT) + 1),"
-                f" CAST({h} % 64 AS INT)) & 1) = 1"
-            )
-        )
+        h = F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(num_bits))
+        word = F.element_at(bits, (h / 64).cast("int") + 1)
+        checks.append(F.getbit(word, (h % 64).cast("int")) == 1)
     return reduce(lambda a, b: a & b, checks)
 
 
@@ -105,13 +114,14 @@ def bloom_prune(
     ``small[small_key]`` — no false negatives, tunable false-positive
     rate via ``num_bits``/``num_hashes``.
 
-    Plan shape: ``big ⨯ broadcast(1-row bits)`` (a scalar broadcast)
-    followed by a codegen'd bit-probe filter; the downstream join's
-    shuffle then moves only surviving rows.
+    Plan shape: the distributed build collapses to ONE m/8-byte row
+    consumed as a SCALAR SUBQUERY (`DataFrame.scalar()` — the same
+    execute-once-embed-as-constant mechanism Spark's own
+    InjectRuntimeFilter uses for its runtime bloom filter); the probe
+    is then a pure codegen'd filter directly above the fact scan — no
+    join operator at all, no driver collect, and the k probe
+    expressions share the one subquery result (ReuseSubquery).  The
+    downstream join's shuffle moves only surviving rows.
     """
-    bits = build_bloom_bits(small, small_key, num_bits, num_hashes)
-    return (
-        big.crossJoin(F.broadcast(bits))
-        .filter(_might_contain(big_key, num_bits, num_hashes))
-        .drop("__bloom_bits")
-    )
+    bits = build_bloom_bits(small, small_key, num_bits, num_hashes).scalar()
+    return big.filter(_might_contain(big_key, bits, num_bits, num_hashes))

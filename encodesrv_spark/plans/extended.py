@@ -710,7 +710,7 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom filter has no false negatives and the prune is followed by an
     exact join, so the result equals the plain join — which is exactly
     what the oracle runs.  The bit array is built distributed (bit_or
-    per 64-bit word), ships as ONE broadcast row, and the k bit probes
+    per 64-bit word), ships as ONE scalar-subquery row, and the k bit probes
     are JVM expressions inside codegen — no Python, no driver collect."""
     from encodesrv_spark.operators.bloom import bloom_prune
 
@@ -754,7 +754,7 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), so the Bloom probe eliminates >99% of the fact side BEFORE
     the join.  At 100 TB that is the difference between shuffling the
     whole lineitem table and shuffling <1% of it; the bit array is
-    still one broadcast row (m/8 bytes) regardless of SF.  The join
+    still one scalar-subquery row (m/8 bytes) regardless of SF.  The join
     itself carries no broadcast hint (both sides sf-scaled — AQE
     decides); the oracle is the plain join, which must agree exactly
     because Bloom filters have no false negatives and the prune is

@@ -214,11 +214,14 @@ def test_fuzzy_pairs_joins_on_block_key(spark, sf_dir):
 def test_bloom_prune_stays_jvm_side(spark, sf_dir):
     """bloom_prune_join: build + probe must be pure JVM expressions —
     a Python UDF in the probe path would serialize the whole fact
-    table through Arrow; the one-row bit array must arrive by
-    broadcast, never a shuffle."""
+    table through Arrow; the bit array arrives as a scalar subquery
+    (execute-once constant), so the probe is a plain Filter above the
+    fact scan with NO join operator carrying the array as a column
+    (the column form memcpy'd m/8 bytes per probe row)."""
     plan = plan_of(spark, sf_dir, "bloom_prune_join")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Subquery" in plan or "scalar-subquery" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_bloom_prune_sizes_join_input_by_selectivity(spark, sf_dir):
