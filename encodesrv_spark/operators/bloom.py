@@ -93,7 +93,12 @@ def build_bloom_bits(
 
 def _might_contain(key: str, bits: Column, num_bits: int, num_hashes: int):
     """AND-of-k bit probes as a single JVM Column (codegen-friendly).
-    ``bits`` is the array<long> literal holding the filter."""
+    ``bits`` is the scalar-subquery Column holding the filter array.
+    All k probes reference the SAME subquery expression, so physical
+    planning dedups them via ReuseSubquery — the build executes once
+    (asserted in tests); a higher-order-function formulation that
+    would syntactically reference it once is rejected by the analyzer
+    (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.HIGHER_ORDER_FUNCTION)."""
     checks = []
     for s in range(num_hashes):
         h = F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(num_bits))
