@@ -678,3 +678,59 @@ def mmr_select(
         )
         selected = selected.unionAll(pick).localCheckpoint(eager=True)
     return selected
+
+
+def semdedup(
+    embeddings: DataFrame, k: int = 8, iters: int = 2, threshold: float = 0.25
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public
+    arXiv:2303.09540): k-means clusters block the candidate space, then
+    intra-cluster cosine pairs above `threshold` mark the higher vec_id
+    of each pair as a drop (deterministic stand-in for the paper's
+    keep-farthest-from-centroid rule, so the DuckDB oracle can replay
+    the exact keep set).  Returns per-cluster prune stats
+    (cluster_id, n_members, n_dropped, keep_rate).
+
+    Scale shape: the cluster id is the shuffle key — the pairwise pass
+    compares O(max_cluster²), never O(N²), and `k` is the knob that
+    bounds it (production runs k ≈ N/target_cluster_size so cluster
+    size stays constant as the corpus grows; the fixed k=8 here keeps
+    the oracle's unrolled CTEs tractable).  The member frame is
+    localCheckpoint'ed once and feeds both sides of the self-join plus
+    the stats aggregate."""
+    assigned, _ = kmeans(embeddings, k=k, iters=iters)
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    m = (
+        assigned.join(e, "vec_id")
+        .select("vec_id", "cid", "emb", sq_norm(F.col("emb")).alias("nrm"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = m.alias("a"), m.alias("b")
+    cos = F.round(
+        dot(F.col("a.emb"), F.col("b.emb")) / F.sqrt(F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.cid").alias("cid"), F.col("b.vec_id").alias("drop_id"), cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("cid", "drop_id")
+        .distinct()
+    )
+    return (
+        m.join(
+            drops,
+            (m.cid == drops.cid) & (m.vec_id == drops.drop_id),
+            "left",
+        )
+        .groupBy(m.cid.alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("drop_id").alias("n_dropped"),
+            F.round(1.0 - F.count("drop_id") / F.count("*"), 4).alias("keep_rate"),
+        )
+    )

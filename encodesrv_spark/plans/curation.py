@@ -1,0 +1,336 @@
+"""Data-curation queries for training-data pipelines, round 3:
+rule-based quality gating (Gopher-style), BPE merge statistics, Zipf
+law fitting, Johnson-Lindenstrauss projection, and SemDeDup-style
+semantic pruning.
+
+Same conventions as plans/corpus.py: DuckDB oracles share every
+constant with the Spark plan, floats are rounded identically on BOTH
+sides before any ranking or threshold, and document pipelines go
+through ``dedup.fan_out`` so a single small parquet file still
+parallelizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from encodesrv_spark.catalog import load_table
+from encodesrv_spark.operators import dedup, similarity
+from encodesrv_spark.plans.corpus import (
+    _kmeans_assign_sql,
+    _kmeans_update_sql,
+    _tokens_ne,
+    _TOKS_NE,
+)
+from encodesrv_spark.plans.registry import register
+from encodesrv_spark.session import prep
+
+_EMB = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+
+# Gopher-style gate constants (Rae et al. 2021 §A1.1, adapted to this
+# corpus's word-salad geometry so each rule actually discriminates —
+# the real thresholds are noted inline).
+_W_MIN, _W_MAX = 20, 90          # Gopher: 50..100_000 words
+_WLEN_MIN, _WLEN_MAX = 3.0, 10.0  # Gopher: mean word length 3..10
+_TTR_MIN = 0.35                   # stand-in for Gopher's dup-fraction rules
+_STOP_MIN = 2                     # Gopher: >= 2 distinct stop words
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({_TOKS_NE})::BIGINT AS n_words,
+                   round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                         / len({_TOKS_NE}), 4) AS mean_wlen,
+                   round(len(list_distinct({_TOKS_NE})) * 1.0
+                         / len({_TOKS_NE}), 4) AS ttr,
+                   len(list_distinct(list_filter({_TOKS_NE},
+                       t -> t IN {_STOPWORDS!r})))::BIGINT AS n_stop_types
+            FROM documents
+        )
+        SELECT doc_id, n_words, mean_wlen, ttr, n_stop_types,
+               (n_words BETWEEN {_W_MIN} AND {_W_MAX}) AS f_words,
+               (mean_wlen BETWEEN {_WLEN_MIN} AND {_WLEN_MAX}) AS f_wlen,
+               (ttr >= {_TTR_MIN}) AS f_ttr,
+               (n_stop_types >= {_STOP_MIN}) AS f_stop,
+               ((n_words BETWEEN {_W_MIN} AND {_W_MAX})
+                AND (mean_wlen BETWEEN {_WLEN_MIN} AND {_WLEN_MAX})
+                AND (ttr >= {_TTR_MIN})
+                AND (n_stop_types >= {_STOP_MIN})) AS keep
+        FROM m
+    """,
+    tags=("llm", "quality"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate: per-document word count,
+    mean word length, type-token ratio, and distinct-stopword coverage
+    each become a boolean flag; `keep` is their conjunction — the
+    document-level filter step every pre-training pipeline runs before
+    dedup.  Pure per-row expressions: zero shuffles, whole-stage
+    codegen end to end, filters push to the scan when composed."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = _tokens_ne()
+    n_words = F.size(toks).cast("long")
+    mean_wlen = F.round(
+        F.length(F.regexp_replace("text", r"\s", "")) * F.lit(1.0) / n_words, 4
+    )
+    ttr = F.round(F.size(F.array_distinct(toks)) * F.lit(1.0) / n_words, 4)
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        ttr.alias("ttr"),
+        n_stop.alias("n_stop_types"),
+    )
+    f_words = F.col("n_words").between(_W_MIN, _W_MAX)
+    f_wlen = F.col("mean_wlen").between(_WLEN_MIN, _WLEN_MAX)
+    f_ttr = F.col("ttr") >= _TTR_MIN
+    f_stop = F.col("n_stop_types") >= _STOP_MIN
+    return m.select(
+        "*",
+        f_words.alias("f_words"),
+        f_wlen.alias("f_wlen"),
+        f_ttr.alias("f_ttr"),
+        f_stop.alias("f_stop"),
+        (f_words & f_wlen & f_ttr & f_stop).alias("keep"),
+    )
+
+
+@register(
+    "bpe_pair_stats",
+    oracle=f"""
+        WITH d AS (SELECT {_TOKS_NE} AS t FROM documents),
+        p AS (
+            SELECT t[i] || ' ' || t[i + 1] AS pair
+            FROM d, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 1)) AS i
+            )
+        )
+        SELECT pair, count(*)::BIGINT AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent adjacent token pairs — the statistic the first
+    BPE merge step maximizes (Sennrich et al. 2016); re-run on each
+    merged vocabulary this IS tokenizer training.  Pair generation is
+    a per-row array transform (no self-join); the count is map-side
+    partial-aggregated on the pair key, and the top-20 is
+    TakeOrderedAndProject over the vocab²-bounded aggregate, never a
+    global sort of the corpus."""
+    prep(spark)
+    d = (
+        dedup.fan_out(load_table(spark, sf_dir, "documents"))
+        .select(_tokens_ne().alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    # Spark SQL array indexing is 0-based (DuckDB's is 1-based): the
+    # i-th pair is (t[i-1], t[i]) for i in 1..len-1 on both engines.
+    pairs = d.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@register(
+    "token_zipf_fit",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({_TOKS_NE}) AS w FROM documents
+        ),
+        freq AS (SELECT w, count(*)::BIGINT AS cnt FROM tok GROUP BY w),
+        ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+            FROM freq
+        )
+        SELECT count(*)::BIGINT AS n_types,
+               sum(cnt)::BIGINT AS n_tokens,
+               round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+               round(regr_intercept(ln(cnt), ln(rnk)), 4) AS zipf_intercept,
+               round(regr_r2(ln(cnt), ln(rnk)), 4) AS zipf_r2
+        FROM ranked
+    """,
+    tags=("llm", "text"),
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency table: least-squares
+    slope/intercept/R² of log-frequency on log-rank.  Natural corpora
+    fit slope ≈ -1; a flat slope (like this synthetic word salad) is
+    itself the quality signal — it flags machine-generated or
+    template text.  One corpus-scale (token) aggregate; the regression
+    runs over the vocab-sized ranked frame as single-pass moment
+    sketches (regr_*), and the rank window sorts vocab rows, never
+    corpus rows."""
+    prep(spark)
+    tok = (
+        dedup.fan_out(load_table(spark, sf_dir, "documents"))
+        .select(F.explode(_tokens_ne()).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window as W
+
+    ranked = freq.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("w")))
+        .alias("rnk"),
+    )
+    lc, lr = F.log(F.col("cnt")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 4).alias("zipf_r2"),
+    )
+
+
+# --- Johnson-Lindenstrauss projection ---------------------------------------
+
+_JL_K = 16  # output dims; sqrt(_JL_K) scaling keeps E[||p||²] = ||v||²
+_JL_D = 64
+
+
+def _jl_sign(i: int, j: int) -> float:
+    """±1 from the same md5-derived 60-bit hash both engines compute
+    (functions/hashing.py contract), on the string 'i:j' with i the
+    1-based input dim and j the 0-based output dim."""
+    h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+_JL_SIGNS = [
+    [_jl_sign(i, j) for i in range(1, _JL_D + 1)] for j in range(_JL_K)
+]
+
+
+@register(
+    "embedding_jl_projection",
+    oracle=f"""
+        WITH e AS ({_EMB}),
+        signs AS (
+            SELECT i, j,
+                   CASE WHEN (('0x' || substr(md5(concat(i::VARCHAR, ':', j::VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM (SELECT unnest(generate_series(1, {_JL_D})) AS i),
+                 (SELECT unnest(generate_series(0, {_JL_K - 1})) AS j)
+        ),
+        proj AS (
+            SELECT e.vec_id, sg.j, round(sum(e.emb[sg.i] * sg.s), 6) AS p
+            FROM e, signs sg
+            WHERE sg.i <= len(e.emb)
+            GROUP BY e.vec_id, sg.j
+        ),
+        nrm AS (SELECT vec_id, list_inner_product(emb, emb) AS o FROM e)
+        SELECT p.vec_id AS vec_id,
+               round(n.o, 4) AS orig_nrm2,
+               round(sum(p.p * p.p) / {_JL_K}.0, 4) AS proj_nrm2,
+               round(sum(p.p * p.p) / {_JL_K}.0 / n.o, 4) AS distortion
+        FROM proj p JOIN nrm n ON p.vec_id = n.vec_id
+        GROUP BY p.vec_id, n.o
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims with a
+    deterministic ±1 sign matrix (Achlioptas 2003 database-friendly
+    variant; signs derive from the cross-engine md5 hash so the DuckDB
+    oracle replays them exactly).  Emits per-vector squared norms
+    before/after and the distortion ratio — the JL lemma says the
+    ratio concentrates around 1, which the companion test asserts.
+
+    Scale shape: the sign matrix is a CONSTANT (embedded as literal
+    arrays, the same trick as the LSH hyperplanes), so the projection
+    is 16 per-row dot products inside whole-stage codegen — zero
+    shuffles, zero joins, no Python.  The oracle's (i,j) join form is
+    the same arithmetic, just unrolled relationally."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity._as_double("embedding").alias("emb")
+    )
+    p_cols = [
+        F.round(
+            similarity.dot(
+                F.col("emb"), F.array(*[F.lit(s) for s in _JL_SIGNS[j]])
+            ),
+            6,
+        ).alias(f"p{j}")
+        for j in range(_JL_K)
+    ]
+    orig = similarity.sq_norm(F.col("emb"))
+    proj = e.select("vec_id", orig.alias("o"), *p_cols)
+    psum = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(_JL_K))
+    return proj.select(
+        "vec_id",
+        F.round(F.col("o"), 4).alias("orig_nrm2"),
+        F.round(psum / _JL_K, 4).alias("proj_nrm2"),
+        F.round(psum / _JL_K / F.col("o"), 4).alias("distortion"),
+    )
+
+
+_SEMDEDUP_THRESHOLD = 0.25  # synthetic near-orthogonal corpus; ~0.9 in prod
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+        WITH e AS ({_EMB}),
+        c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8),
+        {_kmeans_assign_sql('c0', 'a1')},
+        {_kmeans_update_sql('a1', 'c1')},
+        {_kmeans_assign_sql('c1', 'a2')},
+        m AS (
+            SELECT vec_id, emb, cid, list_inner_product(emb, emb) AS nrm
+            FROM a2
+        ),
+        pairs AS (
+            SELECT a.cid, b.vec_id AS drop_id,
+                   round(list_inner_product(a.emb, b.emb)
+                         / sqrt(a.nrm * b.nrm), 4) AS cos_sim
+            FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(list_inner_product(a.emb, b.emb)
+                        / sqrt(a.nrm * b.nrm), 4) >= {_SEMDEDUP_THRESHOLD}
+        ),
+        drops AS (SELECT DISTINCT cid, drop_id FROM pairs)
+        SELECT m.cid AS cluster_id, count(*)::BIGINT AS n_members,
+               count(d.drop_id)::BIGINT AS n_dropped,
+               round(1.0 - count(d.drop_id) * 1.0 / count(*), 4) AS keep_rate
+        FROM m LEFT JOIN drops d
+            ON m.cid = d.cid AND m.vec_id = d.drop_id
+        GROUP BY m.cid
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning: k-means clusters (the deterministic
+    Lloyd operator the `embedding_kmeans` oracle already unrolls) block
+    the candidate space, intra-cluster cosine pairs ≥ threshold mark
+    drops, and the output is per-cluster keep statistics.  See
+    operators/similarity.semdedup for the O(max_cluster²)-not-O(N²)
+    scale accounting."""
+    prep(spark)
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        k=8,
+        iters=2,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )

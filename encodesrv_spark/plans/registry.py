@@ -62,6 +62,11 @@ _MODULE_ORDER = ("parity", "llm", "tpch", "tpch_deep", "corpus", "extended")
 # approx_stats (oracle=None, rows-only by design) is deliberately NOT
 # hoisted — an untestable query must not occupy a hard-gate slot.
 _HOISTED = (
+    "gopher_quality_flags",
+    "bpe_pair_stats",
+    "token_zipf_fit",
+    "embedding_jl_projection",
+    "semdedup_prune",
     "embedding_ivfpq_ann",
     "embedding_kmeans",
     "doc_chunks",
@@ -85,6 +90,7 @@ def all_queries() -> dict[str, Query]:
     # Imports deferred so `import encodesrv_spark` stays cheap.
     from encodesrv_spark.plans import (  # noqa: F401
         corpus,
+        curation,
         extended,
         llm,
         parity,

@@ -1,0 +1,89 @@
+"""Semantics tests for the round-3 curation operators — properties the
+registry-wide oracle comparison cannot see (hand-built inputs, JL
+concentration, flag algebra)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from encodesrv_spark.operators import similarity
+from encodesrv_spark.plans import curation
+
+
+def test_jl_projection_distortion_concentrates(spark, sf_dir):
+    """The JL lemma: E[||p||²/||v||²] = 1 for a ±1 sign matrix scaled
+    by 1/sqrt(k).  The per-vector ratio is noisy at k=16, but the
+    corpus mean must sit near 1 — a sign-matrix or scaling bug shifts
+    it far off."""
+    out = curation.embedding_jl_projection(spark, sf_dir)
+    row = out.agg(
+        F.avg("distortion").alias("mean_d"),
+        F.min("orig_nrm2").alias("min_o"),
+    ).collect()[0]
+    assert 0.8 < row["mean_d"] < 1.2
+    assert row["min_o"] > 0
+
+
+def test_jl_sign_matrix_is_balanced():
+    """A usable JL sign matrix has ~half +1s per output dim; an
+    all-same column collapses the projection to (±) a coordinate sum."""
+    for j, col in enumerate(curation._JL_SIGNS):
+        pos = sum(1 for s in col if s > 0)
+        assert 16 <= pos <= 48, f"output dim {j} degenerate: {pos}/64 positive"
+
+
+def test_gopher_keep_is_flag_conjunction(spark, sf_dir):
+    out = curation.gopher_quality_flags(spark, sf_dir)
+    bad = out.filter(
+        F.col("keep")
+        != (F.col("f_words") & F.col("f_wlen") & F.col("f_ttr") & F.col("f_stop"))
+    )
+    assert bad.count() == 0
+    # the gate must actually discriminate on this corpus
+    kept = out.filter("keep").count()
+    total = out.count()
+    assert 0 < kept < total
+
+
+def test_semdedup_drops_exact_duplicate_keeps_lower_id(spark):
+    """Hand-built corpus: vec 9 duplicates vec 0 exactly; everything
+    else is axis-orthogonal.  The duplicate (higher id) must be the
+    drop, and totals must reconcile."""
+    rows = []
+    for i in range(9):
+        v = [0.0] * 4
+        v[i % 4] = 1.0
+        # unique wiggle large enough that same-axis non-duplicates
+        # (i, i+4, i+8 share coordinates) stay below the threshold
+        v[(i + 1) % 4] = 0.1 * (i + 1)
+        rows.append((i, v))
+    rows.append((9, rows[0][1]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = similarity.semdedup(df, k=2, iters=1, threshold=0.999).collect()
+    assert sum(r["n_members"] for r in stats) == 10
+    assert sum(r["n_dropped"] for r in stats) == 1
+    for r in stats:
+        assert r["n_dropped"] <= r["n_members"]
+        assert r["keep_rate"] == pytest.approx(
+            1.0 - r["n_dropped"] / r["n_members"], abs=1e-4
+        )
+
+
+def test_bpe_pair_stats_top20_is_deterministic(spark, sf_dir):
+    a = [tuple(r) for r in curation.bpe_pair_stats(spark, sf_dir).collect()]
+    b = [tuple(r) for r in curation.bpe_pair_stats(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) == 20
+    counts = [n for _, n in a]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_zipf_fit_single_row_schema(spark, sf_dir):
+    out = curation.token_zipf_fit(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_types"] > 0 and r["n_tokens"] >= r["n_types"]
+    # log-log regression of a frequency table always slopes down
+    assert r["zipf_slope"] < 0
