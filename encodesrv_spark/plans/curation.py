@@ -267,15 +267,7 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", similarity._as_double("embedding").alias("emb")
     )
-    p_cols = [
-        F.round(
-            similarity.dot(
-                F.col("emb"), F.array(*[F.lit(s) for s in _JL_SIGNS[j]])
-            ),
-            6,
-        ).alias(f"p{j}")
-        for j in range(_JL_K)
-    ]
+    p_cols = _jl_p_cols()
     orig = similarity.sq_norm(F.col("emb"))
     proj = e.select("vec_id", orig.alias("o"), *p_cols)
     psum = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(_JL_K))
@@ -284,6 +276,161 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o"), 4).alias("orig_nrm2"),
         F.round(psum / _JL_K, 4).alias("proj_nrm2"),
         F.round(psum / _JL_K / F.col("o"), 4).alias("distortion"),
+    )
+
+
+def _jl_p_cols() -> list:
+    """The 16 projected components as rounded codegen'd dot products
+    against constant sign arrays (shared by the projection query and
+    the JL-ANN coarse scorer)."""
+    return [
+        F.round(
+            similarity.dot(
+                F.col("emb"), F.array(*[F.lit(s) for s in _JL_SIGNS[j]])
+            ),
+            6,
+        ).alias(f"p{j}")
+        for j in range(_JL_K)
+    ]
+
+
+_JL_SIGNS_SQL = f"""
+            SELECT i, j,
+                   CASE WHEN (('0x' || substr(md5(concat(i::VARCHAR, ':', j::VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM (SELECT unnest(generate_series(1, {_JL_D})) AS i),
+                 (SELECT unnest(generate_series(0, {_JL_K - 1})) AS j)
+"""
+
+_JL_NQ = 8       # query vectors (vec_id < 8, same stand-in as other ANN ops)
+_JL_SHORTLIST = 10  # coarse candidates per query before exact rerank
+_JL_TOPK = 3
+
+
+@register(
+    "embedding_jl_ann",
+    oracle=f"""
+        WITH e AS ({_EMB}),
+        signs AS ({_JL_SIGNS_SQL}),
+        proj AS (
+            SELECT vec_id, list(p ORDER BY j) AS pvec FROM (
+                SELECT e.vec_id, sg.j, round(sum(e.emb[sg.i] * sg.s), 6) AS p
+                FROM e, signs sg
+                WHERE sg.i <= len(e.emb)
+                GROUP BY e.vec_id, sg.j
+            ) GROUP BY vec_id
+        ),
+        q AS (SELECT vec_id AS query_id, pvec AS qpvec FROM proj WHERE vec_id < {_JL_NQ}),
+        coarse AS (
+            SELECT q.query_id, p.vec_id AS neighbor_id,
+                   round(list_inner_product(q.qpvec, p.pvec)
+                         / sqrt(list_inner_product(q.qpvec, q.qpvec)
+                                * list_inner_product(p.pvec, p.pvec)), 4) AS pcos,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_inner_product(q.qpvec, p.pvec)
+                                      / sqrt(list_inner_product(q.qpvec, q.qpvec)
+                                             * list_inner_product(p.pvec, p.pvec)), 4) DESC,
+                                p.vec_id
+                   ) AS crn
+            FROM q JOIN proj p ON p.vec_id <> q.query_id
+            QUALIFY crn <= {_JL_SHORTLIST}
+        )
+        SELECT query_id, neighbor_id,
+               round(list_inner_product(eq.emb, en.emb)
+                     / sqrt(list_inner_product(eq.emb, eq.emb)
+                            * list_inner_product(en.emb, en.emb)), 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_inner_product(eq.emb, en.emb)
+                                  / sqrt(list_inner_product(eq.emb, eq.emb)
+                                         * list_inner_product(en.emb, en.emb)), 4) DESC,
+                            neighbor_id
+               )::BIGINT AS rnk
+        FROM coarse
+        JOIN e eq ON eq.vec_id = coarse.query_id
+        JOIN e en ON en.vec_id = coarse.neighbor_id
+        QUALIFY rnk <= {_JL_TOPK}
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_jl_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the JL bottleneck: coarse cosine in the 16-dim
+    projected space shortlists 10 candidates per query, then exact
+    64-dim cosine re-ranks the shortlist to top-3.
+
+    The scale story the projection exists for: the coarse pass scans
+    4× fewer bytes per vector (16 rounded doubles vs 64) with 4× less
+    arithmetic — at 100 TB the projected table is the one you store
+    hot and scan, and only the shortlist (queries × 10 rows) ever
+    touches full-precision vectors, via a key-lookup join AQE turns
+    into a broadcast of the shortlist side."""
+    prep(spark)
+    return jl_ann(load_table(spark, sf_dir, "embeddings"))
+
+
+def jl_ann(
+    embeddings: DataFrame,
+    n_query_vecs: int = _JL_NQ,
+    shortlist: int = _JL_SHORTLIST,
+    k: int = _JL_TOPK,
+) -> DataFrame:
+    """The JL-shortlist ANN as a reusable operator (see
+    `embedding_jl_ann` for semantics and scale accounting).  Recall
+    depends on corpus structure: true near-duplicates (cos ≈ 1)
+    survive the projection essentially always (multiplicative JL
+    distortion), while ranking among near-orthogonal noise does not —
+    the planted-duplicate test asserts the former, the recall harness
+    measures the latter."""
+    from pyspark.sql import Window as W
+
+    e = embeddings.select(
+        "vec_id", similarity._as_double("embedding").alias("emb")
+    )
+    # projected frame: (vec_id, pvec); built once, used for queries and corpus
+    proj = e.select("vec_id", *_jl_p_cols()).select(
+        "vec_id", F.array(*[F.col(f"p{j}") for j in range(_JL_K)]).alias("pvec")
+    )
+    q = proj.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("query_id"), F.col("pvec").alias("qpvec")
+    )
+    pcos = F.round(
+        similarity.dot(F.col("qpvec"), F.col("pvec"))
+        / F.sqrt(
+            similarity.dot(F.col("qpvec"), F.col("qpvec"))
+            * similarity.dot(F.col("pvec"), F.col("pvec"))
+        ),
+        4,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("neighbor_id"))
+    coarse = (
+        proj.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pcos.alias("pcos"),
+        )
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    eq = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb"))
+    exact = F.round(
+        similarity.dot(F.col("qemb"), F.col("nemb"))
+        / F.sqrt(
+            similarity.dot(F.col("qemb"), F.col("qemb"))
+            * similarity.dot(F.col("nemb"), F.col("nemb"))
+        ),
+        4,
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        coarse.join(eq, "query_id")
+        .join(en, "neighbor_id")
+        .select("query_id", "neighbor_id", exact.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= k)
     )
 
 

@@ -66,6 +66,7 @@ _HOISTED = (
     "bpe_pair_stats",
     "token_zipf_fit",
     "embedding_jl_projection",
+    "embedding_jl_ann",
     "semdedup_prune",
     "embedding_ivfpq_ann",
     "embedding_kmeans",

@@ -87,3 +87,24 @@ def test_zipf_fit_single_row_schema(spark, sf_dir):
     assert r["n_types"] > 0 and r["n_tokens"] >= r["n_types"]
     # log-log regression of a frequency table always slopes down
     assert r["zipf_slope"] < 0
+
+
+def test_jl_ann_finds_planted_near_duplicates(spark):
+    """True near-duplicates (cos ≈ 1) must survive the JL projection:
+    multiplicative distortion cannot reorder a ~1.0 cosine below the
+    near-orthogonal noise floor.  Plant one duplicate per query among
+    40 noise vectors; every query's rank-1 neighbor must be its dup."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4):  # queries 0..3
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v))
+        rows.append((100 + i, [x + 0.001 * (j % 3) for j, x in enumerate(v)]))
+    for i in range(40):  # noise
+        rows.append((200 + i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = curation.jl_ann(df, n_query_vecs=4, shortlist=10, k=1).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in out}
+    assert got == {i: 100 + i for i in range(4)}
