@@ -89,6 +89,12 @@ def main() -> None:
         "embedding_ivfpq_ann",
         "embedding_kmeans",
         "token_cms_topk",
+        "gopher_quality_flags",
+        "bpe_pair_stats",
+        "token_zipf_fit",
+        "embedding_jl_projection",
+        "embedding_jl_ann",
+        "semdedup_prune",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -151,6 +151,85 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pairs_sql(src: str) -> str:
+    """Adjacent-token-pair stream over `src` (a FROM-able relation with
+    a `text` column) — shared by bpe_pair_stats and bpe_merge_step."""
+    return f"""
+            SELECT t[i] || ' ' || t[i + 1] AS pair
+            FROM (SELECT {_TOKS_NE} AS t FROM {src}), LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 1)) AS i
+            )
+    """
+
+
+@register(
+    "bpe_merge_step",
+    oracle=f"""
+        WITH top1 AS (
+            SELECT pair FROM ({_pairs_sql('documents')})
+            GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1
+        ),
+        merged AS (
+            SELECT replace(text, (SELECT pair FROM top1),
+                           replace((SELECT pair FROM top1), ' ', '_')) AS text
+            FROM documents
+        )
+        SELECT (SELECT pair FROM top1) AS merged_pair, pair, count(*)::BIGINT AS n
+        FROM ({_pairs_sql('merged')})
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration: find the most frequent adjacent
+    pair, merge it corpus-wide (greedy leftmost non-overlapping — the
+    semantics string replace has in BOTH engines), and emit the
+    post-merge top-20 pair statistics.  Iterating this to a vocab
+    budget IS tokenizer training.
+
+    The winning pair reaches the merge pass as a SCALAR SUBQUERY
+    (`DataFrame.scalar()`, same mechanism as the Bloom bit-array
+    publish): no collect, no driver round-trip in the plan — the
+    re-count is a second corpus scan whose filter constant Spark
+    evaluates once.  Both passes keep the map-side-combined
+    pair-count shape of bpe_pair_stats."""
+    prep(spark)
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        d = frame.select(_tokens_ne().alias("t")).filter(F.size("t") >= 2)
+        return (
+            d.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+        )
+
+    top1 = (
+        pair_counts(docs)
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select("pair")
+        .scalar()
+    )
+    merged = docs.select(
+        F.replace(F.col("text"), top1, F.replace(top1, F.lit(" "), F.lit("_"))).alias(
+            "text"
+        )
+    )
+    return (
+        pair_counts(merged)
+        .select(top1.alias("merged_pair"), "pair", "n")
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
 @register(
     "token_zipf_fit",
     oracle=f"""
@@ -384,9 +463,13 @@ def jl_ann(
     measures the latter."""
     from pyspark.sql import Window as W
 
+    # materialize the shared projection ONCE: the coarse corpus side,
+    # the query side, and both rerank lookups all derive from it —
+    # without the checkpoint the embeddings scan replays 4x (same fix
+    # as ivf_ann's _norm_projection materialization)
     e = embeddings.select(
         "vec_id", similarity._as_double("embedding").alias("emb")
-    )
+    ).localCheckpoint(eager=True)
     # projected frame: (vec_id, pvec); built once, used for queries and corpus
     proj = e.select("vec_id", *_jl_p_cols()).select(
         "vec_id", F.array(*[F.col(f"p{j}") for j in range(_JL_K)]).alias("pvec")

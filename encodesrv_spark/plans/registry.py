@@ -64,6 +64,7 @@ _MODULE_ORDER = ("parity", "llm", "tpch", "tpch_deep", "corpus", "extended")
 _HOISTED = (
     "gopher_quality_flags",
     "bpe_pair_stats",
+    "bpe_merge_step",
     "token_zipf_fit",
     "embedding_jl_projection",
     "embedding_jl_ann",
