@@ -91,6 +91,7 @@ def main() -> None:
         "token_cms_topk",
         "gopher_quality_flags",
         "bpe_pair_stats",
+        "bpe_merge_step",
         "token_zipf_fit",
         "embedding_jl_projection",
         "embedding_jl_ann",
