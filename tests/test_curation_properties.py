@@ -1,0 +1,68 @@
+"""Cross-engine contract tests for the curation primitives.
+
+bpe_merge_step assumes `replace` has identical greedy
+leftmost-non-overlapping semantics in Python, Spark, and DuckDB;
+the JL operators assume the Python-side sign matrix equals the
+md5 expression the DuckDB oracle computes.  Pin both."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pyspark.sql.functions as F
+
+from encodesrv_spark.plans import curation
+
+VOCAB = ["a", "b", "ab", "aa", "x", "yz"]
+
+
+def _cases(n: int = 200) -> list[tuple[str, str, str]]:
+    rng = random.Random(13)
+    cases = []
+    for _ in range(n):
+        toks = [rng.choice(VOCAB) for _ in range(rng.randint(0, 12))]
+        text = " ".join(toks)
+        w1, w2 = rng.choice(VOCAB), rng.choice(VOCAB)
+        pair = f"{w1} {w2}"
+        cases.append((text, pair, pair.replace(" ", "_")))
+    # adversarial overlaps: 'a a a a' with pair 'a a'
+    for k in range(1, 6):
+        cases.append((" ".join(["a"] * k), "a a", "a_a"))
+    return cases
+
+
+def test_replace_semantics_agree_python_spark_duckdb(spark):
+    cases = _cases()
+    expected = [t.replace(p, m) for t, p, m in cases]
+
+    df = spark.createDataFrame(cases, "text string, pair string, merged string")
+    got_spark = [
+        r["out"]
+        for r in df.select(
+            F.replace("text", "pair", "merged").alias("out")
+        ).collect()
+    ]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute("SELECT replace(?, ?, ?)", [t, p, m]).fetchone()[0]
+        for t, p, m in cases
+    ]
+    assert got_duck == expected
+
+
+def test_jl_sign_matrix_matches_duckdb_expression():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT i, j,
+               CASE WHEN (('0x' || substr(md5(concat(i::VARCHAR, ':', j::VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT unnest(generate_series(1, {curation._JL_D})) AS i),
+             (SELECT unnest(generate_series(0, {curation._JL_K - 1})) AS j)
+        """
+    ).fetchall()
+    for i, j, s in rows:
+        assert curation._JL_SIGNS[j][i - 1] == s, f"sign mismatch at ({i},{j})"
