@@ -96,6 +96,8 @@ def main() -> None:
         "embedding_jl_projection",
         "embedding_jl_ann",
         "semdedup_prune",
+        "source_overlap_matrix",
+        "embedding_dim_stats",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

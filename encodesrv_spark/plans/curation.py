@@ -358,6 +358,108 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRC_SHINGLES5 = """
+    SELECT source, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0)),
+        i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 4), ' ')
+    ))) AS s
+    FROM documents
+"""
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+        WITH d AS (SELECT DISTINCT source, s FROM ({_SRC_SHINGLES5})),
+        p AS (
+            SELECT a.source AS src_a, b.source AS src_b
+            FROM d a JOIN d b ON a.s = b.s AND a.source < b.source
+        )
+        SELECT src_a, src_b, count(*)::BIGINT AS shared_shingles
+        FROM p GROUP BY src_a, src_b
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct 5-gram shingles they share — the artifact that
+    tells a curation team WHICH feeds mirror each other (syndication,
+    scrapes of scrapes) before any doc-level dedup runs.
+
+    Scale shape: the shingle hash is the join key and the pair blowup
+    is bounded by sources² per shingle (source cardinality, not corpus
+    cardinality); the (source, shingle) frame is de-duplicated BEFORE
+    the self-join so each source contributes one row per shingle.  At
+    100 TB a df-cap on universally-shared shingles (the jaccard_pairs
+    stop-shingle rule) bounds the hot keys; at test SF every shingle
+    is under any sane cap."""
+    prep(spark)
+    d = (
+        dedup.fan_out(load_table(spark, sf_dir, "documents"))
+        .select(
+            "source",
+            F.explode_outer(
+                F.array_distinct(dedup.word_shingles("text", 5))
+            ).alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+    )
+    s = d.select("source", F.xxhash64("sh").alias("h")).distinct()
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+        WITH e AS ({_EMB}),
+        x AS (
+            SELECT d.dim, e.emb[d.dim] AS v
+            FROM e, (SELECT unnest(generate_series(1, {_JL_D})) AS dim) d
+        )
+        SELECT dim::BIGINT AS dim,
+               round(avg(v), 6) AS mu,
+               round(stddev_pop(v), 6) AS sd,
+               round(min(v), 6) AS lo,
+               round(max(v), 6) AS hi
+        FROM x GROUP BY dim
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/stddev/min/max over the embedding corpus —
+    the fitted standard scaler (and the sanity report that catches a
+    dead or exploding dimension after an encoder change).  One
+    posexplode + one (dim)-keyed aggregate, partially aggregated
+    map-side: the shuffle carries 64 moment tuples per partition, and
+    the output is dims-sized regardless of corpus size."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        similarity._as_double("embedding").alias("emb")
+    )
+    return (
+        e.select(F.posexplode("emb").alias("dim0", "v"))
+        .select((F.col("dim0") + 1).cast("long").alias("dim"), "v")
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mu"),
+            F.round(F.stddev_pop("v"), 6).alias("sd"),
+            F.round(F.min("v"), 6).alias("lo"),
+            F.round(F.max("v"), 6).alias("hi"),
+        )
+    )
+
+
 def _jl_p_cols() -> list:
     """The 16 projected components as rounded codegen'd dot products
     against constant sign arrays (shared by the projection query and

@@ -69,6 +69,8 @@ _HOISTED = (
     "embedding_jl_projection",
     "embedding_jl_ann",
     "semdedup_prune",
+    "source_overlap_matrix",
+    "embedding_dim_stats",
     "embedding_ivfpq_ann",
     "embedding_kmeans",
     "doc_chunks",
