@@ -154,3 +154,75 @@ def test_transition_increments_match_batch(spark, tmp_path, sf_dir):
         for r in all_queries()["event_transitions"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_state_survives_stop_and_restart(spark, tmp_path, sf_dir):
+    """Checkpoint recovery: a NEW query instance on the same
+    checkpoint must restore the keyed state store and resume from the
+    committed source offsets — per-user totals after the restart equal
+    the full-corpus aggregate (not a fresh count of the second half),
+    which can only happen if batch-1 state was restored and batch-1
+    files were not reprocessed."""
+    from encodesrv_spark.catalog import load_table
+
+    src = tmp_path / "events_restart_src"
+    src.mkdir()
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    first = e.filter(F.col("event_id") % 2 == 0)
+    second = e.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(str(src / "batch1"))
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ckpt = str(tmp_path / "ckpt_restart")
+    out_dir = str(tmp_path / "totals_out")
+
+    def run():
+        # memory sink refuses checkpoint recovery; foreachBatch +
+        # append parquet is the restart-capable sink for update-mode
+        # stateful output
+        stream = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    second.write.mode("overwrite").parquet(str(src / "batch2"))
+    run()
+
+    out = spark.read.parquet(out_dir)
+    out.createOrReplaceTempView("totals_restart_out")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY batches DESC) rn
+                 FROM totals_restart_out) WHERE rn = 1"""
+        ).collect()
+    }
+    full = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in e.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    half2 = {
+        r["user_id"]: r["n"]
+        for r in second.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got, "restarted query emitted nothing"
+    for uid, (n, t) in got.items():
+        assert (n, t) == full[uid], f"user {uid}: {n, t} != full {full[uid]}"
+        # restored state, not a fresh recount of batch 2
+        assert n > half2.get(uid, 0)
