@@ -5,8 +5,13 @@ same parquet tables, then compares row count, schema shape, and an
 order-insensitive value hash (columns sorted by name, rows sorted by
 their stringified tuple).
 
+Queries run concurrently (Spark schedules actions from multiple
+threads; each worker gets its own DuckDB cursor) — wall time for the
+full sweep drops ~4x with the default 4 workers.
+
 Usage:
     python tools/check_oracle.py [sf_dir] [query ...]
+    CHECK_ORACLE_JOBS=1 python tools/check_oracle.py   # serial
 """
 
 from __future__ import annotations
@@ -16,6 +21,7 @@ import os
 import sys
 import time
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -57,9 +63,55 @@ def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def _check_one(spark, con, sf_dir: str, name: str, q) -> tuple[str, list[str]]:
+    """Returns (report_text, failure_names). `con` is a per-thread
+    DuckDB cursor (cursors are independent connections)."""
+    t0 = time.time()
+    out: list[str] = []
+    try:
+        sdf = q.fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception:
+        return (f"FAIL  {name}: spark error\n{traceback.format_exc()}", [name])
+    if q.oracle is None:
+        return (f"ok*   {name}: rows={len(srows)} (no oracle — rows-only)", [])
+    try:
+        res = con.execute(q.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    except Exception:
+        return (f"FAIL  {name}: duckdb error\n{traceback.format_exc()}", [name])
+    dt = time.time() - t0
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"columns spark={sorted(scols)} duck={sorted(ocols)}")
+    if not problems:
+        hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, orows)
+        if hs != ho:
+            problems.append("value-hash mismatch")
+            # show first differing rows for debugging
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            ls = sorted("\x01".join(_norm_cell(r[i]) for i in order_s) for r in srows)
+            lo = sorted("\x01".join(_norm_cell(r[i]) for i in order_o) for r in orows)
+            for a, b in zip(ls, lo):
+                if a != b:
+                    out.append(f"    spark: {a.replace(chr(1), ' | ')}")
+                    out.append(f"    duck : {b.replace(chr(1), ' | ')}")
+                    break
+    if problems:
+        out.insert(0, f"FAIL  {name}: {'; '.join(problems)}")
+        return ("\n".join(out), [name])
+    return (f"ok    {name}: rows={len(srows)} ({dt:.1f}s)", [])
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    jobs = int(os.environ.get("CHECK_ORACLE_JOBS", "4"))
 
     con = duckdb.connect()
     for t in TABLES:
@@ -69,57 +121,24 @@ def main() -> int:
 
     spark = get_spark("check_oracle")
     qs = all_queries()
-    failures = []
-    for name, q in sorted(qs.items()):
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = q.fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception:
-            print(f"FAIL  {name}: spark error")
-            traceback.print_exc()
-            failures.append(name)
-            continue
-        if q.oracle is None:
-            print(f"ok*   {name}: rows={len(srows)} (no oracle — rows-only)")
-            continue
-        try:
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-        except Exception:
-            print(f"FAIL  {name}: duckdb error")
-            traceback.print_exc()
-            failures.append(name)
-            continue
-        dt = time.time() - t0
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} duck={sorted(ocols)}")
-        if not problems:
-            hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, orows)
-            if hs != ho:
-                problems.append("value-hash mismatch")
-                # show first differing rows for debugging
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ls = sorted("\x01".join(_norm_cell(r[i]) for i in order_s) for r in srows)
-                lo = sorted("\x01".join(_norm_cell(r[i]) for i in order_o) for r in orows)
-                for a, b in zip(ls, lo):
-                    if a != b:
-                        print(f"    spark: {a.replace(chr(1), ' | ')}")
-                        print(f"    duck : {b.replace(chr(1), ' | ')}")
-                        break
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
-            failures.append(name)
-        else:
-            print(f"ok    {name}: rows={len(srows)} ({dt:.1f}s)")
+    todo = [(n, q) for n, q in sorted(qs.items()) if not only or n in only]
+
+    failures: list[str] = []
+    if jobs <= 1:
+        for name, q in todo:
+            text, fails = _check_one(spark, con.cursor(), sf_dir, name, q)
+            print(text, flush=True)
+            failures.extend(fails)
+    else:
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            futs = [
+                pool.submit(_check_one, spark, con.cursor(), sf_dir, n, q)
+                for n, q in todo
+            ]
+            for fut in futs:
+                text, fails = fut.result()
+                print(text, flush=True)
+                failures.extend(fails)
 
     print()
     if failures:
