@@ -451,3 +451,55 @@ def test_fan_out_skips_well_partitioned_input(spark):
     assert fan_out(spread) is spread
     narrow = docs.coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() == n
+
+
+def test_jl_projection_is_zero_shuffle(spark, sf_dir):
+    """The JL sign matrix is a literal — the projection must compile to
+    per-row expressions with NO Exchange and no join (the whole point
+    of embedding it as constants instead of a (i,j,sign) table)."""
+    plan = plan_of(spark, sf_dir, "embedding_jl_projection")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_gopher_flags_single_pass(spark, sf_dir):
+    """The quality gate is pure per-row arithmetic: one scan, no join,
+    no aggregate — only the (small-input-only) fan_out exchange may
+    appear."""
+    plan = plan_of(spark, sf_dir, "gopher_quality_flags")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_bpe_pair_stats_topk_over_aggregate(spark, sf_dir):
+    """Top-20 pairs must be TakeOrderedAndProject over the partial/
+    final pair aggregate — a global Sort of the pair stream would
+    break at corpus scale."""
+    plan = plan_of(spark, sf_dir, "bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_bpe_merge_step_merge_constant_is_scalar_subquery(spark, sf_dir):
+    """The winning pair must reach the merge pass as a scalar subquery
+    (evaluated once, referenced as a constant) — not via a join that
+    ships the pair alongside every document row."""
+    plan = plan_of(spark, sf_dir, "bpe_merge_step")
+    assert "Subquery" in plan or "scalar-subquery" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_joins_on_shingle_hash(spark, sf_dir):
+    """The source-pair matrix must join on the fixed-width shingle
+    hash (SortMergeJoin/ShuffledHashJoin on h) and never degrade to a
+    cartesian/nested-loop pairing of sources."""
+    plan = plan_of(spark, sf_dir, "source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dim_stats_partial_aggregates(spark, sf_dir):
+    """The per-dimension moments must partial-aggregate map-side: the
+    shuffle carries 64 tuples per partition, not N·64 exploded rows."""
+    plan = plan_of(spark, sf_dir, "embedding_dim_stats")
+    assert "partial_avg" in plan or "partial_stddev" in plan or "partial_" in plan
