@@ -97,6 +97,7 @@ def main() -> None:
         "embedding_jl_ann",
         "semdedup_prune",
         "source_overlap_matrix",
+        "neardup_containment",
         "embedding_dim_stats",
     ]
     extra: dict[str, float] = {}

@@ -112,6 +112,61 @@ def jaccard_pairs(
     count() this function otherwise runs to decide whether the census
     prune is a no-op — one fewer scan per call on hot paths.
     """
+    return (
+        _pair_overlap_counts(docs, k, df_cap, n_docs)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = 10000,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shingle-set CONTAINMENT — the asymmetric
+    similarity Jaccard misses: a short document fully quoted inside a
+    much longer one has C(A→B) = |A∩B|/|A| ≈ 1 while its Jaccard is
+    ≈ |A|/|B| ≈ 0.  Emits both directions (c_ab, c_ba) plus jaccard
+    for comparison, filtered on greatest(c_ab, c_ba) ≥ threshold.
+
+    Same machinery and scale accounting as `jaccard_pairs` (shared
+    inverted-index self-join with the stop-shingle df-cap); only the
+    final normalization differs."""
+    m = _pair_overlap_counts(docs, k, df_cap, n_docs)
+    c_ab = F.round(F.col("common") / F.col("n_a"), 4)
+    c_ba = F.round(F.col("common") / F.col("n_b"), 4)
+    return (
+        m.select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold)
+    )
+
+
+def _pair_overlap_counts(
+    docs: DataFrame,
+    k: int,
+    df_cap: int | None,
+    n_docs: int | None,
+) -> DataFrame:
+    """(doc_a, doc_b, common, n_a, n_b) over co-shingled pairs — the
+    shared core of jaccard_pairs and containment_pairs (see
+    jaccard_pairs for the df-cap and checkpoint rationale)."""
     # the hash is join-internal (never in the output), so use the fast
     # JVM xxhash64 — the oracle's own internal hash differs, outputs
     # don't: Jaccard is computed from co-occurrence COUNTS
@@ -159,18 +214,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return common.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFrame:

@@ -358,6 +358,56 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLES3_C = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0)),
+        i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' ')
+    ))) AS s
+    FROM documents
+"""
+
+
+@register(
+    "neardup_containment",
+    # same stop-shingle df-cap discipline as neardup_jaccard
+    oracle=f"""
+        WITH idx0 AS (SELECT doc_id, s FROM ({_SHINGLES3_C})),
+        idx AS (
+            SELECT doc_id, s FROM idx0
+            WHERE s IN (SELECT s FROM idx0 GROUP BY s HAVING count(*) <= 10000)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(common * 1.0 / sa.c, 4) AS c_ab,
+               round(common * 1.0 / sb.c, 4) AS c_ba,
+               round(common * 1.0 / (sa.c + sb.c - common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE greatest(round(common * 1.0 / sa.c, 4),
+                       round(common * 1.0 / sb.c, 4)) >= 0.8
+    """,
+    tags=("llm", "dedup"),
+)
+def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs — catches a short document
+    fully quoted inside a longer one, where C(A→B) = |A∩B|/|A| ≈ 1 but
+    Jaccard ≈ |A|/|B| ≈ 0 (the sub-document-inclusion case Jaccard
+    structurally misses; Broder's containment measure).  Shares the
+    inverted-index self-join and df-cap machinery with neardup_jaccard;
+    only the normalization differs.  The planted-inclusion unit test
+    pins the asymmetric case this corpus's exact-copy dups can't."""
+    prep(spark)
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.8, df_cap=10000
+    )
+
+
 _SRC_SHINGLES5 = """
     SELECT source, unnest(list_distinct(list_transform(
         generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0)),

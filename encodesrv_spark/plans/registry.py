@@ -70,6 +70,7 @@ _HOISTED = (
     "embedding_jl_ann",
     "semdedup_prune",
     "source_overlap_matrix",
+    "neardup_containment",
     "embedding_dim_stats",
     "embedding_ivfpq_ann",
     "embedding_kmeans",

@@ -108,3 +108,26 @@ def test_jl_ann_finds_planted_near_duplicates(spark):
     out = curation.jl_ann(df, n_query_vecs=4, shortlist=10, k=1).collect()
     got = {r["query_id"]: r["neighbor_id"] for r in out}
     assert got == {i: 100 + i for i in range(4)}
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """Plant doc 1 wholly inside doc 2 (which is 8x longer): the pair
+    must surface with c_ab = 1.0 while its Jaccard stays far below
+    any near-dup threshold — the asymmetric case containment exists
+    for."""
+    from encodesrv_spark.operators import dedup
+
+    words = [f"w{i}" for i in range(200)]
+    small = " ".join(words[:20])
+    big = " ".join(words[:20] + words[40:180])
+    other = " ".join(words[180:200] + ["z1", "z2", "z3"])
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string"
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in dedup.containment_pairs(df).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["c_ab"] == 1.0          # all of doc 1's shingles inside doc 2
+    assert r["c_ba"] < 0.2           # doc 2 is mostly other content
+    assert r["jaccard"] < 0.2        # jaccard_pairs at 0.5 would miss it
+    assert (1, 3) not in rows and (2, 3) not in rows
