@@ -98,6 +98,7 @@ def main() -> None:
         "semdedup_prune",
         "source_overlap_matrix",
         "neardup_containment",
+        "events_ewma",
         "embedding_dim_stats",
     ]
     extra: dict[str, float] = {}

@@ -820,6 +820,81 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_DEPTH = 8  # lags 0..7; alpha = 0.5 so every weight is a power of 2
+
+
+def _ewma_weights() -> list[float]:
+    # alpha·(1−alpha)^i with alpha = 1/2 → 2^-(i+1): IEEE-exact, so the
+    # fixed-order weighted sum is bit-identical across engines
+    return [2.0 ** -(i + 1) for i in range(_EWMA_DEPTH)]
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, event_type, value, epoch_us(ts) AS tus
+            FROM events
+        ),
+        l AS (
+            SELECT event_id, event_type, tus, value,
+                   {', '.join(f'lag(value, {i}) OVER w AS v{i}' for i in range(1, _EWMA_DEPTH))}
+            FROM e
+            WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id)
+        )
+        SELECT event_id, event_type, tus,
+               round((
+                   {' + '.join(f"CASE WHEN v{i} IS NOT NULL THEN {w!r} * v{i} ELSE 0 END" if i else f"{w!r} * value" for i, w in enumerate(_ewma_weights()))}
+               ) / (
+                   {' + '.join(f"CASE WHEN v{i} IS NOT NULL THEN {w!r} ELSE 0 END" if i else f"{w!r}" for i, w in enumerate(_ewma_weights()))}
+               ), 6) AS ewma8
+        FROM l
+    """,
+    tags=("extended", "window", "events"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per event type — the
+    recursive smoother Spark has no built-in for, expressed as a
+    composition: a truncated 8-term expansion over fixed LAG columns
+    (truncation error ≤ (1−α)^8 < 0.4% of weight at α = ½), weights
+    renormalized over the lags that exist so the series start is
+    well-defined.  All-JVM window + arithmetic (no UDF); α = ½ makes
+    every weight a power of two, so the fixed-order weighted sum is
+    bit-identical cross-engine before the 6 dp round.  One shuffle
+    (event_type), one sort per partition — the same profile as the
+    moving-average window."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("ts_ns DIV 1000").alias("tus"),
+    )
+    w = W.partitionBy("event_type").orderBy("tus", "event_id")
+    weights = _ewma_weights()
+    lags = [F.col("value")] + [
+        F.lag("value", i).over(w) for i in range(1, _EWMA_DEPTH)
+    ]
+    num = sum(
+        F.when(lags[i].isNotNull(), F.lit(weights[i]) * lags[i]).otherwise(F.lit(0.0))
+        if i
+        else F.lit(weights[0]) * lags[0]
+        for i in range(_EWMA_DEPTH)
+    )
+    den = sum(
+        F.when(lags[i].isNotNull(), F.lit(weights[i])).otherwise(F.lit(0.0))
+        if i
+        else F.lit(weights[0])
+        for i in range(_EWMA_DEPTH)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "tus",
+        F.round(num / den, 6).alias("ewma8"),
+    )
+
+
 @register(
     "regression_stats",
     oracle="""

@@ -71,6 +71,7 @@ _HOISTED = (
     "semdedup_prune",
     "source_overlap_matrix",
     "neardup_containment",
+    "events_ewma",
     "embedding_dim_stats",
     "embedding_ivfpq_ann",
     "embedding_kmeans",
