@@ -503,3 +503,34 @@ def test_embedding_dim_stats_partial_aggregates(spark, sf_dir):
     shuffle carries 64 tuples per partition, not N·64 exploded rows."""
     plan = plan_of(spark, sf_dir, "embedding_dim_stats")
     assert "partial_avg" in plan or "partial_stddev" in plan or "partial_" in plan
+
+
+def test_ann_bucket_partitioned_probe_prunes(spark, sf_dir, tmp_path):
+    """The ANN scale story made concrete: embeddings written with the
+    LSH bucket id as the partition column let a probe read ONLY its
+    bucket's directory — the scan must show a PartitionFilter on
+    `bucket` and touch a fraction of the files a full scan would."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.operators import similarity
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "emb_by_bucket")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        similarity._as_double("embedding").alias("emb"),
+    ).withColumn("bucket", similarity.lsh_bucket(F.col("emb"), n_planes=4))
+    e.write.partitionBy("bucket").mode("overwrite").parquet(out)
+
+    stored = spark.read.parquet(out)
+    target = stored.select("bucket").first()["bucket"]
+    probe = stored.filter(F.col("bucket") == target)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    n_buckets = stored.select("bucket").distinct().count()
+    assert n_buckets > 4  # partitioned layout actually fans out
+    # the probe's input files are one bucket directory, not the corpus
+    probed_files = probe.select(F.input_file_name()).distinct().count()
+    all_files = stored.select(F.input_file_name()).distinct().count()
+    assert probed_files < all_files / 2
