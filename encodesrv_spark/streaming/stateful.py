@@ -178,3 +178,59 @@ def transition_increments(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful EWMA: exact recursion per event type
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = "event_type string, last_tus long, n long, ewma double"
+EWMA_STATE_SCHEMA = "last_tus long, n long, ewma double"
+_EWMA_ALPHA = 0.5
+
+
+def _update_ewma(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Exact recursive EWMA: e_t = α·x_t + (1−α)·e_{t−1}.
+
+    The batch twin (`plans/extended.py:events_ewma`) truncates the
+    recursion at 8 lags; here the state IS the recursion (one double
+    per key), so the streaming form is exact — the twin test bounds
+    their disagreement by the truncation tail (1−α)^8.  Rows are
+    sorted by (tus, event_id) inside each micro-batch slice; across
+    batches, event-time order must be upheld by the source (the twin
+    test feeds ordered batches; production would watermark+sort via a
+    foreachBatch stage)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    last_tus, n, ewma = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        for _, row in pdf.sort_values(["tus", "event_id"]).iterrows():
+            x = float(row["value"])
+            ewma = x if ewma is None else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * ewma
+            last_tus = int(row["tus"])
+            n += 1
+    state.update((last_tus, n, ewma if ewma is not None else 0.0))
+    state.setTimeoutDuration(3_600_000)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "last_tus": [last_tus],
+            "n": [n],
+            "ewma": [ewma],
+        }
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Per-event-type exact EWMA as keyed streaming state (one double
+    per key — state bounded by type cardinality at any corpus size)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

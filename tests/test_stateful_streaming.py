@@ -226,3 +226,66 @@ def test_state_survives_stop_and_restart(spark, tmp_path, sf_dir):
         assert (n, t) == full[uid], f"user {uid}: {n, t} != full {full[uid]}"
         # restored state, not a fresh recount of batch 2
         assert n > half2.get(uid, 0)
+
+
+def test_ewma_stream_matches_batch_within_truncation_tail(spark, tmp_path, sf_dir):
+    """The streaming EWMA is the exact recursion (state = one double);
+    the batch events_ewma truncates at 8 lags and renormalizes.  Their
+    final per-type values must agree within the truncation tail
+    (1−α)^8 · max|value| — a wrong α or a broken ordering lands tens
+    of units away, far outside the bound."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.stateful import ewma_stream
+
+    src = str(tmp_path / "ewma_events")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.expr("ts_ns DIV 1000").alias("tus"),
+        )
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double, tus long"
+    ).parquet(src)
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    exact = {
+        r["event_type"]: r["ewma"]
+        for r in spark.sql(
+            """SELECT event_type, ewma FROM (
+                 SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n DESC) rn
+                 FROM ewma_state) WHERE rn = 1"""
+        ).collect()
+    }
+    batch_df = all_queries()["events_ewma"].fn(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.desc("tus"), F.desc("event_id"))
+    batch = {
+        r["event_type"]: r["ewma8"]
+        for r in batch_df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert set(exact) == set(batch) and exact
+    max_val = load_table(spark, sf_dir, "events").agg(
+        F.max(F.abs("value"))
+    ).collect()[0][0]
+    tail = (1 - 0.5) ** 8 * max_val * 2
+    for t in exact:
+        assert abs(exact[t] - batch[t]) <= tail, (t, exact[t], batch[t], tail)
