@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -41,6 +40,25 @@ HEADLINE = [
 ]
 
 
+def time_query(spark, qs, name: str, sf_dir: str, reps: int = 3) -> float:
+    """The frozen measurement discipline, in ONE place (bench headline,
+    bench extras, and tools/scaling_curve.py all call this): execute to
+    completion via the noop sink, `reps` measured runs, report the
+    median.  Callers warm the query once at the same SF first."""
+    import statistics as _st
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        ts.append(time.time() - t0)
+    return round(_st.median(ts), 3)
+
+
+def warm(spark, qs, name: str, sf_dir: str) -> None:
+    qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -55,22 +73,18 @@ def main() -> None:
     # with execution time).
     for name in HEADLINE:
         if name in qs:
-            qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            warm(spark, qs, name, sf_dir)
 
     # Three measured reps per query, report the MEDIAN: a single rep at
     # ~1 s granularity is dominated by whichever query catches a GC
     # pause / noisy-neighbor stall (3-10x spikes observed on this box);
     # the median of 3 warm reps is robust to one such spike while not
     # under-reporting like min-of-reps can.
-    reps: dict[str, list[float]] = {}
-    for _rep in range(3):
-        for name in HEADLINE:
-            if name not in qs:
-                continue
-            t0 = time.time()
-            qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            reps.setdefault(name, []).append(time.time() - t0)
-    timings = {name: round(statistics.median(ts), 3) for name, ts in reps.items()}
+    timings = {
+        name: time_query(spark, qs, name, sf_dir)
+        for name in HEADLINE
+        if name in qs
+    }
 
     total = round(sum(timings.values()), 3)
 
@@ -105,10 +119,8 @@ def main() -> None:
     for name in EXTRA:
         if name not in qs:
             continue
-        qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        t0 = time.time()
-        qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        extra[name] = round(time.time() - t0, 3)
+        warm(spark, qs, name, sf_dir)
+        extra[name] = time_query(spark, qs, name, sf_dir, reps=1)
 
     print(
         json.dumps(

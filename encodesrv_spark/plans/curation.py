@@ -20,11 +20,13 @@ from pyspark.sql import functions as F
 from encodesrv_spark.catalog import load_table
 from encodesrv_spark.operators import dedup, similarity
 from encodesrv_spark.plans.corpus import (
+    _DOC_SHINGLES5,
     _kmeans_assign_sql,
     _kmeans_update_sql,
     _tokens_ne,
     _TOKS_NE,
 )
+from encodesrv_spark.plans.llm import _SHINGLES3
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
 
@@ -358,20 +360,13 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLES3_C = """
-    SELECT doc_id, unnest(list_distinct(list_transform(
-        generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0)),
-        i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' ')
-    ))) AS s
-    FROM documents
-"""
 
 
 @register(
     "neardup_containment",
     # same stop-shingle df-cap discipline as neardup_jaccard
     oracle=f"""
-        WITH idx0 AS (SELECT doc_id, s FROM ({_SHINGLES3_C})),
+        WITH idx0 AS (SELECT doc_id, s FROM ({_SHINGLES3})),
         idx AS (
             SELECT doc_id, s FROM idx0
             WHERE s IN (SELECT s FROM idx0 GROUP BY s HAVING count(*) <= 10000)
@@ -408,13 +403,9 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SRC_SHINGLES5 = """
-    SELECT source, unnest(list_distinct(list_transform(
-        generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0)),
-        i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 4), ' ')
-    ))) AS s
-    FROM documents
-"""
+# the (source, shingle) stream is corpus._DOC_SHINGLES5 minus doc_id —
+# ONE tokenization fragment to keep in sync, not three
+_SRC_SHINGLES5 = f"SELECT source, s FROM ({_DOC_SHINGLES5})"
 
 
 @register(
@@ -454,7 +445,11 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sh").isNotNull())
     )
-    s = d.select("source", F.xxhash64("sh").alias("h")).distinct()
+    # 128-bit hash, not xxhash64: unlike jaccard_pairs (where the hash
+    # is join-internal and only co-occurrence COUNTS survive), here the
+    # count of DISTINCT hashes IS the reported metric, so a 64-bit
+    # birthday collision at corpus scale would undercount it
+    s = d.select("source", F.md5("sh").alias("h")).distinct()
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(

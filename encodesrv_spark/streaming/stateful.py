@@ -206,8 +206,14 @@ def _update_ewma(
         state.remove()
         return
     last_tus, n, ewma = state.get if state.exists else (0, 0, None)
-    for pdf in pdfs:
-        for _, row in pdf.sort_values(["tus", "event_id"]).iterrows():
+    # concat BEFORE sorting: the group's micro-batch slice arrives as
+    # an iterator of Arrow chunks (split at arrow.maxRecordsPerBatch),
+    # and sorting each chunk independently folds rows out of
+    # event-time order once a key spans chunks (same rule as
+    # _update_funnel/_update_transitions)
+    allpdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(allpdf):
+        for _, row in allpdf.sort_values(["tus", "event_id"]).iterrows():
             x = float(row["value"])
             ewma = x if ewma is None else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * ewma
             last_tus = int(row["tus"])

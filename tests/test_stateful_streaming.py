@@ -247,9 +247,16 @@ def test_ewma_stream_matches_batch_within_truncation_tail(spark, tmp_path, sf_di
             "value",
             F.expr("ts_ns DIV 1000").alias("tus"),
         )
+        # write REVERSE time order so the in-batch sort has real work
+        .orderBy(F.desc("tus"), F.desc("event_id"))
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(src)
     )
+    # force each key's slice to span many Arrow chunks — the operator
+    # must globally sort the slice, not each chunk (regression guard)
+    prev_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
     stream = spark.readStream.schema(
         "event_id long, event_type string, value double, tus long"
     ).parquet(src)
@@ -263,6 +270,7 @@ def test_ewma_stream_matches_batch_within_truncation_tail(spark, tmp_path, sf_di
         .start()
     )
     q.awaitTermination(120)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow)
 
     exact = {
         r["event_type"]: r["ewma"]
