@@ -423,3 +423,69 @@ def test_chunked_docs_stream_matches_batch(spark, tmp_path, sf_dir):
         for r in all_queries()["doc_chunks"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_event_from_closed_window(spark, tmp_path):
+    """Event-time correctness under lateness: with a 2 h watermark, an
+    event arriving after the watermark has passed its window must NOT
+    change that window's append-mode output.  Run 1 processes two
+    10:xx events plus a 13:30 event (watermark → 11:30); run 2 (same
+    checkpoint) delivers a 10:40 straggler — beyond the watermark, so
+    the [10:00, 11:00) window closes with n=2, not 3."""
+    import datetime as dt
+
+    from encodesrv_spark.streaming.events import hourly_counts
+
+    def t(h, m):
+        return dt.datetime(2024, 3, 1, h, m, 0)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            hourly_counts(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, t(10, 5), 1, "click", 1.0),
+            (2, t(10, 20), 2, "click", 1.0),
+            (3, t(13, 30), 3, "view", 1.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    run()
+
+    batch2 = spark.createDataFrame(
+        [
+            (4, t(10, 40), 4, "click", 1.0),  # late: watermark is 11:30
+            (5, t(14, 0), 5, "view", 1.0),    # fresh, advances watermark
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    batch2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    run()
+
+    rows = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows.get(("2024-03-01 10:00:00", "click")) == 2, rows
