@@ -324,3 +324,35 @@ def test_zorder_gives_both_columns_file_locality(spark, sf_dir, tmp_path):
     assert avg_range_width(zpath, "o_totalprice") < 0.60
     # and the data survives the round trip
     assert spark.read.parquet(zpath).count() == o.count()
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Operational reality at 100 TB: a corpus written over months
+    gains columns.  Old files must read as NULL for the new column
+    under mergeSchema, new files keep their values, and predicate
+    pushdown on the original columns still works across the mix."""
+    out = str(tmp_path / "evolving")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v1 = docs.select("doc_id", "text", "lang")
+    v2 = docs.select(
+        "doc_id", "text", "lang",
+        (F.length("text") % 100 / 100.0).alias("quality"),
+    )
+    v1.write.parquet(f"{out}/batch=1")
+    v2.write.parquet(f"{out}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "quality" in merged.columns
+    n = docs.count()
+    assert merged.count() == 2 * n
+    # old rows -> NULL quality, new rows -> populated
+    assert merged.filter(F.col("quality").isNull()).count() == n
+    assert merged.filter(F.col("quality").isNotNull()).count() == n
+    # pushdown on a v1 column still reaches the scan over the mix
+    plan = (
+        merged.filter(F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:120]
