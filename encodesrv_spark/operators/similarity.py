@@ -424,6 +424,7 @@ def kmeans(
     round_cent: int = 6,
     tol: float | None = None,
     return_info: bool = False,
+    keep_emb: bool = False,
 ):
     """Deterministic Lloyd's k-means over the embedding column, fully
     as DataFrame ops: assignment is an argmin over a broadcast
@@ -506,7 +507,12 @@ def kmeans(
         cent = new_cent
         if tol is not None and history and history[-1][1] <= tol:
             break
-    out = (assigned.select("vec_id", "cid"), cent)
+    # keep_emb: consumers that need the member vectors (semdedup's
+    # intra-cluster pass) take them from the final assignment frame —
+    # it already carries emb from the checkpointed projection, so this
+    # saves those consumers a second corpus scan + re-join
+    cols = ["vec_id", "cid", "emb"] if keep_emb else ["vec_id", "cid"]
+    out = (assigned.select(*cols), cent)
     if not return_info:
         return out
     spark = embeddings.sparkSession
@@ -698,11 +704,9 @@ def semdedup(
     the oracle's unrolled CTEs tractable).  The member frame is
     localCheckpoint'ed once and feeds both sides of the self-join plus
     the stats aggregate."""
-    assigned, _ = kmeans(embeddings, k=k, iters=iters)
-    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    assigned, _ = kmeans(embeddings, k=k, iters=iters, keep_emb=True)
     m = (
-        assigned.join(e, "vec_id")
-        .select("vec_id", "cid", "emb", sq_norm(F.col("emb")).alias("nrm"))
+        assigned.select("vec_id", "cid", "emb", sq_norm(F.col("emb")).alias("nrm"))
         .localCheckpoint(eager=True)
     )
     a, b = m.alias("a"), m.alias("b")
