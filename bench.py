@@ -113,6 +113,7 @@ def main() -> None:
         "source_overlap_matrix",
         "neardup_containment",
         "events_ewma",
+        "corpus_train_order",
         "embedding_dim_stats",
     ]
     extra: dict[str, float] = {}

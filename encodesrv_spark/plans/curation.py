@@ -711,3 +711,77 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=2,
         threshold=_SEMDEDUP_THRESHOLD,
     )
+
+
+@register(
+    "corpus_train_order",
+    oracle="""
+        WITH q AS (
+            SELECT quantile_cont(n_chars, 0.25) AS q1,
+                   quantile_cont(n_chars, 0.5) AS q2,
+                   quantile_cont(n_chars, 0.75) AS q3
+            FROM documents
+        ),
+        b AS (
+            SELECT d.doc_id,
+                   (('0x' || substr(md5(concat('ord:', d.doc_id::VARCHAR)), 1, 15))::BIGINT) % 8 AS shard,
+                   CASE WHEN d.n_chars <= q.q1 THEN 1
+                        WHEN d.n_chars <= q.q2 THEN 2
+                        WHEN d.n_chars <= q.q3 THEN 3 ELSE 4 END AS band,
+                   (('0x' || substr(md5(concat('shuf:', d.doc_id::VARCHAR)), 1, 15))::BIGINT) AS shuf
+            FROM documents d, q
+        )
+        SELECT doc_id, shard::BIGINT AS shard, band::BIGINT AS band,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY band, shuf, doc_id
+               )::BIGINT AS pos
+        FROM b
+    """,
+    tags=("llm", "pipeline"),
+)
+def corpus_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training curriculum: shard assignment + within-
+    shard reading order = (length-quartile band ascending, then a
+    content-stable hash shuffle).  Short-to-long curricula and
+    reproducible epoch shuffles are both data-ORDER problems — this is
+    the op that pins the order without any RNG state (re-runs give
+    byte-identical shard files).
+
+    Scale shape: band boundaries come from ONE 3-quantile aggregate
+    broadcast back as a 1-row frame (never a global percent_rank sort);
+    the only window is per-shard, so each partition sorts its own
+    shard — no global ordering of the corpus anywhere."""
+    prep(spark)
+    from pyspark.sql import Window as W
+
+    from encodesrv_spark.functions.hashing import stable_hash64
+
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    q = d.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.5)).alias("q2"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+    )
+    b = d.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        (
+            stable_hash64(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
+            % 8
+        ).alias("shard"),
+        F.when(F.col("n_chars") <= F.col("q1"), 1)
+        .when(F.col("n_chars") <= F.col("q2"), 2)
+        .when(F.col("n_chars") <= F.col("q3"), 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("band"),
+        stable_hash64(
+            F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+        ).alias("shuf"),
+    )
+    w = W.partitionBy("shard").orderBy("band", "shuf", "doc_id")
+    return b.select(
+        "doc_id",
+        "shard",
+        "band",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -72,6 +72,7 @@ _HOISTED = (
     "source_overlap_matrix",
     "neardup_containment",
     "events_ewma",
+    "corpus_train_order",
     "embedding_dim_stats",
     "embedding_ivfpq_ann",
     "embedding_kmeans",
