@@ -7,6 +7,12 @@ state evolving per event).
 micro-batches: count, value sum, and the last-seen timestamp, with a
 processing-time timeout that expires idle users' state (bounded state
 at 100 TB — unexpired state is exactly the working set of active keys).
+
+Spark 4's successor API (`transformWithStateInPandas`, StatefulProcessor
+with typed ValueState/TTL) is the migration target for these operators;
+it needs the Python protobuf runtime for its state-server protocol,
+which this environment lacks, so the operators stay on
+applyInPandasWithState (same state semantics, same tests).
 """
 
 from __future__ import annotations
