@@ -114,6 +114,7 @@ def main() -> None:
         "neardup_containment",
         "events_ewma",
         "corpus_train_order",
+        "minhash_estimate_error",
         "embedding_dim_stats",
     ]
     extra: dict[str, float] = {}

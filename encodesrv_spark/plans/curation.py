@@ -26,7 +26,7 @@ from encodesrv_spark.plans.corpus import (
     _tokens_ne,
     _TOKS_NE,
 )
-from encodesrv_spark.plans.llm import _SHINGLES3
+from encodesrv_spark.plans.llm import _SHINGLES3, _SIG8
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
 
@@ -784,4 +784,109 @@ def corpus_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "band",
         F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=f"""
+        WITH sig AS ({_SIG8}),
+        bands AS (
+            SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1, concat(h2::VARCHAR, '_', h3::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 2, concat(h4::VARCHAR, '_', h5::VARCHAR) FROM sig
+            UNION ALL
+            SELECT doc_id, 3, concat(h6::VARCHAR, '_', h7::VARCHAR) FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   round(((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+                        + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+                        + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+                        + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0, 4)
+                       AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+        ),
+        idx0 AS (SELECT doc_id, s FROM ({_SHINGLES3})),
+        idx AS (
+            SELECT doc_id, s FROM idx0
+            WHERE s IN (SELECT s FROM idx0 GROUP BY s HAVING count(*) <= 10000)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT doc_a, doc_b,
+                   round(common * 1.0 / (sa.c + sb.c - common), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        )
+        SELECT e.doc_a, e.doc_b, e.est_jaccard,
+               coalesce(x.jaccard, 0.0) AS jaccard,
+               round(abs(e.est_jaccard - coalesce(x.jaccard, 0.0)), 4) AS abs_err
+        FROM est e
+        LEFT JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality harness for MinHash: for every LSH candidate
+    pair, the signature-agreement estimate (matches/8) next to the
+    EXACT shingle-set Jaccard and the absolute error — the number that
+    justifies (or indicts) an 8-hash signature before anyone dedups a
+    100 TB corpus with it.  Completes the measure-your-approximations
+    family beside ann_recall_eval (ANN recall) and token_cms_topk
+    (CMS over-count).
+
+    Scale shape: candidates come from the banding join (never all
+    pairs); the exact-Jaccard side reuses the df-capped inverted-index
+    core, and the final join is candidate-sized on both sides."""
+    prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, k=3, n_hashes=8)
+    cand = dedup.minhash_lsh_pairs(docs, k=3, n_hashes=8, band_size=2)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(matches / 8.0, 4).alias("est_jaccard"))
+    )
+    exact = dedup.jaccard_pairs(docs, k=3, threshold=0.0, df_cap=10000).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+            F.round(
+                F.abs(F.col("est_jaccard") - F.coalesce(F.col("jaccard"), F.lit(0.0))),
+                4,
+            ).alias("abs_err"),
+        )
     )

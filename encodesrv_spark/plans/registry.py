@@ -73,6 +73,7 @@ _HOISTED = (
     "neardup_containment",
     "events_ewma",
     "corpus_train_order",
+    "minhash_estimate_error",
     "embedding_dim_stats",
     "embedding_ivfpq_ann",
     "embedding_kmeans",
