@@ -66,3 +66,41 @@ def test_jl_sign_matrix_matches_duckdb_expression():
     ).fetchall()
     for i, j, s in rows:
         assert curation._JL_SIGNS[j][i - 1] == s, f"sign mismatch at ({i},{j})"
+
+
+def test_tokenization_agrees_spark_duckdb():
+    """The tokenization contract ~40 oracles rest on: Spark's
+    split(text, '\\s+') + empty-filter must equal DuckDB's
+    string_split_regex + list_filter for texts with leading/trailing/
+    repeated whitespace, tabs, and empty strings.  Generated cases
+    cover the edge geometry; exact list equality is asserted."""
+    from pyspark.sql import SparkSession
+
+    from encodesrv_spark.plans.corpus import _TOKS_NE, _tokens_ne
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).config("spark.ui.enabled", "false").getOrCreate()
+    rng = random.Random(29)
+    pieces = ["a", "bb", "ccc", " ", "  ", "\t", ""]
+    cases = ["", " ", "  \t ", "a", " a", "a ", " a b  c\td "]
+    for _ in range(150):
+        cases.append("".join(rng.choice(pieces) for _ in range(rng.randint(1, 10))))
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, text string")
+    got_spark = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", _tokens_ne().alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_tok", __import__("pandas").DataFrame({"i": range(len(cases)), "text": cases}))
+    got_duck = {
+        i: list(t)
+        for i, t in con.execute(
+            f"SELECT i, {_TOKS_NE} AS t FROM docs_tok"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+    # and the Python reference everyone reasons with
+    for i, t in enumerate(cases):
+        assert got_spark[i] == t.split(), (i, repr(t))
