@@ -115,6 +115,7 @@ def main() -> None:
         "events_ewma",
         "corpus_train_order",
         "minhash_estimate_error",
+        "simhash_hamming_pairs",
         "embedding_dim_stats",
     ]
     extra: dict[str, float] = {}

@@ -365,3 +365,69 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 2,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, via the pigeonhole
+    multi-index (Manku et al. 2007, 'Detecting Near-Duplicates for Web
+    Crawling'): split the signature into `n_blocks` equal blocks — any
+    pair within Hamming distance n_blocks−1 must agree on at least one
+    whole block, so candidates are generated ONLY inside per-block
+    value buckets and the exact bit_count(xor) check runs on
+    candidates, never all pairs.  Exact (no false negatives) for
+    max_hamming <= n_blocks − 1.
+
+    Scale knob: expected bucket width is N / 2^(bits/n_blocks); at
+    corpus scale you grow the signature (64-bit) and the block count
+    so block values stay wide enough to keep buckets bounded — same
+    trade as every multi-index."""
+    assert max_hamming <= n_blocks - 1, "pigeonhole guarantee violated"
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    sig = simhash(docs, bits).localCheckpoint(eager=True)
+    blk = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(f"shiftright(simhash, {i * width}) & {mask}").alias(
+                            "val"
+                        ),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.i").alias("i"), F.col("b.val").alias("val"))
+    a, b = blk.alias("a"), blk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sa ^ sb")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

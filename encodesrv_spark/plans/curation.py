@@ -890,3 +890,51 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle="""
+        WITH th AS (
+            SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h
+            FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+                  FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+            FROM th, (SELECT unnest(generate_series(0, 31)) AS b)
+            GROUP BY doc_id, b
+        ),
+        sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+            FROM votes GROUP BY doc_id
+        ),
+        blocks AS (
+            SELECT doc_id, i, (sh >> (i * 8)) & 255 AS val, sh
+            FROM sig, (SELECT unnest(generate_series(0, 3)) AS i)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.sh AS sa, b.sh AS sb
+            FROM blocks a
+            JOIN blocks b ON a.i = b.i AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= 2
+    """,
+    tags=("llm", "dedup"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 2 via the
+    Manku-et-al. pigeonhole multi-index — the apply-side of the
+    simhash32 fingerprint: 4 signature blocks bucket the candidates,
+    the exact bit-count check runs only inside buckets, and the
+    guarantee is exact (no false negatives) up to distance 3.  See
+    operators/dedup.simhash_hamming_pairs for the block-width scale
+    knob."""
+    prep(spark)
+    return dedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32, max_hamming=2, n_blocks=4
+    )

@@ -74,6 +74,7 @@ _HOISTED = (
     "events_ewma",
     "corpus_train_order",
     "minhash_estimate_error",
+    "simhash_hamming_pairs",
     "embedding_dim_stats",
     "embedding_ivfpq_ann",
     "embedding_kmeans",
