@@ -116,6 +116,7 @@ def main() -> None:
         "corpus_train_order",
         "minhash_estimate_error",
         "simhash_hamming_pairs",
+        "embedding_density_clusters",
         "embedding_dim_stats",
     ]
     extra: dict[str, float] = {}

@@ -738,3 +738,70 @@ def semdedup(
             F.round(1.0 - F.count("drop_id") / F.count("*"), 4).alias("keep_rate"),
         )
     )
+
+
+def density_clusters(
+    embeddings: DataFrame, threshold: float = 0.25, min_pts: int = 2
+) -> DataFrame:
+    """DBSCAN-shaped density clustering over the embedding corpus,
+    composed from the verified primitives: ε-neighborhood = the
+    LSH-blocked cosine pair graph (cos ≥ threshold), core = a point
+    with ≥ min_pts neighbors, clusters = connected components of the
+    core-core subgraph (min-label canonical id), border = non-core
+    adjacent to a core (deterministically the smallest neighboring
+    core's cluster), noise = the rest.
+
+    Density clustering finds the variable-shape/variable-count
+    structure k-means can't (k is not a parameter here).  Scale shape:
+    the pair graph is LSH-bucket-blocked (never all pairs), degrees
+    and core filters are one aggregate each, and the component loop is
+    the bounded-iteration min-label propagation from dedup — linear
+    per round, lineage checkpointed."""
+    from encodesrv_spark.operators import dedup
+
+    e = embeddings.select("vec_id")
+    pairs = (
+        cosine_neardup_pairs(embeddings, threshold=threshold)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.select(F.col("vec_a").alias("node"), F.col("vec_b").alias("nbr")).union(
+        pairs.select(F.col("vec_b").alias("node"), F.col("vec_a").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("degree"))
+    cores = deg.filter(F.col("degree") >= min_pts).select("node")
+    core_edges = (
+        pairs.join(cores.select(F.col("node").alias("vec_a")), "vec_a", "left_semi")
+        .join(cores.select(F.col("node").alias("vec_b")), "vec_b", "left_semi")
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    comp = dedup.connected_components(core_edges).select(
+        F.col("doc_id").alias("node"), F.col("component").alias("cluster")
+    )
+    # isolated cores (no core neighbor) anchor their own cluster
+    core_clusters = cores.join(comp, "node", "left").select(
+        "node", F.coalesce(F.col("cluster"), F.col("node")).alias("cluster")
+    )
+    border = (
+        sym.join(cores.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+        .join(cores, "node", "left_anti")
+        .join(core_clusters.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out_core = core_clusters.select(
+        F.col("node").alias("vec_id"), F.lit("core").alias("role"), "cluster"
+    )
+    out_border = border.select(
+        F.col("node").alias("vec_id"), F.lit("border").alias("role"), "cluster"
+    )
+    out_noise = (
+        e.join(core_clusters.select(F.col("node").alias("vec_id")), "vec_id", "left_anti")
+        .join(border.select(F.col("node").alias("vec_id")), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster"),
+        )
+    )
+    return out_core.unionByName(out_border).unionByName(out_noise)

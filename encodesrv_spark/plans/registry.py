@@ -75,6 +75,7 @@ _HOISTED = (
     "corpus_train_order",
     "minhash_estimate_error",
     "simhash_hamming_pairs",
+    "embedding_density_clusters",
     "embedding_dim_stats",
     "embedding_ivfpq_ann",
     "embedding_kmeans",

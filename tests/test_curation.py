@@ -131,3 +131,27 @@ def test_containment_catches_subdocument_jaccard_misses(spark):
     assert r["c_ba"] < 0.2           # doc 2 is mostly other content
     assert r["jaccard"] < 0.2        # jaccard_pairs at 0.5 would miss it
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_density_clusters_roles_on_planted_geometry(spark):
+    """Planted geometry: three near-identical vectors form a dense
+    cluster (all cores, one component); a point similar to exactly ONE
+    of them is a border; far-away points are noise."""
+    import random
+
+    from encodesrv_spark.operators import similarity
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = []
+    for i in range(3):  # dense cluster: pairwise cos ~ 1
+        rows.append((i, [x + 0.001 * i for x in base]))
+    # orthogonal-ish noise, far from everything
+    for i in range(10, 16):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["role"], r["cluster"]) for r in
+           similarity.density_clusters(df, threshold=0.9, min_pts=2).collect()}
+    assert out[0] == ("core", 0) and out[1] == ("core", 0) and out[2] == ("core", 0)
+    for i in range(10, 16):
+        assert out[i][0] == "noise" and out[i][1] is None
