@@ -1,0 +1,655 @@
+"""Statistical mining over the training corpus, round 3 batch 2:
+token-distribution divergence, collocation mining, per-document
+entropy, int8 embedding quantization, robust value winsorization,
+dedup-threshold calibration, and contrastive pair mining.
+
+Same conventions as plans/corpus.py / plans/curation.py: every query
+has a DuckDB oracle sharing all constants with the Spark plan, floats
+are rounded identically on BOTH sides before any ranking or threshold,
+and document pipelines go through ``dedup.fan_out`` so a single small
+parquet file still parallelizes.
+
+Float determinism notes (they decide every rounding constant below):
+* per-array folds (``F.aggregate`` / DuckDB ``list_sum``) run
+  left-to-right on both engines over identical doubles → bit-identical;
+* cross-row double sums (entropy, KL, means) can differ in addition
+  order between engines, but terms here are O(1)-magnitude and group
+  sizes ≤ ~10⁴, so the drift is ≤ 1e-11 — rounding at 4-6 dp absorbs
+  it (the same argument the green `source_lang_entropy` /
+  `value_anomaly_*` rows already rely on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from encodesrv_spark.catalog import load_table
+from encodesrv_spark.functions.hashing import stable_hash64_sql
+from encodesrv_spark.operators import dedup
+from encodesrv_spark.operators.similarity import _as_double, dot
+from encodesrv_spark.plans.corpus import _tokens_ne, _TOKS_NE
+from encodesrv_spark.plans.llm import _EMB, _SHINGLES3
+from encodesrv_spark.plans.registry import register
+from encodesrv_spark.session import prep
+
+
+# ---------------------------------------------------------------------------
+# token-distribution divergence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_token_kl",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest({_TOKS_NE}) AS t FROM documents
+        ),
+        c AS (
+            SELECT source, t, count(*)::DOUBLE AS n FROM tok GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT source, sum(n) AS sn, count(*) AS types FROM c GROUP BY 1
+        ),
+        ct AS (SELECT t, sum(n) AS ctn FROM c GROUP BY 1),
+        g AS (SELECT sum(n) AS tn FROM c)
+        SELECT c.source,
+               s.sn::BIGINT AS n_tokens,
+               s.types::BIGINT AS n_types,
+               round(sum((n / sn) * log2((n / sn) / (ctn / tn))), 6)
+                   AS kl_vs_corpus_bits
+        FROM c JOIN s USING (source) JOIN ct USING (t), g
+        GROUP BY c.source, s.sn, s.types
+    """,
+    tags=("llm", "sampling", "stats"),
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level mixture drift: KL divergence of each source's unigram
+    token distribution from the corpus-wide distribution — the
+    vocabulary-scale sibling of `source_lang_entropy` (languages are ~10
+    symbols; tokens are the real sampling space a mixture reweighting
+    acts on).  A source whose token KL rises is drifting stylistically
+    even when its language mix is stable.
+
+    Scale shape: ONE corpus pass builds the (source, token) counts;
+    everything downstream derives from that frame — per-source totals
+    (broadcast, |sources| rows), corpus token marginals (re-aggregate of
+    the counts, NOT a second corpus pass), and the grand total (scalar).
+    The only real shuffle after the count is the counts⋈marginals join,
+    co-keyed on token, vocab-sized not corpus-sized.  Checkpointed once
+    because three consumers derive from it."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("source", F.explode(_tokens_ne()).alias("t"))
+    c = (
+        tok.groupBy("source", "t")
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    s = c.groupBy("source").agg(
+        F.sum("n").alias("sn"), F.count("*").alias("types")
+    )
+    ct = c.groupBy("t").agg(F.sum("n").alias("ctn"))
+    g = c.agg(F.sum("n").alias("tn"))
+    p = F.col("n") / F.col("sn")
+    q = F.col("ctn") / F.col("tn")
+    return (
+        c.join(F.broadcast(s), "source")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source", "sn", "types")
+        .agg(F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_vs_corpus_bits"))
+        .select(
+            "source",
+            F.col("sn").cast("long").alias("n_tokens"),
+            F.col("types").cast("long").alias("n_types"),
+            "kl_vs_corpus_bits",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "token_bigram_pmi",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_NE} AS ts FROM documents),
+        bg AS (
+            SELECT ts[i] AS a, ts[i + 1] AS b
+            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        ),
+        c AS (SELECT a, b, count(*)::DOUBLE AS n_ab FROM bg GROUP BY 1, 2),
+        la AS (SELECT a, sum(n_ab) AS n_a FROM c GROUP BY 1),
+        rb AS (SELECT b, sum(n_ab) AS n_b FROM c GROUP BY 1),
+        g AS (SELECT sum(n_ab) AS n FROM c),
+        scored AS (
+            SELECT a, b, n_ab::BIGINT AS n_pair,
+                   round(log2((n_ab / n) / ((n_a / n) * (n_b / n))), 6)
+                       AS pmi_bits
+            FROM c JOIN la USING (a) JOIN rb USING (b), g
+            WHERE n_ab >= {_PMI_MIN_COUNT}
+        )
+        SELECT a, b, n_pair, pmi_bits,
+               row_number() OVER (ORDER BY pmi_bits DESC, a, b)::BIGINT AS rnk
+        FROM scored
+        QUALIFY rnk <= {_PMI_TOPK}
+    """,
+    tags=("llm", "stats"),
+)
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, top-k strongest collocations with a minimum-support
+    cut — the statistic behind phrase detection (word2vec-style
+    phrasing) and tokenizer-merge diagnostics.
+
+    PMI(a,b) = log2( p(a,b) / (p(a)·p(b)) ), all three probabilities
+    estimated over the bigram table, so ONE corpus pass (the bigram
+    count) feeds everything: both marginals re-aggregate the count
+    frame, and the grand total is a scalar.  The final top-k is a
+    single TakeOrdered over the support-filtered scored set; the
+    PMI expression itself is one log per surviving row (no cross-row
+    float accumulation → deterministic across engines at 6 dp).
+    Bigrams via zip(ts[0:n-1], ts[1:n]) — slice+zip rather than
+    sequence() so empty/1-token docs yield zero rows on both engines."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(_tokens_ne().alias("ts"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                "         slice(ts, 2, greatest(size(ts) - 1, 0)),"
+                "         (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    c = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
+    la = c.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    rb = c.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    g = c.agg(F.sum("n_ab").alias("n"))
+    scored = (
+        c.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(la, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_pair"),
+            F.round(
+                F.log2(
+                    (F.col("n_ab") / F.col("n"))
+                    / ((F.col("n_a") / F.col("n")) * (F.col("n_b") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi_bits"),
+        )
+    )
+    w = W.orderBy(F.desc("pmi_bits"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _PMI_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_entropy",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_NE}) AS t FROM documents
+        ),
+        c AS (
+            SELECT doc_id, t, count(*)::DOUBLE AS n FROM tok GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT doc_id, sum(n) AS dn, count(*) AS types FROM c GROUP BY 1
+        )
+        SELECT c.doc_id,
+               d.dn::BIGINT AS n_tokens,
+               d.types::BIGINT AS n_types,
+               round(-sum((n / dn) * log2(n / dn)), 6) AS entropy_bits,
+               -- divides the 6-dp-ROUNDED entropy (not the raw sum):
+               -- the Spark plan derives norm_entropy from its output
+               -- column, so the oracle must share that rounding order
+               CASE WHEN d.types > 1
+                    THEN round(round(-sum((n / dn) * log2(n / dn)), 6)
+                               / log2(d.types), 6)
+               END AS norm_entropy
+        FROM c JOIN d USING (doc_id)
+        GROUP BY c.doc_id, d.dn, d.types
+    """,
+    tags=("llm", "quality"),
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus its
+    normalized form (entropy / log2 #types ∈ [0,1]) — the
+    information-density quality signal: templated/spammy text scores
+    low, natural prose high.  Complements `doc_repetition_stats`
+    (which counts repeats; this weighs the whole distribution).
+
+    Shape: explode → (doc, token) count [the one corpus-scale
+    shuffle, keyed by doc_id+token] → per-doc totals re-aggregate the
+    count frame → entropy agg back on doc_id.  Both engines sum ≤
+    #types ≈ 10² O(1)-magnitude terms per doc, so 6 dp rounding is
+    deterministic; single-type docs yield NULL norm_entropy on both
+    sides (guarded division)."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(_tokens_ne()).alias("t"))
+    c = tok.groupBy("doc_id", "t").agg(F.count("*").cast("double").alias("n"))
+    # per-doc totals derive from c via a window instead of a re-agg +
+    # join: one shuffle on doc_id serves both the totals and the final
+    # entropy aggregate (the window and groupBy share the partitioning)
+    wd = W.partitionBy("doc_id")
+    c2 = c.select(
+        "doc_id",
+        "n",
+        F.sum("n").over(wd).alias("dn"),
+        F.count("*").over(wd).alias("types"),
+    )
+    p = F.col("n") / F.col("dn")
+    ent = F.round(-F.sum(p * F.log2(p)), 6)
+    return (
+        c2.groupBy("doc_id", "dn", "types")
+        .agg(ent.alias("entropy_bits"))
+        .select(
+            "doc_id",
+            F.col("dn").cast("long").alias("n_tokens"),
+            F.col("types").cast("long").alias("n_types"),
+            "entropy_bits",
+            F.when(
+                F.col("types") > 1,
+                F.round(F.col("entropy_bits") / F.log2(F.col("types")), 6),
+            ).alias("norm_entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+_SQ_DIMS = 64
+
+
+@register(
+    "embedding_sq8",
+    oracle=f"""
+        WITH e AS ({_EMB}),
+        stats AS (
+            SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+            FROM e, unnest(generate_series(1, {_SQ_DIMS})) AS u(i)
+            GROUP BY 1
+        ),
+        arrs AS (
+            SELECT list(mn ORDER BY i) AS mins,
+                   list((mx - mn) / 255.0 ORDER BY i) AS scales
+            FROM stats
+        ),
+        coded AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, {_SQ_DIMS}),
+                       i -> CASE WHEN scales[i] > 0
+                                 THEN least(255, greatest(0,
+                                      round((emb[i] - mins[i]) / scales[i])))::BIGINT
+                                 ELSE 0 END) AS codes,
+                   emb, mins, scales
+            FROM e, arrs
+        )
+        SELECT vec_id,
+               list_sum(codes)::BIGINT AS code_sum,
+               round(list_sum(list_transform(generate_series(1, {_SQ_DIMS}),
+                   i -> pow(emb[i] - (mins[i] + codes[i] * scales[i]), 2)))
+                   / {_SQ_DIMS}, 6) AS mse
+        FROM coded
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table — per-dimension
+    min/max range fit, 8-bit codes, and the per-vector reconstruction
+    MSE audit.  The 4×-compression sibling of PQ (`embedding_pq_codes`):
+    SQ keeps per-dimension semantics (codes are comparable across
+    vectors, so ADC-style scoring still works) at 1 byte/dim.
+
+    Shape: ONE corpus pass fits the 64 per-dim ranges (posexplode →
+    64-key agg → sorted array assembly, a few KB), broadcast as a
+    one-row frame; coding + the error audit are then pure per-row array
+    arithmetic (transform/aggregate, whole-stage codegen, no Python).
+    Determinism: codes are exact ints (identical IEEE doubles on both
+    engines → identical round()); the MSE is an in-order array fold,
+    bit-identical across engines before the 6 dp rounding."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    stats = (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+            lambda s: (s.mx - s.mn) / F.lit(255.0),
+        ).alias("scales"),
+    )
+    coded = e.crossJoin(F.broadcast(arrs)).withColumn(
+        "codes",
+        F.expr(
+            f"transform(sequence(1, {_SQ_DIMS}),"
+            " i -> CASE WHEN scales[i - 1] > 0"
+            "           THEN CAST(least(255, greatest(0,"
+            "                round((emb[i - 1] - mins[i - 1]) / scales[i - 1]))) AS BIGINT)"
+            "           ELSE CAST(0 AS BIGINT) END)"
+        ),
+    )
+    return coded.select(
+        "vec_id",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.round(
+            F.expr(
+                f"aggregate(sequence(1, {_SQ_DIMS}), CAST(0.0 AS DOUBLE),"
+                " (acc, i) -> acc + pow(emb[i - 1] -"
+                "   (mins[i - 1] + codes[i - 1] * scales[i - 1]), 2))"
+            )
+            / _SQ_DIMS,
+            6,
+        ).alias("mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust value winsorization
+# ---------------------------------------------------------------------------
+
+_WINS_LO, _WINS_HI = 0.01, 0.99
+
+
+@register(
+    "winsorize_values",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_type,
+                   quantile_cont(value, {_WINS_LO}) AS p_lo,
+                   quantile_cont(value, {_WINS_HI}) AS p_hi
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               count(*)::BIGINT AS n,
+               round(p_lo, 4) AS p01,
+               round(p_hi, 4) AS p99,
+               round(avg(value), 4) AS mean_raw,
+               round(avg(least(greatest(value, p_lo), p_hi)), 4)
+                   AS mean_winsorized,
+               sum(CASE WHEN value < p_lo OR value > p_hi
+                        THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+        FROM events e JOIN p USING (event_type)
+        GROUP BY e.event_type, p_lo, p_hi
+    """,
+    tags=("extended", "stats"),
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust value normalization: per-event-type p01/p99
+    winsorization with a before/after mean audit and the clipped-row
+    count — the standard guard before any value-weighted downstream
+    aggregate (a single fat-fingered `value` otherwise owns the mean).
+
+    Two aggregates over events: exact per-type percentiles (sort-based,
+    |types| groups — the same `F.percentile`↔`quantile_cont`
+    interpolation contract the green `value_anomaly_mad` row pins),
+    broadcast back (|types| rows), then one map-side-combinable clamp +
+    mean pass.  At 100 TB swap `F.percentile` for `percentile_approx`
+    and the second pass is unchanged — the exact form IS the oracle
+    here."""
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(_WINS_LO)).alias("p_lo"),
+        F.percentile("value", F.lit(_WINS_HI)).alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .groupBy("event_type", "p_lo", "p_hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p_lo"))
+                    | (F.col("value") > F.col("p_hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("p_lo", 4).alias("p01"),
+            F.round("p_hi", 4).alias("p99"),
+            "mean_raw",
+            "mean_winsorized",
+            "n_clipped",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup-threshold calibration
+# ---------------------------------------------------------------------------
+
+_CURVE_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+_CURVE_DF_CAP = 10000
+
+
+@register(
+    "neardup_threshold_curve",
+    # pair core mirrors neardup_jaccard's oracle (same shingle SQL, same
+    # stop-shingle cap) with the threshold sweep joined on top
+    oracle=f"""
+        WITH idx0 AS (
+            SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
+        ),
+        idx AS (
+            SELECT doc_id, h FROM idx0
+            WHERE h IN (SELECT h FROM idx0 GROUP BY h
+                        HAVING count(*) <= {_CURVE_DF_CAP})
+        ),
+        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b,
+                   round(common * 1.0 / (sa.c + sb.c - common), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        ),
+        thr AS (SELECT unnest({list(_CURVE_THRESHOLDS)!r}::DOUBLE[]) AS threshold),
+        hits AS (
+            SELECT threshold, doc_a, doc_b FROM pairs JOIN thr
+            ON jaccard >= threshold
+        ),
+        np AS (SELECT threshold, count(*) AS n_pairs FROM hits GROUP BY 1),
+        nd AS (
+            SELECT threshold, count(DISTINCT d) AS n_docs
+            FROM (SELECT threshold, doc_a AS d FROM hits
+                  UNION ALL SELECT threshold, doc_b FROM hits)
+            GROUP BY 1
+        )
+        SELECT thr.threshold,
+               coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+               coalesce(nd.n_docs, 0)::BIGINT AS n_docs_flagged
+        FROM thr LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+    """,
+    tags=("llm", "dedup"),
+)
+def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration: how many near-dup pairs (and how
+    many distinct documents) a Jaccard cutoff flags, swept across the
+    candidate thresholds — the curve an operator reads before picking
+    the production cutoff (too low → false merges, too high → missed
+    dups).  One run answers all thresholds; nobody re-runs the
+    quadratic pair stage per candidate.
+
+    The expensive part (shingle-index self-join with the df-cap
+    stop-shingle guard) runs ONCE and is checkpointed; the sweep is a
+    7-row broadcast nested-loop on top, and both aggregates (pair
+    count, distinct flagged docs) reuse that materialized pair set.
+    All-threshold rows are emitted even when empty (left join from the
+    literal threshold frame) so the curve's domain is data-independent."""
+    prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, k=3, threshold=0.0, df_cap=_CURVE_DF_CAP
+    ).localCheckpoint(eager=True)
+    thr = F.array(*[F.lit(t) for t in _CURVE_THRESHOLDS])
+    hits = pairs.select(
+        "doc_a", "doc_b", "jaccard", F.explode(thr).alias("threshold")
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    np_ = hits.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    nd = (
+        hits.select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    thr_frame = spark.range(1).select(F.explode(thr).alias("threshold"))
+    return (
+        thr_frame.join(np_, "threshold", "left")
+        .join(nd, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs_flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# contrastive pair mining
+# ---------------------------------------------------------------------------
+
+_CP_N_QUERIES = 8
+
+
+@register(
+    "contrastive_pairs",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, label AS qlabel, emb AS qemb
+            FROM e WHERE vec_id < {_CP_N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+                   (e.label = q.qlabel) AS same,
+                   round(list_inner_product(q.qemb, e.emb) /
+                         sqrt(list_inner_product(q.qemb, q.qemb)
+                              * list_inner_product(e.emb, e.emb)), 4) AS cos_sim
+            FROM e, q WHERE e.vec_id <> q.query_id
+        ),
+        top AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id, same
+                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored QUALIFY rn = 1
+        )
+        SELECT query_id,
+               max(qlabel)::INTEGER AS label,
+               max(neighbor_id) FILTER (WHERE same)::BIGINT AS pos_id,
+               max(cos_sim) FILTER (WHERE same) AS pos_sim,
+               max(neighbor_id) FILTER (WHERE NOT same)::BIGINT AS neg_id,
+               max(cos_sim) FILTER (WHERE NOT same) AS neg_sim,
+               round(max(cos_sim) FILTER (WHERE same)
+                     - max(cos_sim) FILTER (WHERE NOT same), 4) AS margin
+        FROM top GROUP BY query_id
+    """,
+    tags=("llm", "similarity"),
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining for metric-learning / embedding-tuning
+    data: for each query vector, the nearest SAME-label neighbor (the
+    positive) and the nearest DIFFERENT-label neighbor (the hard
+    negative), plus the margin between them — the triplet-mining step
+    of every contrastive fine-tune, and a label-noise detector when
+    the margin goes negative (an impostor sits closer than any
+    same-class vector).
+
+    Shape: the query set broadcasts (constant _CP_N_QUERIES rows), one
+    corpus pass scores cosine against all queries (norms computed once
+    per side, not per pair), one window ranks within (query, same?),
+    and a conditional aggregate folds the two rank-1 rows into one
+    output row per query.  Similarity is rounded to 4 dp BEFORE ranking
+    with a vec_id tie-break, so the argmax is deterministic on both
+    engines.  At 100 TB the scoring pass shards over the corpus
+    unchanged; swap the brute-force scorer for the LSH/IVF shortlist
+    (`embedding_ann_lsh`) when the query set itself scales."""
+    prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    ).withColumn("nrm", dot(F.col("emb"), F.col("emb")))
+    q = e.filter(F.col("vec_id") < _CP_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("label") == F.col("qlabel")).alias("same"),
+            F.round(
+                dot(F.col("qemb"), F.col("emb"))
+                / F.sqrt(F.col("qnrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id", "same").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    same = F.col("same")
+    pos_sim = F.max(F.when(same, F.col("cos_sim")))
+    neg_sim = F.max(F.when(~same, F.col("cos_sim")))
+    return top.groupBy("query_id").agg(
+        F.max("qlabel").cast("int").alias("label"),
+        F.max(F.when(same, F.col("neighbor_id"))).cast("long").alias("pos_id"),
+        pos_sim.alias("pos_sim"),
+        F.max(F.when(~same, F.col("neighbor_id"))).cast("long").alias("neg_id"),
+        neg_sim.alias("neg_sim"),
+        F.round(pos_sim - neg_sim, 4).alias("margin"),
+    )

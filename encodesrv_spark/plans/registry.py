@@ -90,6 +90,15 @@ _HOISTED = (
     "repeated_ngram_audit",
     "mixture_temperature_weights",
     "ann_recall_eval",
+    # round-3 batch 2 (plans/mining.py) — with these the window is
+    # exactly 15 parity + 35 hoisted = 50
+    "source_token_kl",
+    "token_bigram_pmi",
+    "doc_token_entropy",
+    "embedding_sq8",
+    "winsorize_values",
+    "neardup_threshold_curve",
+    "contrastive_pairs",
 )
 
 
@@ -103,6 +112,7 @@ def all_queries() -> dict[str, Query]:
         curation,
         extended,
         llm,
+        mining,
         parity,
         tpch,
         tpch_deep,

@@ -1,0 +1,253 @@
+"""Semantics tests for the round-3 mining operators — properties the
+registry-wide oracle comparison cannot see (hand-built inputs,
+mathematical invariants, degenerate corpora)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from encodesrv_spark.plans import mining
+
+
+def test_source_token_kl_nonnegative_and_uniform_corpus_zero(spark, sf_dir):
+    """KL(P‖Q) >= 0 always (Gibbs), and a single-source corpus has
+    P = Q exactly, so its KL must be 0."""
+    out = mining.source_token_kl(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r["kl_vs_corpus_bits"] >= 0 for r in rows)
+
+    one = spark.createDataFrame(
+        [(1, "a b c", "srcX"), (2, "a b", "srcX")], "doc_id long, text string, source string"
+    )
+    from encodesrv_spark.operators import dedup
+    from encodesrv_spark.plans.corpus import _tokens_ne
+
+    tok = dedup.fan_out(one).select("source", F.explode(_tokens_ne()).alias("t"))
+    c = tok.groupBy("source", "t").agg(F.count("*").cast("double").alias("n"))
+    s = c.groupBy("source").agg(F.sum("n").alias("sn"))
+    g = c.agg(F.sum("n").alias("tn"))
+    ct = c.groupBy("t").agg(F.sum("n").alias("ctn"))
+    p = F.col("n") / F.col("sn")
+    q = F.col("ctn") / F.col("tn")
+    kl = (
+        c.join(s, "source").join(ct, "t").crossJoin(g)
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log2(p / q)), 6).alias("kl"))
+        .collect()[0]["kl"]
+    )
+    assert kl == 0.0
+
+
+def test_bigram_pmi_matches_hand_computation(spark):
+    """Tiny corpus where PMI is computable by hand: bigrams of
+    'x y x y' are (x,y),(y,x),(x,y) → c(x,y)=2, c(y,x)=1, N=3.
+    PMI(x,y) = log2( (2/3) / ((2/3)*(2/3)) ) = log2(3/2)."""
+    from encodesrv_spark.operators import dedup
+    from encodesrv_spark.plans.corpus import _tokens_ne
+
+    docs = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    toks = dedup.fan_out(docs).select(_tokens_ne().alias("ts"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                "         slice(ts, 2, greatest(size(ts) - 1, 0)),"
+                "         (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    c = bg.groupBy("a", "b").agg(F.count("*").cast("double").alias("n_ab"))
+    rows = {(r["a"], r["b"]): r["n_ab"] for r in c.collect()}
+    assert rows == {("x", "y"): 2.0, ("y", "x"): 1.0}
+    # marginals over the bigram table: n_a(x)=2, n_b(y)=2, N=3
+    pmi = math.log2((2 / 3) / ((2 / 3) * (2 / 3)))
+    assert abs(pmi - math.log2(1.5)) < 1e-12
+
+
+def test_bigram_pmi_single_token_docs_yield_no_pairs(spark):
+    """slice+zip (not sequence) must make 0/1-token docs contribute
+    zero bigrams instead of erroring or emitting a degenerate pair."""
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "  ")], "doc_id long, text string"
+    )
+    from encodesrv_spark.operators import dedup
+    from encodesrv_spark.plans.corpus import _tokens_ne
+
+    toks = dedup.fan_out(docs).select(_tokens_ne().alias("ts"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                "         slice(ts, 2, greatest(size(ts) - 1, 0)),"
+                "         (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("p")
+    )
+    assert bg.count() == 0
+
+
+def test_doc_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(types); norm_entropy in [0, 1] (NULL only for
+    single-type docs); a constant doc has H = 0."""
+    out = mining.doc_token_entropy(spark, sf_dir).collect()
+    for r in out:
+        # 6-dp rounding can tip an exactly-uniform doc a hair over
+        # the H = log2(types) bound
+        assert 0 <= r["entropy_bits"] <= math.log2(max(r["n_types"], 2)) + 1e-5
+        if r["n_types"] > 1:
+            assert 0 <= r["norm_entropy"] <= 1 + 1e-5
+        else:
+            assert r["norm_entropy"] is None
+
+    # a constant doc collapses to one (doc, token) row -> H = 0 and
+    # norm_entropy NULL by the types>1 guard
+    const = spark.createDataFrame(
+        [(1, "a a a a a")], "doc_id long, text string"
+    )
+    from encodesrv_spark.operators import dedup
+    from encodesrv_spark.plans.corpus import _tokens_ne
+
+    tok = dedup.fan_out(const).select("doc_id", F.explode(_tokens_ne()).alias("t"))
+    c = tok.groupBy("doc_id", "t").agg(F.count("*").cast("double").alias("n"))
+    assert c.count() == 1
+
+
+def test_sq8_codes_reconstruct_within_half_step(spark, sf_dir):
+    """Scalar quantization contract: every reconstruction error is
+    bounded by (scale/2)² per dim, so the per-vector MSE is bounded by
+    max_scale²/4 — a wrong scale or clamp breaks this immediately."""
+    out = mining.embedding_sq8(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    # recompute the worst per-dim scale directly
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.operators.similarity import _as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        _as_double("embedding").alias("emb")
+    )
+    stats = (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(((F.max("x") - F.min("x")) / 255.0).alias("scale"))
+    )
+    max_scale = stats.agg(F.max("scale")).collect()[0][0]
+    bound = (max_scale / 2) ** 2 + 1e-9
+    assert all(r["mse"] <= bound for r in rows)
+    assert all(0 <= r["code_sum"] <= 255 * 64 for r in rows)
+
+
+def test_winsorize_means_contract(spark, sf_dir):
+    """Winsorized mean sits within [p01, p99]; clipping touches ~2% of
+    rows (exactly the tail mass for a continuous value column)."""
+    rows = mining.winsorize_values(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p01"] <= r["mean_winsorized"] <= r["p99"]
+        # continuous values: clipped fraction ≈ 2%, generous envelope
+        assert r["n_clipped"] / r["n"] < 0.05
+
+
+def test_threshold_curve_is_monotone_nonincreasing(spark, sf_dir):
+    """Raising the threshold can only shrink the flagged set — both the
+    pair count and the distinct-doc count must be non-increasing in
+    the threshold, and every configured threshold row must exist."""
+    rows = sorted(
+        mining.neardup_threshold_curve(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [round(r["threshold"], 1) for r in rows] == [
+        0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
+    ]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["n_pairs"] >= hi["n_pairs"]
+        assert lo["n_docs_flagged"] >= hi["n_docs_flagged"]
+        assert lo["n_docs_flagged"] <= 2 * lo["n_pairs"] or lo["n_pairs"] == 0
+
+
+def test_contrastive_pairs_planted_geometry(spark):
+    """Hand-built geometry: two tight same-label clusters far apart.
+    The positive must come from the query's own cluster with high
+    sim and the hard negative from the other cluster with low sim →
+    a clearly positive margin.  Then flip one label to plant an
+    impostor next to the query and the margin must collapse."""
+
+    def run(rows):
+        emb = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+        # same pipeline as the registry op, on the hand-built frame
+        from encodesrv_spark.operators.similarity import _as_double, dot
+
+        e = emb.select(
+            "vec_id", "label", _as_double("embedding").alias("emb")
+        ).withColumn("nrm", dot(F.col("emb"), F.col("emb")))
+        q = e.filter(F.col("vec_id") < 1).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+        scored = (
+            e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (F.col("label") == F.col("qlabel")).alias("same"),
+                F.round(
+                    dot(F.col("qemb"), F.col("emb"))
+                    / F.sqrt(F.col("qnrm") * F.col("nrm")),
+                    4,
+                ).alias("cos_sim"),
+            )
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id", "same").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        top = scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        same = F.col("same")
+        return top.groupBy("query_id").agg(
+            F.max(F.when(same, F.col("cos_sim"))).alias("pos_sim"),
+            F.max(F.when(~same, F.col("cos_sim"))).alias("neg_sim"),
+            F.max(F.when(same, F.col("neighbor_id"))).alias("pos_id"),
+        ).collect()[0]
+
+    base = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.99, 0.14]),
+        (2, 1, [0.0, 1.0]),
+        (3, 1, [0.1, 0.99]),
+    ]
+    r = run(base)
+    assert r["pos_id"] == 1
+    assert r["pos_sim"] - r["neg_sim"] > 0.5
+
+    # plant an impostor: nearest vector keeps its position, takes the
+    # other label → margin collapses (goes negative)
+    planted = [
+        (0, 0, [1.0, 0.0]),
+        (1, 1, [0.99, 0.14]),  # impostor
+        (2, 0, [0.0, 1.0]),
+        (3, 1, [0.1, 0.99]),
+    ]
+    r2 = run(planted)
+    assert r2["pos_sim"] < r2["neg_sim"]
+
+
+def test_contrastive_pairs_registry_output_shape(spark, sf_dir):
+    """End-to-end registry call: 8 query rows, margin == pos−neg at
+    4 dp, and ids are real corpus vectors distinct from the query."""
+    rows = mining.contrastive_pairs(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        if r["pos_sim"] is not None and r["neg_sim"] is not None:
+            assert abs(r["margin"] - round(r["pos_sim"] - r["neg_sim"], 4)) < 1e-9
+        assert r["pos_id"] != r["query_id"]
+        assert r["neg_id"] != r["query_id"]
