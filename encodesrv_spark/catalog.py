@@ -59,6 +59,14 @@ def _events_ts_is_nanos(path: str) -> bool:
 
     try:
         t = pq.read_schema(f).field("ts").type
+        # pyarrow reports legacy INT96 timestamps as timestamp[ns] too,
+        # but the INT64 raw-schema read below only works for physical
+        # INT64 — route INT96 to the native-read branch (Spark reads
+        # INT96 directly; µs precision is all the testdata carries)
+        meta = pq.ParquetFile(f).schema
+        idx = meta.names.index("ts")
+        if meta.column(idx).physical_type == "INT96":
+            return False
     except Exception:
         return False
     # typed check, NOT a substring test: str(timestamp[us, tz=...]) can

@@ -653,3 +653,461 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg_sim.alias("neg_sim"),
         F.round(pos_sim - neg_sim, 4).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_COV_CUTS = (100, 1000, 5000)
+
+
+@register(
+    "token_coverage_curve",
+    oracle=f"""
+        WITH tok AS (SELECT unnest({_TOKS_NE}) AS t FROM documents),
+        c AS (SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS n FROM c),
+        ranked AS (
+            SELECT t, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, t) AS rnk
+            FROM c
+        ),
+        cuts AS (SELECT unnest({list(_COV_CUTS)!r}::BIGINT[]) AS vocab_cut)
+        SELECT cuts.vocab_cut,
+               count(ranked.t)::BIGINT AS n_types,
+               round(coalesce(sum(ranked.cnt), 0) * 1.0 / tot.n, 6) AS coverage
+        FROM cuts LEFT JOIN ranked ON ranked.rnk <= cuts.vocab_cut, tot
+        GROUP BY cuts.vocab_cut, tot.n
+    """,
+    tags=("llm", "stats"),
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: what fraction of all corpus tokens a
+    top-k vocabulary covers, at the candidate vocab sizes — the chart
+    read before fixing a tokenizer's vocab budget (the knee is the
+    budget).
+
+    Scale shape: the frequency table is one corpus-scale aggregate; the
+    global ranking is then a TakeOrdered over max(cuts) rows — a
+    CONSTANT bound, so the single-partition window that follows runs on
+    a bounded frame, never on the (unbounded) full vocabulary.  The
+    grand total is a scalar from the same frequency frame (no second
+    corpus pass).  Ties at a cut boundary break on the token string on
+    both engines, so the curve is deterministic."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    c = (
+        d.select(F.explode(_tokens_ne()).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = c.agg(F.sum("cnt").alias("n"))
+    top = c.orderBy(F.desc("cnt"), F.asc("t")).limit(max(_COV_CUTS))
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("t")))
+    )
+    cuts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k).cast("long") for k in _COV_CUTS])).alias(
+            "vocab_cut"
+        )
+    )
+    return (
+        cuts.join(F.broadcast(ranked), F.col("rnk") <= F.col("vocab_cut"), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_cut", "n")
+        .agg(
+            F.count("t").alias("n_types"),
+            F.round(
+                F.coalesce(F.sum("cnt"), F.lit(0)) * F.lit(1.0) / F.col("n"), 6
+            ).alias("coverage"),
+        )
+        .select("vocab_cut", "n_types", "coverage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM user segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_rfm_segments",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   date_diff('day', max(ts)::DATE,
+                             (SELECT max(ts)::DATE FROM events))::BIGINT
+                       AS recency_days,
+                   count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+                       AS frequency,
+                   round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'),
+                                  0), 4) AS monetary
+            FROM events GROUP BY 1
+        ),
+        q AS (
+            SELECT quantile_cont(recency_days, 0.25) AS r1,
+                   quantile_cont(recency_days, 0.50) AS r2,
+                   quantile_cont(recency_days, 0.75) AS r3,
+                   quantile_cont(frequency, 0.25) AS f1,
+                   quantile_cont(frequency, 0.50) AS f2,
+                   quantile_cont(frequency, 0.75) AS f3,
+                   quantile_cont(monetary, 0.25) AS m1,
+                   quantile_cont(monetary, 0.50) AS m2,
+                   quantile_cont(monetary, 0.75) AS m3
+            FROM u
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               (4 - ((recency_days > r1)::INT + (recency_days > r2)::INT
+                     + (recency_days > r3)::INT))::BIGINT AS r_score,
+               (1 + (frequency > f1)::INT + (frequency > f2)::INT
+                  + (frequency > f3)::INT)::BIGINT AS f_score,
+               (1 + (monetary > m1)::INT + (monetary > m2)::INT
+                  + (monetary > m3)::INT)::BIGINT AS m_score,
+               concat(
+                   (4 - ((recency_days > r1)::INT + (recency_days > r2)::INT
+                         + (recency_days > r3)::INT))::VARCHAR,
+                   (1 + (frequency > f1)::INT + (frequency > f2)::INT
+                      + (frequency > f3)::INT)::VARCHAR,
+                   (1 + (monetary > m1)::INT + (monetary > m2)::INT
+                      + (monetary > m3)::INT)::VARCHAR) AS segment
+        FROM u, q
+    """,
+    tags=("extended", "stats"),
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over the event stream: per-user recency (days
+    since last activity vs the corpus high-water mark), purchase
+    frequency, and purchase monetary value, each scored 1-4 against the
+    user-population quartiles and concatenated into the classic
+    '444 = champion' segment code.
+
+    Shape: ONE fact pass builds the per-user frame (conditional
+    aggregates — no per-metric scans); the nine quartile thresholds are
+    a single one-row aggregate over that user frame, broadcast back for
+    the pure-expression scoring pass.  Threshold comparisons are strict
+    (>) on identically-rounded values, so scores are deterministic
+    cross-engine.  No ntile: a global ntile would single-partition the
+    whole user table, while broadcast thresholds keep scoring
+    embarrassingly parallel at any user count."""
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    corpus_max = ev.agg(F.max(F.to_date("ts")).alias("mx"))
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        ev.crossJoin(F.broadcast(corpus_max))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("mx"), F.max(F.to_date("ts")))
+            .cast("long")
+            .alias("recency_days"),
+            F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias("frequency"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)), 4
+            ).alias("monetary"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = u.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c[0]}{i + 1}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, p in enumerate((0.25, 0.50, 0.75))
+        ]
+    )
+    r_score = (
+        F.lit(4)
+        - (
+            (F.col("recency_days") > F.col("r1")).cast("int")
+            + (F.col("recency_days") > F.col("r2")).cast("int")
+            + (F.col("recency_days") > F.col("r3")).cast("int")
+        )
+    ).cast("long")
+    f_score = (
+        F.lit(1)
+        + (F.col("frequency") > F.col("f1")).cast("int")
+        + (F.col("frequency") > F.col("f2")).cast("int")
+        + (F.col("frequency") > F.col("f3")).cast("int")
+    ).cast("long")
+    m_score = (
+        F.lit(1)
+        + (F.col("monetary") > F.col("m1")).cast("int")
+        + (F.col("monetary") > F.col("m2")).cast("int")
+        + (F.col("monetary") > F.col("m3")).cast("int")
+    ).cast("long")
+    return u.crossJoin(F.broadcast(q)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        F.concat(
+            r_score.cast("string"), f_score.cast("string"), m_score.cast("string")
+        ).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hour-over-hour change points
+# ---------------------------------------------------------------------------
+
+_CHG_Z = 2.0
+
+
+@register(
+    "events_change_points",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   round(avg(value), 6) AS mean_value
+            FROM events GROUP BY 1, 2
+        ),
+        lagd AS (
+            SELECT event_type, hr, mean_value,
+                   round(mean_value - lag(mean_value) OVER w, 6) AS delta
+            FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+        ),
+        s AS (
+            SELECT event_type, round(stddev_samp(delta), 6) AS sd
+            FROM lagd WHERE delta IS NOT NULL GROUP BY 1
+        )
+        SELECT l.event_type,
+               strftime(l.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               l.mean_value, l.delta,
+               round(l.delta / nullif(s.sd, 0), 4) AS z
+        FROM lagd l JOIN s USING (event_type)
+        WHERE l.delta IS NOT NULL
+          AND abs(round(l.delta / nullif(s.sd, 0), 4)) > {_CHG_Z}
+    """,
+    tags=("extended", "events", "stats"),
+)
+def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour change-point flags: each event type's hourly mean
+    is differenced against the previous hour, the delta is standardized
+    by the type's own delta volatility, and hours whose |z| exceeds the
+    threshold are surfaced — level-shift detection that a plain
+    threshold on the mean misses (it adapts to each type's noise
+    floor).
+
+    Shape: one fact pass to hourly means (map-side-combinable), a lag
+    window per event type (hours-per-type partitions — bounded and
+    parallel), one tiny per-type volatility aggregate broadcast back.
+    The rounding ladder (means 6 dp → deltas 6 dp → sd 6 dp → z 4 dp)
+    makes every cross-engine comparison operate on identical doubles."""
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.avg("value"), 6).alias("mean_value"))
+    w = W.partitionBy("event_type").orderBy("hr")
+    lagd = h.withColumn(
+        "delta", F.round(F.col("mean_value") - F.lag("mean_value").over(w), 6)
+    ).filter(F.col("delta").isNotNull())
+    # two consumers of the lagged frame (the volatility aggregate and
+    # the final filter) — checkpoint so the fact scan + window run once
+    lagd = lagd.localCheckpoint(eager=True)
+    s = lagd.groupBy("event_type").agg(
+        F.round(F.stddev_samp("delta"), 6).alias("sd")
+    )
+    z = F.round(F.col("delta") / F.nullif(F.col("sd"), F.lit(0.0)), 4)
+    return (
+        lagd.join(F.broadcast(s), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > _CHG_Z)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "mean_value",
+            "delta",
+            "z",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sparse TF-IDF cosine pairs
+# ---------------------------------------------------------------------------
+
+_TFIDF_DF_CAP = 1000
+# the synthetic corpus draws from a small shared vocabulary, so lexical
+# cosine runs hot — 0.8 keeps the flagged set near-dup-sized (≈3% of
+# co-termed pairs at sf0.01) instead of flagging a third of the corpus
+_TFIDF_SIM_MIN = 0.8
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, unnest({_TOKS_NE}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        w AS (
+            SELECT tf.doc_id, tf.tok,
+                   round((tf.cnt * 1.0
+                          / sum(tf.cnt) OVER (PARTITION BY tf.doc_id))
+                         * ln(n.n_docs * 1.0 / df.df), 6) AS w
+            FROM tf JOIN df USING (tok), n
+            WHERE df.df <= {_TFIDF_DF_CAP}
+        ),
+        nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum(a.w * b.w) AS dp
+            FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(dp / sqrt(na.n2 * nb.n2), 4) AS cos_sim
+        FROM dots
+        JOIN nrm na ON na.doc_id = doc_a
+        JOIN nrm nb ON nb.doc_id = doc_b
+        WHERE round(dp / sqrt(na.n2 * nb.n2), 4) >= {_TFIDF_SIM_MIN}
+    """,
+    tags=("llm", "dedup", "retrieval"),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs — the lexical-vector
+    near-dup detector: where Jaccard sees shared shingles and embedding
+    cosine sees dense semantics, TF-IDF cosine weighs shared RARE terms,
+    catching topical duplicates that shuffle their wording.
+
+    Same scale skeleton as `jaccard_pairs`: the inverted index is the
+    join key (only co-termed docs ever meet), and the df-cap drops
+    stop-terms BEFORE the self-join — a term in >{_TFIDF_DF_CAP} docs
+    both blows the self-join quadratically AND carries ~0 idf weight,
+    so pruning it is simultaneously the perf guard and a no-op on the
+    scores that matter.  Weights are rounded 6 dp BEFORE the pair
+    products so cross-engine ln() ulps cannot move a similarity; the
+    weighted frame feeds norms + both join sides from one checkpoint."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(_tokens_ne()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.withColumn("doc_len", F.sum("cnt").over(W.partitionBy("doc_id")))
+        .join(df_tbl.filter(F.col("df") <= _TFIDF_DF_CAP), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("cnt") * 1.0 / F.col("doc_len"))
+                * F.log(F.col("n_docs") * 1.0 / F.col("df")),
+                6,
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dp"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    sim = F.round(F.col("dp") / F.sqrt(F.col("na2") * F.col("nb2")), 4)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _TFIDF_SIM_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding norm outliers
+# ---------------------------------------------------------------------------
+
+_NORM_Z = 3.5  # Iglewicz-Hoaglin modified-z cutoff
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   round(sqrt(list_inner_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])), 6) AS nrm
+            FROM embeddings
+        ),
+        med AS (SELECT quantile_cont(nrm, 0.5) AS med FROM e),
+        mad AS (
+            SELECT quantile_cont(abs(e.nrm - med.med), 0.5) AS mad
+            FROM e, med
+        )
+        SELECT e.vec_id, e.nrm,
+               round(0.6745 * (e.nrm - med.med) / nullif(mad.mad, 0), 4)
+                   AS modified_z,
+               (abs(round(0.6745 * (e.nrm - med.med) / nullif(mad.mad, 0), 4))
+                > {_NORM_Z}) AS is_outlier
+        FROM e, med, mad
+    """,
+    tags=("llm", "quality", "similarity"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity gate: robust modified-z of each vector's L2
+    norm against the corpus median/MAD, flagging degenerate vectors
+    (zero-ish norms from failed encodes, exploding norms from numeric
+    bugs) before they poison cosine ANN — median/MAD instead of
+    mean/stddev exactly because the outliers being hunted would drag
+    the mean.
+
+    Shape: norms are a per-row array fold (one corpus pass); the median
+    and the MAD are two successive one-row aggregates over the norm
+    frame (checkpointed once), broadcast back for the pure-expression
+    scoring — no window, no shuffle of the corpus itself.  The norm
+    fold is in-order on both engines, and the median/MAD/z ladder is
+    rounded 6/4 dp, so flags are deterministic."""
+    prep(spark)
+    from encodesrv_spark.operators.similarity import sq_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_norm(_as_double("embedding"))), 6).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    med = e.agg(F.percentile("nrm", F.lit(0.5)).alias("med"))
+    mad = (
+        e.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("nrm") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    z = F.round(
+        F.lit(0.6745)
+        * (F.col("nrm") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0)),
+        4,
+    )
+    return (
+        e.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id",
+            "nrm",
+            z.alias("modified_z"),
+            (F.abs(z) > _NORM_Z).alias("is_outlier"),
+        )
+    )

@@ -251,3 +251,105 @@ def test_contrastive_pairs_registry_output_shape(spark, sf_dir):
             assert abs(r["margin"] - round(r["pos_sim"] - r["neg_sim"], 4)) < 1e-9
         assert r["pos_id"] != r["query_id"]
         assert r["neg_id"] != r["query_id"]
+
+
+# ---------------------------------------------------------------------------
+# batch 3
+# ---------------------------------------------------------------------------
+
+
+def test_token_coverage_curve_monotone(spark, sf_dir):
+    """Coverage is non-decreasing in the vocab cut, bounded by 1, and
+    n_types never exceeds the cut (or the true vocab)."""
+    rows = sorted(
+        mining.token_coverage_curve(spark, sf_dir).collect(),
+        key=lambda r: r["vocab_cut"],
+    )
+    assert [r["vocab_cut"] for r in rows] == [100, 1000, 5000]
+    for r in rows:
+        assert 0 < r["coverage"] <= 1.0
+        assert r["n_types"] <= r["vocab_cut"]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["coverage"] >= lo["coverage"]
+        assert hi["n_types"] >= lo["n_types"]
+
+
+def test_rfm_scores_in_range_and_segment_consistent(spark, sf_dir):
+    rows = mining.user_rfm_segments(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    # quartile scoring must actually spread: both extremes occur
+    for col in ("f_score", "m_score"):
+        vals = {r[col] for r in rows}
+        assert 1 in vals and 4 in vals
+
+
+def test_change_points_flags_planted_level_shift(spark, tmp_path):
+    """A flat hourly series with one large level shift: only the shift
+    hour (and possibly its reversion) may be flagged, and the planted
+    hour MUST be."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        # two events per hour, value 10 except a +1000 burst at hour 24
+        v = 1010.0 if h == 24 else 10.0
+        for k in range(2):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=k), 1, "click", v, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = mining.events_change_points(spark, str(tmp_path)).collect()
+    flagged = {r["hour_start"] for r in out}
+    assert "2026-01-02 00:00:00" in flagged  # hour 24: the +1000 jump
+    assert "2026-01-02 01:00:00" in flagged  # hour 25: the reversion
+    assert len(flagged) == 2
+
+
+def test_tfidf_cosine_pairs_planted_twin(spark, tmp_path):
+    """A near-verbatim rewording (shared rare terms) must score near 1;
+    a disjoint-vocabulary doc must produce no pair at all."""
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor resonance chamber experiment", "en", "s", 1),
+            (2, "quantum flux capacitor resonance chamber experiment", "en", "s", 1),
+            (3, "completely different words about gardening tulips", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = mining.tfidf_cosine_pairs(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["cos_sim"] for r in out}
+    assert pairs.get((1, 2)) == 1.0
+    assert all({a, b} == {1, 2} for (a, b) in pairs)
+
+
+def test_norm_outliers_flags_planted_giant(spark, tmp_path):
+    """500 unit-ish vectors plus one 100x-norm vector: exactly the
+    giant is flagged by the modified-z gate."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(0.9, 1.1) for _ in range(8)], 0) for i in range(100)
+    ]
+    rows.append((100, [100.0] * 8, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = mining.embedding_norm_outliers(spark, str(tmp_path)).collect()
+    flagged = {r["vec_id"] for r in out if r["is_outlier"]}
+    assert flagged == {100}
