@@ -2079,3 +2079,138 @@ def part_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lcc"),
         )
     )
+
+
+@register(
+    "part_edge_embeddedness",
+    oracle=f"""
+        WITH {_COPURCHASE_EDGE_CTES},
+        deg AS (
+            SELECT node, count(*)::BIGINT AS d FROM (
+                SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e
+            ) GROUP BY node
+        ),
+        o AS (
+            SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+                        THEN e.p1 ELSE e.p2 END AS u,
+                   CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+                        THEN e.p2 ELSE e.p1 END AS v,
+                   CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
+                        THEN d2.d ELSE d1.d END AS dv
+            FROM e
+            JOIN deg d1 ON d1.node = e.p1
+            JOIN deg d2 ON d2.node = e.p2
+        ),
+        tri AS (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM o a
+            JOIN o b ON a.u = b.u
+                    AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))
+            JOIN o c ON c.u = a.v AND c.v = b.v
+        ),
+        trie AS (
+            SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
+            UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+            UNION ALL SELECT least(y, z), greatest(y, z) FROM tri
+        ),
+        ecnt AS (SELECT a, b, count(*)::BIGINT AS common FROM trie GROUP BY 1, 2)
+        SELECT e.p1, e.p2,
+               d1.d AS deg_a, d2.d AS deg_b,
+               coalesce(ecnt.common, 0)::BIGINT AS common_neighbors,
+               round(coalesce(ecnt.common, 0) * 1.0
+                     / nullif(d1.d + d2.d - 2 - coalesce(ecnt.common, 0), 0), 6)
+                   AS nbr_jaccard
+        FROM e
+        JOIN deg d1 ON d1.node = e.p1
+        JOIN deg d2 ON d2.node = e.p2
+        LEFT JOIN ecnt ON ecnt.a = e.p1 AND ecnt.b = e.p2
+    """,
+    tags=("extended", "graph"),
+)
+def part_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge embeddedness / topological overlap: for every
+    co-purchase edge, the number of shared neighbors and the Jaccard of
+    the two endpoint neighborhoods (excluding the endpoints
+    themselves) — THE edge-strength signal of graph sparsification
+    (keep embedded edges, drop bridges) and of Granovetter-style
+    weak-tie analysis.
+
+    Scale shape: computing |N(u)∩N(v)| per edge naively is a
+    Σdeg² wedge join — hub-fatal; instead every triangle from the
+    degree-oriented enumeration (the O(m^1.5) bound shared with
+    part_copurchase_triangles / part_local_clustering) is exploded to
+    its THREE member edges and counted per normalized edge key, so
+    per-edge common-neighbor counts inherit the hub-safe bound.  The
+    degree-1-endpoints denominator (d_a + d_b − 2 − common = 0) is
+    nullif-guarded identically on both engines."""
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    d1 = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    o = (
+        e.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+            F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+            F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("dv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wa = o.select("u", F.col("v").alias("va"), F.col("dv").alias("da"))
+    wb = o.select("u", F.col("v").alias("vb"), F.col("dv").alias("db"))
+    tri = (
+        wa.join(wb, "u")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("va") < F.col("vb")))
+        )
+        .join(o.select(F.col("u").alias("va"), F.col("v").alias("vb")), ["va", "vb"])
+    )
+    trie = (
+        tri.select(
+            F.least("u", "va").alias("a"), F.greatest("u", "va").alias("b")
+        )
+        .unionAll(
+            tri.select(
+                F.least("u", "vb").alias("a"), F.greatest("u", "vb").alias("b")
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.least("va", "vb").alias("a"), F.greatest("va", "vb").alias("b")
+            )
+        )
+    )
+    ecnt = trie.groupBy("a", "b").agg(F.count("*").alias("common"))
+    common = F.coalesce(F.col("common"), F.lit(0).cast("long"))
+    denom = F.col("d1") + F.col("d2") - F.lit(2) - common
+    return (
+        e.join(d1, "p1")
+        .join(d2, "p2")
+        .join(
+            ecnt,
+            (F.col("a") == F.col("p1")) & (F.col("b") == F.col("p2")),
+            "left",
+        )
+        .select(
+            "p1",
+            "p2",
+            F.col("d1").alias("deg_a"),
+            F.col("d2").alias("deg_b"),
+            common.alias("common_neighbors"),
+            F.round(
+                common * F.lit(1.0) / F.nullif(denom, F.lit(0)), 6
+            ).alias("nbr_jaccard"),
+        )
+    )

@@ -287,11 +287,11 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQ_DIMS = 64
 
-
-@register(
-    "embedding_sq8",
-    oracle=f"""
-        WITH e AS ({_EMB}),
+# shared CTE chain: per-dim range fit -> sorted min/scale arrays ->
+# per-vector int8 codes (embedded by both the sq8 audit and sq8 ANN
+# oracles so every constant stays identical)
+_SQ8_CODED_CTES = f"""
+        e AS ({{emb}}),
         stats AS (
             SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
             FROM e, unnest(generate_series(1, {_SQ_DIMS})) AS u(i)
@@ -311,7 +311,46 @@ _SQ_DIMS = 64
                                  ELSE 0 END) AS codes,
                    emb, mins, scales
             FROM e, arrs
-        )
+        )"""
+
+
+def _sq8_coded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, mins, scales, codes) — the Spark twin of
+    _SQ8_CODED_CTES: one corpus pass fits the 64 per-dim ranges
+    (broadcast as a one-row frame), coding is per-row array arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    stats = (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+            lambda s: (s.mx - s.mn) / F.lit(255.0),
+        ).alias("scales"),
+    )
+    return e.crossJoin(F.broadcast(arrs)).withColumn(
+        "codes",
+        F.expr(
+            f"transform(sequence(1, {_SQ_DIMS}),"
+            " i -> CASE WHEN scales[i - 1] > 0"
+            "           THEN CAST(least(255, greatest(0,"
+            "                round((emb[i - 1] - mins[i - 1]) / scales[i - 1]))) AS BIGINT)"
+            "           ELSE CAST(0 AS BIGINT) END)"
+        ),
+    )
+
+
+@register(
+    "embedding_sq8",
+    oracle=f"""
+        WITH {_SQ8_CODED_CTES.format(emb=_EMB)}
         SELECT vec_id,
                list_sum(codes)::BIGINT AS code_sum,
                round(list_sum(list_transform(generate_series(1, {_SQ_DIMS}),
@@ -336,33 +375,7 @@ def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines → identical round()); the MSE is an in-order array fold,
     bit-identical across engines before the 6 dp rounding."""
     prep(spark)
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
-    )
-    stats = (
-        e.select(F.posexplode("emb").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    )
-    arrs = stats.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
-        ).alias("mins"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
-            lambda s: (s.mx - s.mn) / F.lit(255.0),
-        ).alias("scales"),
-    )
-    coded = e.crossJoin(F.broadcast(arrs)).withColumn(
-        "codes",
-        F.expr(
-            f"transform(sequence(1, {_SQ_DIMS}),"
-            " i -> CASE WHEN scales[i - 1] > 0"
-            "           THEN CAST(least(255, greatest(0,"
-            "                round((emb[i - 1] - mins[i - 1]) / scales[i - 1]))) AS BIGINT)"
-            "           ELSE CAST(0 AS BIGINT) END)"
-        ),
-    )
+    coded = _sq8_coded_frame(spark, sf_dir)
     return coded.select(
         "vec_id",
         F.aggregate(
@@ -377,6 +390,94 @@ def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _SQ_DIMS,
             6,
         ).alias("mse"),
+    )
+
+
+_SQ8_ANN_QUERIES = 8
+_SQ8_ANN_K = 3
+
+
+@register(
+    "embedding_sq8_ann",
+    oracle=f"""
+        WITH {_SQ8_CODED_CTES.format(emb=_EMB)},
+        deq AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, {_SQ_DIMS}),
+                       i -> mins[i] + codes[i] * scales[i]) AS r
+            FROM coded
+        ),
+        q AS (
+            SELECT vec_id AS query_id, emb AS qemb
+            FROM e WHERE vec_id < {_SQ8_ANN_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, deq.vec_id AS neighbor_id,
+                   round(list_inner_product(q.qemb, deq.r) /
+                         sqrt(list_inner_product(q.qemb, q.qemb)
+                              * list_inner_product(deq.r, deq.r)), 4)
+                       AS approx_cos
+            FROM deq, q WHERE deq.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, approx_cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id
+               )::BIGINT AS rnk
+        FROM scored
+        QUALIFY rnk <= {_SQ8_ANN_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the int8-quantized corpus — the ADC (asymmetric
+    distance computation) companion of `embedding_sq8`, mirroring what
+    `embedding_pq_ann` does for PQ codes: full-precision queries score
+    against the SQ8-dequantized corpus, so the exhaustive scan reads
+    1 byte/dim instead of 4 (the bandwidth win), at a reconstruction
+    error the `embedding_sq8` MSE audit quantifies.
+
+    Shape: the range arrays ride the same one-row broadcast as the
+    coding pass, dequantization is a per-row transform (no shuffle),
+    the constant query set broadcasts, and the top-k is one window per
+    query partition.  Dequantized values are exact IEEE expressions of
+    exact ints, so approx_cos is bit-identical cross-engine before the
+    4 dp rounding; ties break on neighbor_id."""
+    prep(spark)
+    coded = _sq8_coded_frame(spark, sf_dir)
+    deq = coded.withColumn(
+        "r",
+        F.expr(
+            f"transform(sequence(1, {_SQ_DIMS}),"
+            " i -> mins[i - 1] + codes[i - 1] * scales[i - 1])"
+        ),
+    ).select("vec_id", "r", dot(F.col("r"), F.col("r")).alias("rnrm"))
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SQ8_ANN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double("embedding").alias("qemb"),
+        )
+        .withColumn("qnrm", dot(F.col("qemb"), F.col("qemb")))
+    )
+    scored = (
+        deq.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qemb"), F.col("r"))
+                / F.sqrt(F.col("qnrm") * F.col("rnrm")),
+                4,
+            ).alias("approx_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _SQ8_ANN_K)
+        .select("query_id", "neighbor_id", "approx_cos", "rnk")
     )
 
 

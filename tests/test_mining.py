@@ -353,3 +353,54 @@ def test_norm_outliers_flags_planted_giant(spark, tmp_path):
     out = mining.embedding_norm_outliers(spark, str(tmp_path)).collect()
     flagged = {r["vec_id"] for r in out if r["is_outlier"]}
     assert flagged == {100}
+
+
+def test_sq8_ann_scores_track_exact_cosine(spark, sf_dir):
+    """ADC over SQ8 codes is an approximation with a bounded error:
+    every returned approx_cos must sit within a small envelope of the
+    exact cosine for the same (query, neighbor) pair."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.operators.similarity import brute_force_knn
+
+    ann = mining.embedding_sq8_ann(spark, sf_dir)
+    exact = brute_force_knn(
+        load_table(spark, sf_dir, "embeddings"), n_query_vecs=8, k=500
+    ).select("query_id", "neighbor_id", "cos_sim")
+    joined = ann.join(exact, ["query_id", "neighbor_id"]).select(
+        F.abs(F.col("approx_cos") - F.col("cos_sim")).alias("err")
+    )
+    mx = joined.agg(F.max("err")).collect()[0][0]
+    assert mx is not None and mx < 0.02
+
+
+def test_edge_embeddedness_hand_graph(spark, tmp_path):
+    """Triangle {1,2,3} plus pendant edge (3,4), each basket twice for
+    support>=2: edge (1,2) has exactly one shared neighbor (3) and
+    nbr_jaccard 1/(2+2-2-1) = 1.0; the bridge (3,4) has zero shared
+    neighbors and jaccard 0."""
+    rows = []
+    for okey, parts in [
+        (1, [1, 2, 3]),
+        (2, [1, 2, 3]),
+        (3, [3, 4]),
+        (4, [3, 4]),
+    ]:
+        for p in parts:
+            rows.append((okey, p))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    from encodesrv_spark.plans.extended import part_edge_embeddedness
+
+    out = {
+        (r["p1"], r["p2"]): r
+        for r in part_edge_embeddedness(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3), (3, 4)}
+    assert out[(1, 2)]["common_neighbors"] == 1
+    assert out[(1, 2)]["nbr_jaccard"] == 1.0
+    assert out[(3, 4)]["common_neighbors"] == 0
+    assert out[(3, 4)]["nbr_jaccard"] == 0.0
+    # degrees: 1,2 have deg 2; 3 has deg 3; 4 has deg 1
+    assert (out[(3, 4)]["deg_a"], out[(3, 4)]["deg_b"]) == (3, 1)
