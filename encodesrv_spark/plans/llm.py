@@ -356,9 +356,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "quality_score",
-    oracle=f"""
+# per-doc composite quality score, shared by quality_score and the
+# per-source calibration query (plans/mining.py)
+_QUALITY_SQL = f"""
         WITH m AS (
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars_m,
@@ -373,7 +373,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + 0.3 * (n_types * 1.0 / n_tokens)
                      + 0.3 * least(n_stop / 20.0, 1.0), 4) AS score
         FROM m
-    """,
+    """
+
+
+@register(
+    "quality_score",
+    oracle=_QUALITY_SQL,
     tags=("llm", "text"),
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,10 +1006,11 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-        WITH RECURSIVE sig AS ({_SIG8}),
+# LSH candidate pairs -> undirected edges -> min-label connected
+# components, as recursive CTEs.  Shared by dedup_clusters and the
+# cluster-size histogram (plans/mining.py); embed as
+# f"WITH RECURSIVE {_CLUSTERS_CTES} SELECT ... FROM walk ...".
+_CLUSTERS_CTES = f"""sig AS ({_SIG8}),
         bands AS (
             SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
             UNION ALL
@@ -1028,7 +1034,13 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT src, src FROM (SELECT DISTINCT src FROM edges)
             UNION
             SELECT e.src, w.comp FROM edges e JOIN walk w ON w.node = e.dst
-        )
+        )"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_CLUSTERS_CTES}
         SELECT node AS doc_id, min(comp)::BIGINT AS component
         FROM walk GROUP BY node
     """,

@@ -30,7 +30,7 @@ from encodesrv_spark.functions.hashing import stable_hash64_sql
 from encodesrv_spark.operators import dedup
 from encodesrv_spark.operators.similarity import _as_double, dot
 from encodesrv_spark.plans.corpus import _tokens_ne, _TOKS_NE
-from encodesrv_spark.plans.llm import _EMB, _SHINGLES3
+from encodesrv_spark.plans.llm import _CLUSTERS_CTES, _EMB, _QUALITY_SQL, _SHINGLES3
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
 
@@ -1212,3 +1212,132 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > _NORM_Z).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source quality calibration
+# ---------------------------------------------------------------------------
+
+_QCAL_KEEP_FRAC = 0.3  # drop the bottom 30% — globally vs per-source
+
+
+@register(
+    "quality_percentile_by_source",
+    oracle=f"""
+        WITH q AS ({_QUALITY_SQL}),
+        j AS (
+            SELECT q.doc_id, d.source, q.score
+            FROM q JOIN documents d USING (doc_id)
+        ),
+        t AS (SELECT quantile_cont(score, {_QCAL_KEEP_FRAC}) AS thr FROM j)
+        SELECT doc_id, source, score,
+               round(percent_rank() OVER w, 6) AS src_pr,
+               (score >= t.thr) AS keep_global,
+               (percent_rank() OVER w >= {_QCAL_KEEP_FRAC}) AS keep_calibrated
+        FROM j, t
+        WINDOW w AS (PARTITION BY source ORDER BY score)
+    """,
+    tags=("llm", "quality", "sampling"),
+)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: each document's quality score is
+    re-expressed as a percentile WITHIN its source, and the keep
+    decision is made both ways — one global score threshold vs a
+    per-source percentile threshold.  The comparison is the point: a
+    global cutoff silently starves sources whose score distribution
+    sits low (different style, not worse data); per-source calibration
+    keeps the same fraction of every source.  The disagreement rows
+    (kept globally but not calibrated, or vice versa) are the
+    curation-policy diff a pipeline owner reviews.
+
+    Shape: composes the registered `quality_score` frame (one corpus
+    pass), joins the doc→source map (doc_id-keyed), one percent_rank
+    window per source partition — bounded parallel, never a global
+    sort — and one scalar 30th-percentile aggregate broadcast for the
+    global threshold.  percent_rank is integer rank arithmetic
+    ((rank−1)/(n−1)), bit-identical cross-engine, so both keep flags
+    are deterministic without rounding tricks."""
+    prep(spark)
+    from encodesrv_spark.plans.llm import quality_score
+
+    q = quality_score(spark, sf_dir).select("doc_id", "score")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = q.join(src, "doc_id")
+    thr = j.agg(
+        F.percentile("score", F.lit(_QCAL_KEEP_FRAC)).alias("thr")
+    )
+    pr = F.percent_rank().over(W.partitionBy("source").orderBy("score"))
+    return (
+        j.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            F.round(pr, 6).alias("src_pr"),
+            (F.col("score") >= F.col("thr")).alias("keep_global"),
+            (pr >= _QCAL_KEEP_FRAC).alias("keep_calibrated"),
+        )
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster-size histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+        WITH RECURSIVE {_CLUSTERS_CTES},
+        comp AS (
+            SELECT node AS doc_id, min(comp)::BIGINT AS component
+            FROM walk GROUP BY node
+        ),
+        sizes AS (
+            SELECT component, count(*)::BIGINT AS cluster_size
+            FROM comp GROUP BY 1
+        )
+        SELECT cluster_size,
+               count(*)::BIGINT AS n_clusters,
+               (cluster_size * count(*))::BIGINT AS n_docs,
+               ((cluster_size - 1) * count(*))::BIGINT AS n_removable
+        FROM sizes GROUP BY cluster_size
+    """,
+    tags=("llm", "dedup", "stats"),
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-structure histogram: how many near-dup clusters
+    exist at each size, how many documents they hold, and how many of
+    those are removable (all but one keeper per cluster) — the
+    one-table answer to 'how much does dedup actually save?', and the
+    shape that distinguishes a corpus of pairwise dups (many size-2
+    clusters) from template explosions (few giant clusters).
+
+    Composes the registered `dedup_clusters` output (LSH pairs →
+    connected components): one component-size aggregate, one
+    size-histogram aggregate — both tiny after the first groupBy.
+    Clusters are ≥2 docs by construction (components of the pair
+    graph), so removable = size − 1 per cluster."""
+    prep(spark)
+    from encodesrv_spark.plans.llm import dedup_clusters
+
+    comp = dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+    )
+
+

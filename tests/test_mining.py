@@ -404,3 +404,39 @@ def test_edge_embeddedness_hand_graph(spark, tmp_path):
     assert out[(3, 4)]["nbr_jaccard"] == 0.0
     # degrees: 1,2 have deg 2; 3 has deg 3; 4 has deg 1
     assert (out[(3, 4)]["deg_a"], out[(3, 4)]["deg_b"]) == (3, 1)
+
+
+def test_quality_calibration_keeps_same_fraction_per_source(spark, sf_dir):
+    """The whole point of per-source calibration: every source keeps
+    ~the same fraction (1 - keep_frac), while the global threshold's
+    per-source keep rate varies with the source's score distribution."""
+    rows = mining.quality_percentile_by_source(spark, sf_dir).collect()
+    assert rows
+    per_src = {}
+    for r in rows:
+        a = per_src.setdefault(r["source"], [0, 0, 0])
+        a[0] += 1
+        a[1] += bool(r["keep_calibrated"])
+        a[2] += bool(r["keep_global"])
+    cal_rates = [kept / n for n, kept, _ in per_src.values()]
+    # percent_rank >= 0.3 keeps the top ~70% of every source
+    assert all(0.6 <= rate <= 0.8 for rate in cal_rates)
+    # consistency: src_pr in [0,1]; keep_calibrated == (src_pr >= 0.3)
+    for r in rows:
+        assert 0 <= r["src_pr"] <= 1
+        assert r["keep_calibrated"] == (r["src_pr"] >= 0.3 - 1e-9)
+
+
+def test_cluster_size_hist_accounts_for_all_clustered_docs(spark, sf_dir):
+    """Histogram mass must equal the clustered-doc count from the
+    underlying components, removable = docs - clusters, sizes >= 2."""
+    from encodesrv_spark.plans.llm import dedup_clusters
+
+    hist = mining.dedup_cluster_size_hist(spark, sf_dir).collect()
+    comp = dedup_clusters(spark, sf_dir)
+    n_docs = comp.count()
+    n_clusters = comp.select("component").distinct().count()
+    assert sum(r["n_docs"] for r in hist) == n_docs
+    assert sum(r["n_clusters"] for r in hist) == n_clusters
+    assert sum(r["n_removable"] for r in hist) == n_docs - n_clusters
+    assert all(r["cluster_size"] >= 2 for r in hist)
