@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -244,5 +246,110 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# causal change-point detection
+# ---------------------------------------------------------------------------
+
+CHG_OUTPUT_SCHEMA = (
+    "event_type string, hour_epoch long, mean_value double, delta double,"
+    " z double, flagged boolean"
+)
+CHG_STATE_SCHEMA = (
+    "cur_hour long, cur_sum double, cur_n long,"
+    " prev_mean double, has_prev boolean,"
+    " nd long, mean_d double, m2_d double"
+)
+_CHG_Z = 2.0
+_HOUR_US = 3_600_000_000
+
+
+def _update_change_points(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Causal hour-over-hour change-point detector — the streaming twin
+    of `plans/mining.events_change_points`.  State per event type: the
+    OPEN hour's running (sum, n), the last CLOSED hour's mean, and a
+    Welford sketch (n, mean, M2) over all closed-hour deltas so far.
+
+    Where the batch op standardizes each delta by the FULL-SAMPLE delta
+    stddev (it sees all hours at once), the causal form can only use
+    the deltas observed so far — flags can differ near the start by
+    construction, which is why the twin test compares the planted-shift
+    flags and the closed-hour means, not the full flag sets.  A delta
+    arriving while the running stddev is still 0 (flat history) flags
+    iff it is nonzero (infinite z, emitted as NULL).
+
+    An hour closes only when a later-hour event arrives for the key —
+    event-time order within the key is required (same contract as
+    `_update_ewma`; production would watermark+sort via foreachBatch).
+    State is O(1) doubles per event type at any corpus size."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        cur_hour, cur_sum, cur_n, prev_mean, has_prev, nd, mean_d, m2_d = state.get
+    else:
+        cur_hour, cur_sum, cur_n = -1, 0.0, 0
+        prev_mean, has_prev = 0.0, False
+        nd, mean_d, m2_d = 0, 0.0, 0.0
+
+    out_rows = []
+
+    def close_hour() -> None:
+        nonlocal prev_mean, has_prev, nd, mean_d, m2_d
+        mean = round(cur_sum / cur_n, 6)
+        if has_prev:
+            delta = round(mean - prev_mean, 6)
+            sd = math.sqrt(m2_d / (nd - 1)) if nd >= 2 else 0.0
+            if sd > 0:
+                z = round(delta / sd, 4)
+                flagged = abs(z) > _CHG_Z
+            else:
+                z, flagged = None, delta != 0.0
+            out_rows.append(
+                (key[0], cur_hour, mean, delta, z, flagged)
+            )
+            # Welford over closed-hour deltas
+            nd += 1
+            d1 = delta - mean_d
+            mean_d += d1 / nd
+            m2_d += d1 * (delta - mean_d)
+        prev_mean, has_prev = mean, True
+
+    allpdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(allpdf):
+        for _, row in allpdf.sort_values(["tus", "event_id"]).iterrows():
+            hour = (int(row["tus"]) // _HOUR_US) * 3600
+            if hour != cur_hour:
+                if cur_n > 0:
+                    close_hour()
+                cur_hour, cur_sum, cur_n = hour, 0.0, 0
+            cur_sum += float(row["value"])
+            cur_n += 1
+    state.update(
+        (cur_hour, cur_sum, cur_n, prev_mean, has_prev, nd, mean_d, m2_d)
+    )
+    state.setTimeoutDuration(3_600_000)
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "event_type", "hour_epoch", "mean_value", "delta", "z", "flagged",
+            ],
+        )
+
+
+def change_points_stream(events: DataFrame) -> DataFrame:
+    """Per-event-type causal change-point stream (closed-hour means,
+    deltas, running-volatility z-scores) as keyed streaming state."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_change_points,
+        outputStructType=CHG_OUTPUT_SCHEMA,
+        stateStructType=CHG_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

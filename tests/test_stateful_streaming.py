@@ -297,3 +297,77 @@ def test_ewma_stream_matches_batch_within_truncation_tail(spark, tmp_path, sf_di
     tail = (1 - 0.5) ** 8 * max_val * 2
     for t in exact:
         assert abs(exact[t] - batch[t]) <= tail, (t, exact[t], batch[t], tail)
+
+
+def test_change_points_stream_flags_planted_shift_and_matches_batch_means(
+    spark, tmp_path
+):
+    """Streaming twin of mining.events_change_points on the planted
+    level-shift series: the causal detector must flag the same planted
+    jump (and reversion), and every closed hour's mean must equal the
+    batch op's hourly mean exactly (same 6 dp rounding)."""
+    import datetime as dt
+
+    from encodesrv_spark.streaming.stateful import change_points_stream
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        v = 1010.0 if h == 24 else 10.0
+        for k in range(2):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=k), 1, "click", v, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    src = str(tmp_path / "chg_events")
+    df.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.unix_micros("ts")).alias("tus"),
+    ).orderBy("tus", "event_id").coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double, tus long"
+    ).parquet(src)
+    q = (
+        change_points_stream(stream)
+        .writeStream.format("memory")
+        .queryName("chg_points")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_chg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT * FROM chg_points").collect()
+    # 48 hours, last one never closes (no later event), first closed
+    # hour has no previous -> 46 delta rows
+    assert len(out) == 46
+    flagged = {r["hour_epoch"] for r in out if r["flagged"]}
+    h24 = int(dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc).timestamp())
+    h25 = h24 + 3600
+    assert h24 in flagged and h25 in flagged
+    # flat-history hours (delta 0, sd 0) must NOT be flagged
+    assert all(h in (h24, h25) for h in flagged)
+
+    from encodesrv_spark.plans.mining import events_change_points
+
+    batch = events_change_points(spark, str(tmp_path)).collect()
+    batch_flags = {r["hour_start"] for r in batch}
+    assert batch_flags == {"2026-01-02 00:00:00", "2026-01-02 01:00:00"}
+    # closed-hour means agree exactly with the batch aggregation
+    stream_means = {r["hour_epoch"]: r["mean_value"] for r in out}
+    assert stream_means[h24] == 1010.0
+    assert all(
+        m == 10.0 for h, m in stream_means.items() if h not in (h24,)
+    )
