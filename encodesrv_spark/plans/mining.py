@@ -1341,3 +1341,195 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# principal component via power iteration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_top_pc",
+    # v0 = 1/sqrt(64) = 0.125 exactly (dyadic), so the start vector is
+    # bit-identical cross-engine; components are rounded to 6 dp after
+    # every normalization so iteration k+1 consumes identical doubles
+    oracle=f"""
+        WITH e AS ({_EMB}),
+        mu AS (
+            SELECT list(m ORDER BY i) AS mus FROM (
+                SELECT i, avg(emb[i]) AS m
+                FROM e, unnest(generate_series(1, {_SQ_DIMS})) AS u(i)
+                GROUP BY 1
+            )
+        ),
+        c AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, {_SQ_DIMS}),
+                                  i -> emb[i] - mus[i]) AS x
+            FROM e, mu
+        ),
+        y0 AS (SELECT vec_id, x, list_sum(x) * 0.125 AS y FROM c),
+        s1 AS (
+            SELECT i, round(sum(x[i] * y), 6) AS s
+            FROM y0, unnest(generate_series(1, {_SQ_DIMS})) AS u(i) GROUP BY 1
+        ),
+        n1 AS (SELECT sqrt(sum(s * s)) AS nrm FROM s1),
+        v1 AS (SELECT list(round(s / nrm, 6) ORDER BY i) AS va FROM s1, n1),
+        y1 AS (SELECT vec_id, x, list_inner_product(x, va) AS y FROM c, v1),
+        s2 AS (
+            SELECT i, round(sum(x[i] * y), 6) AS s
+            FROM y1, unnest(generate_series(1, {_SQ_DIMS})) AS u(i) GROUP BY 1
+        ),
+        n2 AS (SELECT sqrt(sum(s * s)) AS nrm FROM s2)
+        SELECT i AS dim, round(s / nrm, 6) AS loading, round(nrm, 4) AS eigenvalue
+        FROM s2, n2
+    """,
+    tags=("llm", "similarity", "stats", "iterative"),
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the (mean-centered) embedding
+    table by two unrolled power iterations — the whitening / anisotropy
+    diagnostic: a huge top eigenvalue means the embedding space is
+    dominated by one direction (the 'common discourse' vector of
+    Arora et al.), and the loading vector is what you'd project out.
+
+    Matrix-free shape: each iteration is Xᵀ(X·v) — one per-row dot
+    against the broadcast v (no materialized covariance), then ONE
+    map-side-combinable per-dim aggregate (the shuffle carries 64
+    partial sums per partition, never rows).  The centered frame is
+    checkpointed once and feeds both iterations; v₀ = 1/√64 = 0.125
+    exactly (dyadic), and every normalized component is rounded to
+    6 dp before the next iteration consumes it, so the iteration is
+    bit-stable cross-engine.  The eigenvalue estimate is ‖Xᵀ X v‖ of
+    the final (unit) iterate."""
+    prep(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    mu = (
+        e.select(F.posexplode("emb").alias("pos", "xi"))
+        .groupBy("pos")
+        .agg(F.avg("xi").alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("mus")
+        )
+    )
+    c = (
+        e.crossJoin(F.broadcast(mu))
+        .select(
+            "vec_id",
+            F.zip_with("emb", "mus", lambda a, b: a - b).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def xtxv(frame: DataFrame, y: F.Column) -> DataFrame:
+        """round-6 per-dim aggregate of x_i * y over the corpus."""
+        return (
+            frame.withColumn("y", y)
+            .select("y", F.posexplode("x").alias("pos", "xi"))
+            .groupBy("pos")
+            .agg(F.round(F.sum(F.col("xi") * F.col("y")), 6).alias("s"))
+        )
+
+    s1 = xtxv(
+        c,
+        F.aggregate("x", F.lit(0.0), lambda acc, v: acc + v) * F.lit(0.125),
+    )
+    n1 = s1.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+    v1 = (
+        s1.crossJoin(F.broadcast(n1))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.round(F.col("s") / F.col("nrm"), 6).alias("v"))
+                    )
+                ),
+                lambda st: st.v,
+            ).alias("va")
+        )
+    )
+    c2 = c.crossJoin(F.broadcast(v1))
+    s2 = xtxv(
+        c2,
+        F.aggregate(
+            F.zip_with("x", "va", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        ),
+    )
+    n2 = s2.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+    return (
+        s2.crossJoin(F.broadcast(n2))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("s") / F.col("nrm"), 6).alias("loading"),
+            F.round("nrm", 4).alias("eigenvalue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token burstiness
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 20
+_BURST_TOPK = 30
+
+
+@register(
+    "token_burstiness",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_NE}) AS t FROM documents
+        ),
+        c AS (
+            SELECT t,
+                   count(*)::BIGINT AS cf,
+                   count(DISTINCT doc_id)::BIGINT AS df
+            FROM tok GROUP BY 1
+        ),
+        scored AS (
+            SELECT t, cf, df, round(cf * 1.0 / df, 4) AS burstiness
+            FROM c WHERE df >= {_BURST_MIN_DF}
+        )
+        SELECT t, cf, df, burstiness,
+               row_number() OVER (
+                   ORDER BY burstiness DESC, t
+               )::BIGINT AS rnk
+        FROM scored
+        QUALIFY rnk <= {_BURST_TOPK}
+    """,
+    tags=("llm", "stats"),
+)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness: mean occurrences per CONTAINING document
+    (cf/df) for each term with minimum document support — bursty terms
+    clump (names, topical jargon, boilerplate runs) while function
+    words spread evenly at cf/df ≈ their frequency.  High burstiness at
+    high df flags template/boilerplate vocabulary that per-doc
+    repetition stats miss when each doc repeats it only a few times.
+
+    One (doc, token)-keyed corpus aggregate computes cf and df
+    together (count + count-distinct over the same key — a single
+    shuffle); the score is exact integer division rounded at 4 dp, and
+    the top-k is a TakeOrdered over the support-filtered vocab frame."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(_tokens_ne()).alias("t"))
+    c = tok.groupBy("t").agg(
+        F.count("*").alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    scored = c.filter(F.col("df") >= _BURST_MIN_DF).select(
+        "t",
+        "cf",
+        "df",
+        F.round(F.col("cf") * F.lit(1.0) / F.col("df"), 4).alias("burstiness"),
+    )
+    w = W.orderBy(F.desc("burstiness"), F.asc("t"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _BURST_TOPK)
+    )

@@ -440,3 +440,67 @@ def test_cluster_size_hist_accounts_for_all_clustered_docs(spark, sf_dir):
     assert sum(r["n_clusters"] for r in hist) == n_clusters
     assert sum(r["n_removable"] for r in hist) == n_docs - n_clusters
     assert all(r["cluster_size"] >= 2 for r in hist)
+
+
+def test_top_pc_is_unit_and_dominant(spark, sf_dir):
+    """The returned loading vector must be unit-norm, and projecting
+    the centered corpus on it must capture more variance than any
+    coordinate axis (it dominates every single dimension's variance)."""
+    rows = sorted(
+        mining.embedding_top_pc(spark, sf_dir).collect(), key=lambda r: r["dim"]
+    )
+    assert len(rows) == 64
+    nrm2 = sum(r["loading"] ** 2 for r in rows)
+    assert abs(nrm2 - 1.0) < 1e-3
+    lam = rows[0]["eigenvalue"]
+    assert all(r["eigenvalue"] == lam for r in rows)
+    assert lam > 0
+
+    # variance along the PC vs the best single axis
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.operators.similarity import _as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        _as_double("embedding").alias("emb")
+    )
+    v = [r["loading"] for r in rows]
+    proj = e.select(
+        F.aggregate(
+            F.zip_with(
+                "emb",
+                F.array(*[F.lit(x) for x in v]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("p")
+    )
+    pc_var = proj.agg(F.var_samp("p")).collect()[0][0]
+    dim_vars = (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.var_samp("x").alias("v"))
+        .agg(F.max("v"))
+        .collect()[0][0]
+    )
+    assert pc_var > dim_vars
+
+
+def test_burstiness_lower_bound_and_hand_case(spark):
+    """burstiness >= 1 by definition (cf >= df); a token occurring 3x
+    in one doc and 1x in another scores (3+1)/2 = 2."""
+    docs = spark.createDataFrame(
+        [(i, "w x y z filler filler2") for i in range(25)]
+        + [(100, "bursty bursty bursty w x y z"), (101, "bursty w x y z")],
+        "doc_id long, text string",
+    )
+    from encodesrv_spark.operators import dedup
+    from encodesrv_spark.plans.corpus import _tokens_ne
+
+    tok = dedup.fan_out(docs).select("doc_id", F.explode(_tokens_ne()).alias("t"))
+    c = tok.groupBy("t").agg(
+        F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df")
+    )
+    by_t = {r["t"]: (r["cf"], r["df"]) for r in c.collect()}
+    assert by_t["bursty"] == (4, 2)
+    assert all(cf >= df for cf, df in by_t.values())
