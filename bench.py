@@ -118,6 +118,25 @@ def main() -> None:
         "simhash_hamming_pairs",
         "embedding_density_clusters",
         "embedding_dim_stats",
+        # round-3 batch 2/3
+        "source_token_kl",
+        "token_bigram_pmi",
+        "doc_token_entropy",
+        "embedding_sq8",
+        "embedding_sq8_ann",
+        "winsorize_values",
+        "neardup_threshold_curve",
+        "contrastive_pairs",
+        "token_coverage_curve",
+        "user_rfm_segments",
+        "events_change_points",
+        "tfidf_cosine_pairs",
+        "embedding_norm_outliers",
+        "part_edge_embeddedness",
+        "quality_percentile_by_source",
+        "dedup_cluster_size_hist",
+        "embedding_top_pc",
+        "token_burstiness",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -1533,3 +1533,152 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _BURST_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-doc nearest neighbor (lexical)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_nearest_neighbor",
+    oracle=f"""
+        WITH idx0 AS (
+            SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
+        ),
+        idx AS (
+            SELECT doc_id, h FROM idx0
+            WHERE h IN (SELECT h FROM idx0 GROUP BY h
+                        HAVING count(*) <= {_CURVE_DF_CAP})
+        ),
+        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b,
+                   round(common * 1.0 / (sa.c + sb.c - common), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        ),
+        sym AS (
+            SELECT doc_a AS doc_id, doc_b AS nn_doc_id, jaccard FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a, jaccard FROM pairs
+        )
+        SELECT doc_id, nn_doc_id, jaccard FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY jaccard DESC, nn_doc_id) AS rn
+            FROM sym
+        ) WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "retrieval"),
+)
+def doc_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document nearest lexical neighbor: for every document with
+    at least one co-shingled peer, the single most-similar document by
+    exact n-gram Jaccard — the 'show me this doc's duplicate partner'
+    lookup a curation UI sits on, and the per-doc reduction of the
+    pair-level near-dup artifacts.
+
+    The expensive stage is the SAME df-capped shingle-index self-join
+    as `neardup_jaccard` (no threshold, so every co-shingled pair
+    scores); the pair set is checkpointed, symmetrized (each pair
+    serves both endpoints), and reduced by one per-doc window —
+    similarity rounded to 4 dp BEFORE ranking with an id tie-break, so
+    the argmax is deterministic cross-engine."""
+    prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, k=3, threshold=0.0, df_cap=_CURVE_DF_CAP
+    ).localCheckpoint(eager=True)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("nn_doc_id"),
+        "jaccard",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("nn_doc_id"),
+            "jaccard",
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("nn_doc_id"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "nn_doc_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# order seasonality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_seasonality_index",
+    oracle="""
+        WITH m AS (
+            SELECT extract(month FROM o_orderdate)::BIGINT AS month,
+                   extract(year FROM o_orderdate)::BIGINT AS yr,
+                   sum(o_totalprice) AS rev,
+                   count(*)::BIGINT AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        avg_m AS (
+            SELECT month, sum(rev) AS rev, sum(n) AS n,
+                   count(*)::BIGINT AS n_years
+            FROM m GROUP BY 1
+        ),
+        g AS (SELECT sum(rev) / sum(n) AS overall_avg FROM avg_m)
+        SELECT month, n, n_years,
+               round(rev, 2) AS revenue,
+               round((rev / n) / g.overall_avg, 6) AS seasonality_index
+        FROM avg_m, g
+    """,
+    tags=("extended", "events", "stats"),
+)
+def order_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality of order value: each month's mean order
+    value relative to the overall mean (index 1.0 = neutral) plus the
+    year coverage behind it — the classical multiplicative seasonal
+    decomposition's first factor, and the sanity check before any
+    forecast or month-over-month comparison.
+
+    One fact pass aggregates (month, year) partials (map-side
+    combinable); the 12-row month rollup and the one-row grand mean
+    derive from that frame — no second scan, and the index arithmetic
+    runs on a broadcast scalar."""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.month("o_orderdate").cast("long").alias("month"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    avg_m = m.groupBy("month").agg(
+        F.sum("rev").alias("rev"),
+        F.sum("n").alias("n"),
+        F.count("*").alias("n_years"),
+    )
+    g = avg_m.agg((F.sum("rev") / F.sum("n")).alias("overall_avg"))
+    return (
+        avg_m.crossJoin(F.broadcast(g))
+        .select(
+            "month",
+            "n",
+            "n_years",
+            F.round("rev", 2).alias("revenue"),
+            F.round((F.col("rev") / F.col("n")) / F.col("overall_avg"), 6).alias(
+                "seasonality_index"
+            ),
+        )
+    )

@@ -504,3 +504,34 @@ def test_burstiness_lower_bound_and_hand_case(spark):
     by_t = {r["t"]: (r["cf"], r["df"]) for r in c.collect()}
     assert by_t["bursty"] == (4, 2)
     assert all(cf >= df for cf, df in by_t.values())
+
+
+def test_doc_nearest_neighbor_symmetry_and_planted_twin(spark, tmp_path):
+    """A planted verbatim twin must be each other's nearest neighbor at
+    jaccard 1.0; every doc with a peer appears exactly once."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+            (3, "alpha beta gamma other words here now", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in mining.doc_nearest_neighbor(spark, str(tmp_path)).collect()}
+    assert out[1]["nn_doc_id"] == 2 and out[1]["jaccard"] == 1.0
+    assert out[2]["nn_doc_id"] == 1 and out[2]["jaccard"] == 1.0
+    assert out[3]["nn_doc_id"] in (1, 2) and out[3]["jaccard"] < 1.0
+    assert len(out) == 3
+
+
+def test_seasonality_index_averages_to_one(spark, sf_dir):
+    """The n-weighted mean of the seasonality index is exactly 1 by
+    construction; indexes are positive and year coverage is sane."""
+    rows = mining.order_seasonality_index(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 12
+    total_n = sum(r["n"] for r in rows)
+    weighted = sum(r["seasonality_index"] * r["n"] for r in rows) / total_n
+    assert abs(weighted - 1.0) < 1e-3
+    assert all(r["seasonality_index"] > 0 for r in rows)
+    assert all(r["n_years"] >= 1 for r in rows)
