@@ -1682,3 +1682,147 @@ def order_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# customer inter-order gaps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey, o_orderdate,
+                   lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_date
+            FROM orders
+        ),
+        gaps AS (
+            SELECT o_custkey,
+                   date_diff('day', prev_date, o_orderdate)::BIGINT AS gap_days
+            FROM seq WHERE prev_date IS NOT NULL
+        )
+        SELECT c.c_mktsegment,
+               count(*)::BIGINT AS n_gaps,
+               round(avg(gap_days), 4) AS mean_gap,
+               round(quantile_cont(gap_days, 0.5), 4) AS median_gap,
+               round(quantile_cont(gap_days, 0.9), 4) AS p90_gap
+        FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+        GROUP BY 1
+    """,
+    tags=("extended", "window", "stats"),
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: day gaps between each customer's
+    consecutive orders, summarized per market segment (mean / median /
+    p90) — the behavioral statistic behind churn thresholds ('inactive'
+    = silent for longer than the segment's p90 gap).
+
+    One lag window per customer partition (bounded and parallel — no
+    global sort), gaps join the customer dimension co-keyed on custkey
+    (sf-scaled: NO broadcast hint, AQE decides), and the per-segment
+    summary is a |segments|-group aggregate.  The lag ordering ties on
+    (date, orderkey) so same-day orders sequence identically on both
+    engines; gaps are exact integer days."""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+        )
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_date").cast("long").alias("gap_days"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        gaps.join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("mean_gap"),
+            F.round(F.percentile("gap_days", F.lit(0.5)), 4).alias("median_gap"),
+            F.round(F.percentile("gap_days", F.lit(0.9)), 4).alias("p90_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# co-purchase degree distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_degree_dist",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        deg AS (
+            SELECT node, count(*)::BIGINT AS d FROM (
+                SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e
+            ) GROUP BY node
+        ),
+        hist AS (SELECT d AS degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1),
+        tot AS (SELECT sum(n_nodes) AS n FROM hist)
+        SELECT degree, n_nodes,
+               round(sum(n_nodes) OVER (
+                   ORDER BY degree DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) * 1.0 / tot.n, 6) AS ccdf
+        FROM hist, tot
+    """,
+    tags=("extended", "graph", "stats"),
+)
+def copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph with the CCDF
+    (share of nodes with degree ≥ d) — the is-it-scale-free readout
+    that decides whether the hub-safe (degree-oriented) graph
+    algorithms in this suite are a nicety or a necessity, and the
+    input to choosing a df-cap for hub pruning.
+
+    The graph edges reuse the basket self-join (pair term bounded per
+    order); everything after the degree aggregate runs on the
+    DEGREE-histogram frame — at most max-degree rows — so the running
+    CCDF window's single partition holds a bounded-tiny frame, not the
+    node set."""
+    prep(spark)
+    from encodesrv_spark.plans.extended import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    tot = hist.agg(F.sum("n_nodes").alias("n"))
+    w = W.orderBy(F.desc("degree")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(
+                F.sum("n_nodes").over(w) * F.lit(1.0) / F.col("n"), 6
+            ).alias("ccdf"),
+        )
+    )

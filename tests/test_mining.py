@@ -535,3 +535,26 @@ def test_seasonality_index_averages_to_one(spark, sf_dir):
     assert abs(weighted - 1.0) < 1e-3
     assert all(r["seasonality_index"] > 0 for r in rows)
     assert all(r["n_years"] >= 1 for r in rows)
+
+
+def test_order_gaps_positive_and_ordered_quantiles(spark, sf_dir):
+    rows = mining.customer_order_gaps(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] > 0
+        assert 0 <= r["median_gap"] <= r["p90_gap"]
+        assert r["mean_gap"] > 0
+
+
+def test_degree_dist_ccdf_contract(spark, sf_dir):
+    """CCDF is non-increasing in degree, starts ≤ 1, ends at exactly 1
+    for the minimum degree; histogram mass = node count."""
+    rows = sorted(
+        mining.copurchase_degree_dist(spark, sf_dir).collect(),
+        key=lambda r: r["degree"],
+    )
+    assert rows
+    assert abs(rows[0]["ccdf"] - 1.0) < 1e-9  # min degree: all nodes ≥ it
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["ccdf"] <= lo["ccdf"] + 1e-9
+    assert all(r["n_nodes"] >= 1 for r in rows)
