@@ -1826,3 +1826,167 @@ def copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ccdf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model perplexity
+# ---------------------------------------------------------------------------
+
+_LM_K = 0.5  # add-k smoothing; dyadic so both engines share it exactly
+
+
+@register(
+    "bigram_lm_perplexity",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_NE} AS ts FROM documents),
+        bg AS (
+            SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+            FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        ),
+        cb AS (SELECT a, b, count(*)::DOUBLE AS cab FROM bg GROUP BY 1, 2),
+        cu AS (SELECT a, sum(cab) AS ca FROM cb GROUP BY 1),
+        v AS (
+            SELECT count(DISTINCT t)::DOUBLE AS vsz FROM (
+                SELECT a AS t FROM cb UNION SELECT b FROM cb
+            )
+        ),
+        scored AS (
+            SELECT g.doc_id,
+                   ln((cb.cab + {_LM_K}) / (cu.ca + {_LM_K} * v.vsz)) AS lp
+            FROM bg g
+            JOIN cb ON cb.a = g.a AND cb.b = g.b
+            JOIN cu ON cu.a = g.a, v
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               round(sum(lp), 4) AS logprob,
+               round(exp(-round(sum(lp), 4) / count(*)), 4) AS perplexity
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "text"),
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM
+    trained on the corpus itself — the CCNet-style quality filter one
+    rung above `unigram_lm_score`: word-salad and shuffled boilerplate
+    score high perplexity even when their unigram profile looks
+    natural, because the LM conditions on the previous token.
+
+    Everything derives from ONE bigram extraction: corpus bigram
+    counts, history counts (their left marginal — no second corpus
+    pass), and the smoothing vocabulary (distinct tokens of the count
+    frame).  The per-doc bigram stream joins the count frame CO-KEYED
+    on (a, b) — vocab²-bounded side, AQE-sized — plus one history join
+    on a.  k = 0.5 is dyadic, log terms are summed per doc (≤ doc
+    length, O(1) magnitudes → 4 dp rounding deterministic), and the
+    perplexity derives from the ROUNDED logprob on both engines."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens_ne().alias("ts"))
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                    "         slice(ts, 2, greatest(size(ts) - 1, 0)),"
+                    "         (x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+        .localCheckpoint(eager=True)
+    )
+    cb = bg.groupBy("a", "b").agg(F.count("*").cast("double").alias("cab"))
+    cu = cb.groupBy("a").agg(F.sum("cab").alias("ca"))
+    v = (
+        cb.select(F.col("a").alias("t"))
+        .union(cb.select(F.col("b").alias("t")))
+        .distinct()
+        .agg(F.count("*").cast("double").alias("vsz"))
+    )
+    lp = F.log(
+        (F.col("cab") + F.lit(_LM_K)) / (F.col("ca") + F.lit(_LM_K) * F.col("vsz"))
+    )
+    logprob = F.round(F.sum(lp), 4)
+    return (
+        bg.join(cb, ["a", "b"])
+        .join(cu, "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            logprob.alias("logprob"),
+            F.round(F.exp(-logprob / F.count("*")), 4).alias("perplexity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 64
+
+
+@register(
+    "doc_hash_features",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_NE}) AS t FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   abs({stable_hash64_sql('t')}) % {_FH_DIM} AS bucket,
+                   -- ::DOUBLE: a bare 1.0 literal is DECIMAL in DuckDB
+                   -- and would propagate Decimal through sum/abs/round
+                   CASE WHEN (abs({stable_hash64_sql('t')}) // {_FH_DIM}) % 2 = 0
+                        THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sgn
+            FROM tok
+        ),
+        vec AS (
+            SELECT doc_id, bucket, sum(sgn) AS v
+            FROM hashed GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               count(*) FILTER (WHERE v <> 0)::BIGINT AS nnz,
+               round(sum(abs(v)), 4) AS l1,
+               round(sqrt(sum(v * v)), 4) AS l2
+        FROM vec GROUP BY doc_id
+    """,
+    tags=("llm", "text", "stats"),
+)
+def doc_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorization audit: each token
+    maps to one of {_FH_DIM} signed buckets via the cross-engine hash
+    family, per-doc bucket sums form the fixed-dimension feature
+    vector, and the op reports its sparsity and norms — the
+    no-vocabulary featurizer (Weinberger et al.) that never needs a
+    dictionary broadcast, exactly the property that matters when the
+    vocabulary is web-scale.
+
+    One (doc, bucket) aggregate after a per-row hash — a single
+    corpus-scale shuffle whose key space is docs × {_FH_DIM}; signs
+    come from the hash's next bit, so collisions cancel in expectation
+    (the trick's variance bound).  Sums are exact integers in double
+    form; norms are rounded at 4 dp."""
+    prep(spark)
+    from encodesrv_spark.functions.hashing import stable_hash64
+
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(_tokens_ne()).alias("t"))
+    hashed = tok.withColumn("h", F.abs(stable_hash64("t"))).select(
+        "doc_id",
+        (F.col("h") % _FH_DIM).alias("bucket"),
+        # integer DIV, not `/`: float division of a 60-bit hash loses
+        # low bits past the 53-bit mantissa and flips signs
+        F.when(F.expr(f"(h DIV {_FH_DIM}) % 2") == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("sgn"),
+    )
+    vec = hashed.groupBy("doc_id", "bucket").agg(F.sum("sgn").alias("v"))
+    return vec.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") != 0, 1).otherwise(0)).cast("long").alias("nnz"),
+        F.round(F.sum(F.abs("v")), 4).alias("l1"),
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("l2"),
+    )

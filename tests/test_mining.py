@@ -558,3 +558,31 @@ def test_degree_dist_ccdf_contract(spark, sf_dir):
     for lo, hi in zip(rows, rows[1:]):
         assert hi["ccdf"] <= lo["ccdf"] + 1e-9
     assert all(r["n_nodes"] >= 1 for r in rows)
+
+
+def test_bigram_lm_flags_shuffled_text(spark, tmp_path):
+    """A document whose bigrams never occur elsewhere (shuffled word
+    order) must score strictly higher perplexity than the well-formed
+    repeats of the corpus pattern."""
+    base = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over quick lazy fox brown jumps the"
+    rows = [(i, base, "en", "s", 1) for i in range(10)]
+    rows.append((100, shuffled, "en", "s", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in mining.bigram_lm_perplexity(spark, str(tmp_path)).collect()}
+    assert out[100]["perplexity"] > out[0]["perplexity"]
+    assert all(r["perplexity"] > 0 for r in out.values())
+
+
+def test_hash_features_sparsity_bounds(spark, sf_dir):
+    """nnz is bounded by the hash dimension; L2 <= L1 <= n_tokens; a
+    doc's norms are stable functions of its tokens (hash determinism:
+    two identical corpora give identical frames)."""
+    a = {r["doc_id"]: (r["nnz"], r["l1"], r["l2"]) for r in mining.doc_hash_features(spark, sf_dir).collect()}
+    b = {r["doc_id"]: (r["nnz"], r["l1"], r["l2"]) for r in mining.doc_hash_features(spark, sf_dir).collect()}
+    assert a == b and a
+    for nnz, l1, l2 in a.values():
+        assert 0 <= nnz <= 64
+        assert l2 <= l1 + 1e-9
