@@ -356,3 +356,53 @@ def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:120]
+
+
+def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path, sf_dir):
+    """JSONL ingest: a written corpus round-trips losslessly; corrupt
+    lines are quarantined verbatim, never silently dropped, and the
+    clean frame carries no capture column."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources import jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus_jsonl")
+    jsonl.write_jsonl_shards(docs, out, n_shards=4, compress=True)
+
+    # plant corrupt lines in an extra shard
+    bad = tmp_path / "corpus_jsonl" / "part-zz-corrupt.json"
+    bad.write_text('{"doc_id": 1, "text": "ok truncated...\nnot json at all\n')
+
+    ing = jsonl.read_corpus(spark, out)
+    n_expected = docs.count()
+    assert ing.docs.count() == n_expected
+    assert ing.corrupt.count() == 2
+    assert "_corrupt_record" not in ing.docs.columns
+    raws = {r["raw_line"] for r in ing.corrupt.collect()}
+    assert "not json at all" in raws
+
+    # content equality with the parquet source (same doc_ids + texts)
+    from pyspark.sql import functions as F
+
+    a = docs.select("doc_id", "text").orderBy("doc_id")
+    b = ing.docs.select("doc_id", "text").orderBy("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    audit = ing.audit().collect()[0]
+    assert (audit["n_docs"], audit["n_corrupt"]) == (n_expected, 2)
+
+
+def test_jsonl_explicit_schema_skips_inference_pass(spark, tmp_path, sf_dir):
+    """The ingest read must carry the DECLARED schema (no sampling
+    pass): reading an empty directory with the schema still yields the
+    right columns, which inference could never produce."""
+    from encodesrv_spark.sources import jsonl
+
+    empty = tmp_path / "empty_corpus"
+    empty.mkdir()
+    (empty / "part-0.json").write_text("")
+    ing = jsonl.read_corpus(spark, str(empty))
+    assert [f.name for f in ing.docs.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+    assert ing.docs.count() == 0
