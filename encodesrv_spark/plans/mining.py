@@ -1990,3 +1990,186 @@ def doc_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.abs("v")), 4).alias("l1"),
         F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+        SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+               (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+                   AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'supplier.s_nationkey -> nation',
+               (SELECT count(*) FROM supplier),
+               (SELECT count(*) FROM supplier s
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = s.s_nationkey))
+    """,
+    tags=("extended", "quality"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide foreign-key audit: orphan counts for every FK
+    edge of the schema in one result — the load-validation gate that
+    runs after every ingest batch (an orphan count that moves is a
+    broken upstream extract).
+
+    Each edge is child-side count + LEFT ANTI join count.  The anti
+    joins are co-keyed on the FK (the join the warehouse is bucketed
+    for); parent sides of constant cardinality (nation) broadcast,
+    sf-scaled parents (orders/part/supplier/customer) are unhinted so
+    AQE picks shuffle-hash at cluster scale.  Each child table is
+    scanned twice (count + anti join) but with single-column
+    projection — the scan reads one int column, not the table."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name: str, child: DataFrame, ckey: str, parent: DataFrame,
+             pkey: str, broadcast_parent: bool = False) -> DataFrame:
+        par = parent.select(F.col(pkey).alias(ckey)).distinct()
+        if broadcast_parent:
+            par = F.broadcast(par)
+        n_child = child.select(ckey)
+        orphans = n_child.join(par, ckey, "left_anti")
+        return (
+            n_child.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+
+    frames = [
+        edge("lineitem.l_orderkey -> orders", l, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey -> part", l, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey -> supplier", l, "l_suppkey", s, "s_suppkey"),
+        edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.c_nationkey -> nation", c, "c_nationkey", n,
+             "n_nationkey", broadcast_parent=True),
+        edge("supplier.s_nationkey -> nation", s, "s_nationkey", n,
+             "n_nationkey", broadcast_parent=True),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_trend_mann_kendall",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS mon,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CASE WHEN b.rev > a.rev THEN 1
+                        WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+            FROM m a JOIN m b ON a.mon < b.mon
+        ),
+        stats AS (
+            SELECT sum(sgn)::BIGINT AS s, count(*)::BIGINT AS n_pairs,
+                   (SELECT count(*) FROM m)::BIGINT AS n_months
+            FROM pairs
+        )
+        SELECT s, n_pairs, n_months,
+               round(s * 1.0 / n_pairs, 6) AS kendall_tau,
+               CASE WHEN s > 0 THEN 'increasing'
+                    WHEN s < 0 THEN 'decreasing'
+                    ELSE 'no_trend' END AS direction
+        FROM stats
+    """,
+    tags=("extended", "stats"),
+)
+def revenue_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over monthly revenue: the sum
+    of pairwise direction signs S and Kendall's tau — the
+    distribution-free 'is revenue actually trending or just noisy'
+    answer that a fitted slope can't give without normality
+    assumptions.
+
+    Aggregate-big / iterate-small (the trade_pagerank rule): the fact
+    table collapses to ≤ |months| rows FIRST (one map-side-combinable
+    aggregate), and the O(n²) pairwise sign pass runs on that
+    calendar-bounded frame — ~84 months of data is ~3.5k pairs, a
+    constant, regardless of whether the fact table is 60k rows or
+    100 TB.  Revenue is rounded to 2 dp BEFORE comparison so sign ties
+    agree cross-engine."""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = m.alias("a"), m.alias("b")
+    sgn = (
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, F.col("a.mon") < F.col("b.mon")).select(sgn.alias("sgn"))
+    n_months = m.agg(F.count("*").alias("n_months"))
+    return (
+        pairs.agg(
+            F.sum("sgn").cast("long").alias("s"),
+            F.count("*").alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            "s",
+            "n_pairs",
+            "n_months",
+            F.round(F.col("s") * F.lit(1.0) / F.col("n_pairs"), 6).alias(
+                "kendall_tau"
+            ),
+            F.when(F.col("s") > 0, "increasing")
+            .when(F.col("s") < 0, "decreasing")
+            .otherwise("no_trend")
+            .alias("direction"),
+        )
+    )

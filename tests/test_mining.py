@@ -586,3 +586,58 @@ def test_hash_features_sparsity_bounds(spark, sf_dir):
     for nnz, l1, l2 in a.values():
         assert 0 <= nnz <= 64
         assert l2 <= l1 + 1e-9
+
+
+def test_referential_integrity_detects_planted_orphan(spark, tmp_path, sf_dir):
+    """Clean testdata has zero orphans everywhere; planting an orphan
+    orderkey in lineitem must surface exactly one orphan on exactly
+    the lineitem->orders edge."""
+    import shutil
+
+    clean = {r["fk_edge"]: r["n_orphans"] for r in mining.referential_integrity_audit(spark, sf_dir).collect()}
+    assert set(clean.values()) == {0}
+
+    # copy the tables, corrupt lineitem with one orphan row
+    import glob as _g
+    for t in ["orders", "customer", "supplier", "part", "nation", "lineitem"]:
+        src = f"{sf_dir}/{t}.parquet"
+        shutil.copyfile(src, f"{tmp_path}/{t}.parquet")
+    from encodesrv_spark.catalog import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    one = l.limit(1).withColumn("l_orderkey", F.lit(999_999_999).cast(l.schema["l_orderkey"].dataType))
+    l.unionByName(one).write.mode("overwrite").parquet(f"{tmp_path}/lineitem_dir.parquet")
+    import os
+
+    os.remove(f"{tmp_path}/lineitem.parquet")
+    os.rename(f"{tmp_path}/lineitem_dir.parquet", f"{tmp_path}/lineitem.parquet")
+
+    dirty = {r["fk_edge"]: r["n_orphans"] for r in mining.referential_integrity_audit(spark, str(tmp_path)).collect()}
+    assert dirty["lineitem.l_orderkey -> orders"] == 1
+    assert dirty["orders.o_custkey -> customer"] == 0
+
+
+def test_mann_kendall_planted_trends(spark, tmp_path):
+    """Strictly increasing monthly revenue gives tau = 1; strictly
+    decreasing gives tau = -1."""
+    import datetime as dt
+
+    def write(vals):
+        rows = [
+            (i, i, "O", float(v), dt.date(2024, m, 1), "1-URGENT", "c", 0, "x")
+            for i, (m, v) in enumerate(vals)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate date, o_orderpriority string,"
+            " o_clerk string, o_shippriority int, o_comment string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    write([(1, 10), (2, 20), (3, 30), (4, 40)])
+    r = mining.revenue_trend_mann_kendall(spark, str(tmp_path)).collect()[0]
+    assert (r["kendall_tau"], r["direction"]) == (1.0, "increasing")
+
+    write([(1, 40), (2, 30), (3, 20), (4, 10)])
+    r = mining.revenue_trend_mann_kendall(spark, str(tmp_path)).collect()[0]
+    assert (r["kendall_tau"], r["direction"]) == (-1.0, "decreasing")
