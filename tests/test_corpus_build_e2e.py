@@ -62,3 +62,62 @@ def test_corpus_build_end_to_end(spark, sf_dir, tmp_path):
         docs.select("doc_id", "text"), "doc_id"
     )
     assert joined.filter(F.col("t2") != F.col("text")).count() == 0
+
+
+def test_training_release_jsonl_pipeline(spark, sf_dir, tmp_path):
+    """Release-artifact pipeline v2: per-source quality calibration →
+    near-dup removal → hash-sharded gzip JSONL export → re-ingest and
+    verify. The export/ingest pair is the interchange boundary a
+    training stack consumes, so the verification re-READS the release
+    (not the in-memory frames): corrupt-free, calibrated, deduped,
+    byte-identical text."""
+    from encodesrv_spark.sources import jsonl
+
+    qs = all_queries()
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. per-source calibrated keep (equal fraction from every source —
+    #    the global-threshold starvation fix)
+    cal = qs["quality_percentile_by_source"].fn(spark, sf_dir)
+    kept = cal.filter("keep_calibrated").select("doc_id")
+    # 2. near-dup removal
+    drops = qs["neardup_removals"].fn(spark, sf_dir).select("doc_id")
+    final_ids = kept.join(drops, "doc_id", "left_anti")
+    release = docs.join(final_ids, "doc_id")
+
+    out = str(tmp_path / "release_jsonl")
+    jsonl.write_jsonl_shards(release, out, n_shards=4, compress=True)
+
+    # 3. re-ingest the written artifact
+    ing = jsonl.read_corpus(spark, out)
+    assert ing.corrupt.count() == 0
+    n = ing.docs.count()
+    assert 0 < n < docs.count()
+
+    # every released doc is keep_calibrated and not a drop
+    joined = ing.docs.select("doc_id").join(
+        cal.select("doc_id", "keep_calibrated"), "doc_id"
+    )
+    assert joined.filter(~F.col("keep_calibrated")).count() == 0
+    assert ing.docs.join(drops, "doc_id", "inner").count() == 0
+
+    # every source keeps ~the calibrated fraction (the property the
+    # calibrated gate exists for) — no source starved
+    per_src = {
+        r["source"]: r["frac"]
+        for r in ing.docs.groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .join(
+            docs.groupBy("source").agg(F.count("*").alias("n_total")), "source"
+        )
+        .select(
+            "source", (F.col("n_kept") / F.col("n_total")).alias("frac")
+        )
+        .collect()
+    }
+    assert per_src and all(f > 0.3 for f in per_src.values())
+
+    # text survives the JSONL round trip byte-identically
+    a = release.select("doc_id", "text")
+    b = ing.docs.select("doc_id", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
