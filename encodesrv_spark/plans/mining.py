@@ -2049,9 +2049,11 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are co-keyed on the FK (the join the warehouse is bucketed
     for); parent sides of constant cardinality (nation) broadcast,
     sf-scaled parents (orders/part/supplier/customer) are unhinted so
-    AQE picks shuffle-hash at cluster scale.  Each child table is
-    scanned twice (count + anti join) but with single-column
-    projection — the scan reads one int column, not the table."""
+    AQE picks shuffle-hash at cluster scale.  Every scan is a
+    single-int-column projection, and each child's row count is
+    materialized ONCE and shared across its edges (lineitem backs
+    three edges — re-counting it per edge tripled the most expensive
+    scan of the audit)."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -2060,15 +2062,22 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     n = load_table(spark, sf_dir, "nation")
 
-    def edge(name: str, child: DataFrame, ckey: str, parent: DataFrame,
-             pkey: str, broadcast_parent: bool = False) -> DataFrame:
+    counts = {
+        "lineitem": l.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
+        "orders": o.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
+        "customer": c.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
+        "supplier": s.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
+    }
+
+    def edge(name: str, child_name: str, child: DataFrame, ckey: str,
+             parent: DataFrame, pkey: str,
+             broadcast_parent: bool = False) -> DataFrame:
         par = parent.select(F.col(pkey).alias(ckey)).distinct()
         if broadcast_parent:
             par = F.broadcast(par)
-        n_child = child.select(ckey)
-        orphans = n_child.join(par, ckey, "left_anti")
+        orphans = child.select(ckey).join(par, ckey, "left_anti")
         return (
-            n_child.agg(F.count("*").alias("n_child"))
+            counts[child_name]
             .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
             .select(
                 F.lit(name).alias("fk_edge"),
@@ -2078,13 +2087,13 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     frames = [
-        edge("lineitem.l_orderkey -> orders", l, "l_orderkey", o, "o_orderkey"),
-        edge("lineitem.l_partkey -> part", l, "l_partkey", p, "p_partkey"),
-        edge("lineitem.l_suppkey -> supplier", l, "l_suppkey", s, "s_suppkey"),
-        edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
-        edge("customer.c_nationkey -> nation", c, "c_nationkey", n,
+        edge("lineitem.l_orderkey -> orders", "lineitem", l, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey -> part", "lineitem", l, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey -> supplier", "lineitem", l, "l_suppkey", s, "s_suppkey"),
+        edge("orders.o_custkey -> customer", "orders", o, "o_custkey", c, "c_custkey"),
+        edge("customer.c_nationkey -> nation", "customer", c, "c_nationkey", n,
              "n_nationkey", broadcast_parent=True),
-        edge("supplier.s_nationkey -> nation", s, "s_nationkey", n,
+        edge("supplier.s_nationkey -> nation", "supplier", s, "s_nationkey", n,
              "n_nationkey", broadcast_parent=True),
     ]
     out = frames[0]
