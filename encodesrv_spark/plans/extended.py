@@ -2214,3 +2214,81 @@ def part_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nbr_jaccard"),
         )
     )
+
+
+def _peel_round_sql(i: int, k: int) -> str:
+    """One k-core peel round as unrolled CTEs: degrees over e{i-1},
+    survivors, and the induced edge set e{i}."""
+    return f"""
+        d{i} AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT p1 AS node FROM e{i - 1}
+                UNION ALL SELECT p2 FROM e{i - 1}
+            ) GROUP BY node
+        ),
+        v{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+        e{i} AS (
+            SELECT e.p1, e.p2 FROM e{i - 1} e
+            JOIN v{i} a ON a.node = e.p1
+            JOIN v{i} b ON b.node = e.p2
+        )"""
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+@register(
+    "part_kcore_peel",
+    oracle=f"""
+        WITH {_COPURCHASE_EDGE_CTES},
+        e0 AS (SELECT p1, p2 FROM e),
+        {",".join(_peel_round_sql(i, _KCORE_K) for i in (1, 2, 3))}
+        SELECT node AS part, deg AS core_degree FROM (
+            SELECT node, count(*)::BIGINT AS deg FROM (
+                SELECT p1 AS node FROM e{_KCORE_ROUNDS}
+                UNION ALL SELECT p2 FROM e{_KCORE_ROUNDS}
+            ) GROUP BY node
+        ) WHERE deg > 0
+    """,
+    tags=("extended", "graph", "iterative"),
+)
+def part_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core extraction by bounded peeling: {_KCORE_ROUNDS}
+    synchronous rounds of remove-degree-<{_KCORE_K}-nodes over the
+    co-purchase graph, emitting each survivor with its degree in the
+    peeled subgraph — the dense-backbone extractor (k-cores are where
+    community structure and bundle recommendations live; peeling
+    strips the pendant/chain periphery that drowns them).
+
+    Peeling converges monotonically from above, so a bounded round
+    count yields a certified SUPERSET of the true k-core (exactly the
+    true core once a round removes nothing); rounds are fixed and
+    unrolled in the oracle — the same bounded-iteration contract as
+    `part_label_communities`.  Scale shape per round: one degree
+    aggregate + one induced-subgraph semi-join pair, all keyed on
+    node/edge ids, each round's edge set localCheckpoint'd (strictly
+    shrinking, lineage flat)."""
+    prep(spark)
+    e = _copurchase_edges(spark, sf_dir)
+    cur = e.select("p1", "p2")
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("p1").alias("node"))
+            .unionAll(cur.select(F.col("p2").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        surv = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(surv.select(F.col("node").alias("p1")), "p1", "semi")
+            .join(surv.select(F.col("node").alias("p2")), "p2", "semi")
+            .select("p1", "p2")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.select(F.col("p1").alias("part"))
+        .unionAll(cur.select(F.col("p2").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").alias("core_degree"))
+    )

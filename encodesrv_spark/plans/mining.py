@@ -2182,3 +2182,124 @@ def revenue_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 0.5   # slack, in per-type stddev units
+_CUSUM_H = 4.0   # decision threshold, in per-type stddev units
+
+
+@register(
+    "events_cusum",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   round(avg(value), 6) AS m
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type,
+                   round(avg(m), 6) AS mu,
+                   round(stddev_samp(m), 6) AS sd
+            FROM h GROUP BY 1
+        ),
+        z AS (
+            SELECT h.event_type, h.hr, h.m,
+                   round((h.m - s.mu) / nullif(s.sd, 0), 6) AS zz
+            FROM h JOIN s USING (event_type)
+        ),
+        raw AS (
+            SELECT event_type, hr, m,
+                   round(sum(round(zz - {_CUSUM_K}, 6)) OVER w, 6) AS raw_up,
+                   round(sum(round(-zz - {_CUSUM_K}, 6)) OVER w, 6) AS raw_dn
+            FROM z
+            WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        cum AS (
+            SELECT event_type, hr, m, raw_up, raw_dn,
+                   round(min(raw_up) OVER w, 6) AS floor_up,
+                   round(min(raw_dn) OVER w, 6) AS floor_dn
+            FROM raw
+            WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type,
+               strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               m AS mean_value,
+               round(raw_up - least(floor_up, 0), 6) AS cusum_up,
+               round(raw_dn - least(floor_dn, 0), 6) AS cusum_dn,
+               (round(raw_up - least(floor_up, 0), 6) > {_CUSUM_H}
+                OR round(raw_dn - least(floor_dn, 0), 6) > {_CUSUM_H})
+                   AS drift_alarm
+        FROM cum
+    """,
+    tags=("extended", "events", "stats"),
+)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart over hourly means: one-sided cumulative sums
+    of standardized deviations (upper and lower, slack k, threshold h)
+    — the drift detector that catches SMALL persistent shifts a
+    per-hour z-score (`events_change_points`) never trips on, because
+    it accumulates evidence across hours.
+
+    The classical recursion S_t = max(0, S_{t-1} + z_t − k) is not a
+    plain window sum, but it has a closed form — S_t = R_t − min(0,
+    min_{τ≤t} R_τ) where R is the UNRESET running sum — so the whole
+    chart is two stacked window passes per side (cumsum, then running
+    min) on the SAME (event_type, hour) partitioning: hours-per-type
+    frames, bounded and parallel, no recursion and no UDF.  The
+    rounding ladder (means → z → summands → sums, all 6 dp) keeps both
+    engines on identical doubles."""
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.avg("value"), 6).alias("m")).localCheckpoint(eager=True)
+    s = h.groupBy("event_type").agg(
+        F.round(F.avg("m"), 6).alias("mu"),
+        F.round(F.stddev_samp("m"), 6).alias("sd"),
+    )
+    z = h.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "hr",
+        "m",
+        F.round(
+            (F.col("m") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+        ).alias("zz"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    raw_up = F.round(F.sum(F.round(F.col("zz") - _CUSUM_K, 6)).over(w), 6)
+    raw_dn = F.round(F.sum(F.round(-F.col("zz") - _CUSUM_K, 6)).over(w), 6)
+    cum = z.select(
+        "event_type",
+        "hr",
+        "m",
+        raw_up.alias("raw_up"),
+        raw_dn.alias("raw_dn"),
+    ).select(
+        "event_type",
+        "hr",
+        "m",
+        "raw_up",
+        "raw_dn",
+        F.round(F.min("raw_up").over(w), 6).alias("floor_up"),
+        F.round(F.min("raw_dn").over(w), 6).alias("floor_dn"),
+    )
+    c_up = F.round(F.col("raw_up") - F.least(F.col("floor_up"), F.lit(0.0)), 6)
+    c_dn = F.round(F.col("raw_dn") - F.least(F.col("floor_dn"), F.lit(0.0)), 6)
+    return cum.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("m").alias("mean_value"),
+        c_up.alias("cusum_up"),
+        c_dn.alias("cusum_dn"),
+        ((c_up > _CUSUM_H) | (c_dn > _CUSUM_H)).alias("drift_alarm"),
+    )

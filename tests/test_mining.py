@@ -641,3 +641,69 @@ def test_mann_kendall_planted_trends(spark, tmp_path):
     write([(1, 40), (2, 30), (3, 20), (4, 10)])
     r = mining.revenue_trend_mann_kendall(spark, str(tmp_path)).collect()[0]
     assert (r["kendall_tau"], r["direction"]) == (-1.0, "decreasing")
+
+
+def test_cusum_catches_small_persistent_shift(spark, tmp_path):
+    """A +0.5σ-ish persistent shift: each individual hour's |z| is far
+    below the change-point threshold, but the CUSUM accumulates and
+    must alarm in the shifted regime; the pre-shift regime stays
+    quiet. Recursion identity check: cusum columns are nonnegative."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 3, 1)
+    rows, eid = [], 0
+    # long in-control regime + short shifted tail: the retrospective
+    # baseline (global mean/sd) then sits near the in-control level, so
+    # only the shifted regime accumulates
+    for h in range(64):
+        level = 10.0 if h < 48 else 10.6
+        # alternate ±0.2 around the level so per-type sd is real
+        v = level + (0.2 if h % 2 == 0 else -0.2)
+        for k in range(2):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=k), 1, "click", v, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = sorted(
+        mining.events_cusum(spark, str(tmp_path)).collect(),
+        key=lambda r: r["hour_start"],
+    )
+    assert all(r["cusum_up"] >= -1e-9 and r["cusum_dn"] >= -1e-9 for r in out)
+    early = out[:40]
+    late = out[54:]
+    assert not any(r["drift_alarm"] for r in early)
+    assert any(r["drift_alarm"] for r in late)
+
+
+def test_kcore_peel_hand_graph(spark, tmp_path):
+    """A 4-clique with a pendant chain, baskets doubled for support:
+    3 peel rounds at k=3 must keep exactly the clique (each member at
+    degree 3) and strip the chain."""
+    rows = []
+    okey = 0
+    for _ in range(2):  # support >= 2
+        okey += 1
+        for p in [1, 2, 3, 4]:       # clique basket
+            rows.append((okey, p))
+    for _ in range(2):
+        okey += 1
+        for p in [4, 5]:             # pendant edge 4-5
+            rows.append((okey, p))
+    for _ in range(2):
+        okey += 1
+        for p in [5, 6]:             # chain 5-6
+            rows.append((okey, p))
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/lineitem.parquet")
+
+    from encodesrv_spark.plans.extended import part_kcore_peel
+
+    out = {r["part"]: r["core_degree"] for r in part_kcore_peel(spark, str(tmp_path)).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
