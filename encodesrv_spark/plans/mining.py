@@ -2303,3 +2303,85 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_dn.alias("cusum_dn"),
         ((c_up > _CUSUM_H) | (c_dn > _CUSUM_H)).alias("drift_alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal frame-level near-dup
+# ---------------------------------------------------------------------------
+
+_FRAME_DF_CAP = 100
+_FRAME_MIN_SHARED = 2
+
+
+@register(
+    "multimodal_shared_frames",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   md5(substr(text, fi * 100 + 1, 100)) AS frame_md5
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, strlen(text) // 100)) AS fi
+                FROM documents
+            )
+        ),
+        idx0 AS (SELECT DISTINCT doc_id, frame_md5 FROM frames),
+        idx AS (
+            SELECT doc_id, frame_md5 FROM idx0
+            WHERE frame_md5 IN (
+                SELECT frame_md5 FROM idx0 GROUP BY 1
+                HAVING count(*) <= {_FRAME_DF_CAP}
+            )
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS n_shared_frames
+        FROM idx a JOIN idx b
+          ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_FRAME_MIN_SHARED}
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level near-duplicate detection over binary payloads: pairs
+    of media documents sharing ≥{_FRAME_MIN_SHARED} byte-identical
+    frames — the 'same video, re-encoded container' detector (container
+    bytes differ, sampled frames don't), and the multimodal sibling of
+    the text shingle pipeline.
+
+    Same scale skeleton as `jaccard_pairs`: the frame-hash inverted
+    index is the join key (only co-framed docs meet), and the hot-frame
+    cap (df ≤ {_FRAME_DF_CAP}) drops boilerplate frames — intro cards /
+    black frames shared by thousands of videos — BEFORE the self-join,
+    the same quadratic-blowup guard as stop-shingles.  Frames ride the
+    real mapInPandas binary path (`operators.multimodal.sample_frames`);
+    only their 16-byte hashes enter the shuffle."""
+    prep(spark)
+    from encodesrv_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.documents_as_binary(d)).select(
+        "doc_id", "frame_md5"
+    )
+    idx = frames.distinct().localCheckpoint(eager=True)
+    hot = (
+        idx.groupBy("frame_md5")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _FRAME_DF_CAP)
+        .select("frame_md5")
+    )
+    idx = idx.join(F.broadcast(hot), "frame_md5", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.frame_md5") == F.col("b.frame_md5"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= _FRAME_MIN_SHARED)
+    )

@@ -707,3 +707,27 @@ def test_kcore_peel_hand_graph(spark, tmp_path):
 
     out = {r["part"]: r["core_degree"] for r in part_kcore_peel(spark, str(tmp_path)).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_shared_frames_planted_reencode(spark, tmp_path):
+    """Two 'videos' with identical content but different container
+    prefix bytes: the frame sampler aligns on 100-byte slices, so we
+    plant docs equal except the LAST partial frame — they share all
+    full frames and must pair; an unrelated doc must not."""
+    # frames [0:100] and [100:200] must DIFFER from each other (the
+    # index is per-doc distinct, identical frames collapse to one)
+    common = "0123456789" * 10 + "ABCDEFGHIJ" * 10 + "Z" * 50
+    docs = spark.createDataFrame(
+        [
+            (1, common + "AAA", "en", "s", 1),
+            (2, common + "BBB", "en", "s", 1),  # differs only in tail frame
+            (3, "y" * 260, "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_frames"]
+        for r in mining.multimodal_shared_frames(spark, str(tmp_path)).collect()
+    }
+    assert out == {(1, 2): 2}
