@@ -534,3 +534,43 @@ def test_ann_bucket_partitioned_probe_prunes(spark, sf_dir, tmp_path):
     probed_files = probe.select(F.input_file_name()).distinct().count()
     all_files = stored.select(F.input_file_name()).distinct().count()
     assert probed_files < all_files / 2
+
+
+def test_sq8_exactly_two_corpus_passes(spark, sf_dir):
+    """SQ8 needs the range fit (pass 1) and the coding pass (pass 2) —
+    a third embedding scan means the stats broadcast regressed into a
+    recomputed subplan."""
+    plan = plan_of(spark, sf_dir, "embedding_sq8")
+    assert plan.count("FileScan") == 2
+
+
+def test_token_coverage_ranking_is_take_ordered(spark, sf_dir):
+    """The global vocabulary ranking must be a TakeOrdered over
+    max(cuts) rows — a global Sort of the unbounded vocab frame is the
+    scale bug this op exists to avoid."""
+    plan = plan_of(spark, sf_dir, "token_coverage_curve")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_pairs_no_corpus_rescan(spark, sf_dir):
+    """The weighted term frame is checkpointed once and feeds norms +
+    both self-join sides: the executed plan must contain NO parquet
+    scans at all (everything rides the checkpoint)."""
+    plan = plan_of(spark, sf_dir, "tfidf_cosine_pairs")
+    assert "FileScan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_referential_audit_scan_budget(spark, sf_dir):
+    """Child counts are materialized once per table: 6 anti-join child
+    scans + 6 parent scans = 12. A higher count means per-edge
+    re-counting crept back."""
+    plan = plan_of(spark, sf_dir, "referential_integrity_audit")
+    assert plan.count("FileScan parquet") <= 12
+
+
+def test_top_pc_iterations_ride_checkpoint(spark, sf_dir):
+    """Both power iterations consume the checkpointed centered frame —
+    no parquet rescans in the executed plan."""
+    plan = plan_of(spark, sf_dir, "embedding_top_pc")
+    assert "FileScan parquet" not in plan
