@@ -2385,3 +2385,170 @@ def multimodal_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= _FRAME_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# source-pair duplication crosstab
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_dup_crosstab",
+    oracle=f"""
+        WITH idx0 AS (
+            SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
+        ),
+        idx AS (
+            SELECT doc_id, h FROM idx0
+            WHERE h IN (SELECT h FROM idx0 GROUP BY h
+                        HAVING count(*) <= {_CURVE_DF_CAP})
+        ),
+        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(common * 1.0 / (sa.c + sb.c - common), 4) >= 0.5
+        ),
+        lab AS (
+            SELECT p.doc_a, p.doc_b,
+                   least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+        )
+        SELECT source_a, source_b,
+               count(*)::BIGINT AS n_pairs,
+               (source_a = source_b) AS intra_source
+        FROM lab GROUP BY 1, 2
+    """,
+    tags=("llm", "dedup", "stats"),
+)
+def source_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts cross-tabulated by (source, source) — the
+    WHO-mirrors-WHOM matrix: a hot off-diagonal cell is two feeds
+    syndicating the same content (fix the acquisition pipeline), a hot
+    diagonal cell is one feed re-posting itself (fix the crawler).
+    Complements `source_overlap_matrix` (raw shared n-grams) by
+    counting confirmed near-dup PAIRS above the production threshold.
+
+    The pair stage is the shared df-capped Jaccard core; labeling
+    joins the doc→source map twice on doc_id (co-keyed), and the final
+    crosstab is a sources²-bounded aggregate.  Pair endpoints are
+    source-sorted so each unordered source pair lands in ONE cell."""
+    prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, k=3, threshold=0.5, df_cap=_CURVE_DF_CAP
+    )
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("intra_source", F.col("source_a") == F.col("source_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# split-half token-rank stability
+# ---------------------------------------------------------------------------
+
+_RANK_MIN_CF = 10
+_RANK_TOPN = 200
+
+
+@register(
+    "token_rank_stability",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_NE}) AS t FROM documents
+        ),
+        c AS (
+            SELECT t,
+                   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+                   sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+            FROM tok GROUP BY 1
+        ),
+        top AS (
+            SELECT t, c0, c1,
+                   row_number() OVER (ORDER BY c0 + c1 DESC, t) AS rnk
+            FROM c WHERE c0 + c1 >= {_RANK_MIN_CF}
+            QUALIFY rnk <= {_RANK_TOPN}
+        ),
+        ranked AS (
+            SELECT t,
+                   row_number() OVER (ORDER BY c0 DESC, t) AS r0,
+                   row_number() OVER (ORDER BY c1 DESC, t) AS r1
+            FROM top
+        )
+        SELECT count(*)::BIGINT AS n_terms,
+               round(corr(r0, r1), 6) AS spearman_rho,
+               round(1.0 - 6.0 * sum((r0 - r1) * (r0 - r1))
+                     / (count(*) * (count(*) * count(*) - 1)), 6)
+                   AS spearman_exact
+        FROM ranked
+    """,
+    tags=("llm", "stats", "eval"),
+)
+def token_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half reliability of the token frequency table: rank the
+    top terms independently in two disjoint halves of the corpus
+    (doc_id parity split — content-stable, no RNG) and report
+    Spearman's ρ between the two rankings.  High ρ means corpus-level
+    token statistics (vocab cuts, mixture weights, Zipf fits) are
+    STABLE estimates; a low ρ says the corpus is too small or too
+    skewed for those statistics to be trusted.
+
+    One (token)-keyed aggregate computes both half-counts in a single
+    pass (conditional sums — never two corpus scans); ranking and the
+    ρ arithmetic run on the top-{_RANK_TOPN} frame (constant-bounded,
+    so the unpartitioned windows hold ≤{_RANK_TOPN} rows).  Ranks are
+    exact integers with a token tie-break — both the corr-based and
+    the closed-form d²-based Spearman are emitted and must agree."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(_tokens_ne()).alias("t"))
+    c = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c1"),
+    )
+    top = (
+        c.filter((F.col("c0") + F.col("c1")) >= _RANK_MIN_CF)
+        .orderBy(F.desc(F.col("c0") + F.col("c1")), F.asc("t"))
+        .limit(_RANK_TOPN)
+    )
+    ranked = top.select(
+        "t",
+        F.row_number().over(W.orderBy(F.desc("c0"), F.asc("t"))).alias("r0"),
+        F.row_number().over(W.orderBy(F.desc("c1"), F.asc("t"))).alias("r1"),
+    )
+    n = F.count("*")
+    d2 = F.sum((F.col("r0") - F.col("r1")) * (F.col("r0") - F.col("r1")))
+    return ranked.agg(
+        n.alias("n_terms"),
+        F.round(F.corr("r0", "r1"), 6).alias("spearman_rho"),
+        F.round(
+            F.lit(1.0) - F.lit(6.0) * d2 / (n * (n * n - F.lit(1))), 6
+        ).alias("spearman_exact"),
+    )

@@ -353,3 +353,103 @@ def change_points_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# causal CUSUM drift stream
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, hour_epoch long, mean_value double,"
+    " cusum_up double, cusum_dn double, drift_alarm boolean"
+)
+CUSUM_STATE_SCHEMA = (
+    "cur_hour long, cur_sum double, cur_n long, s_up double, s_dn double"
+)
+_CUSUM_K = 0.5
+_CUSUM_H = 4.0
+
+
+def _update_cusum(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Causal CUSUM — the streaming twin of `plans/mining.events_cusum`.
+
+    The batch op computes the reset-at-zero recursion in closed form
+    (running sum minus running min); here the recursion itself IS the
+    state: S⁺ ← max(0, S⁺ + z − k), S⁻ ← max(0, S⁻ − z − k), one
+    double per side per event type.  The baseline (μ, σ) rides IN on
+    every row (stream-static join against the batch baseline frame —
+    the `value_anomalies_stream` pattern), so the twin consumes the
+    SAME standardization as the batch chart and the two agree to
+    floating-point association error (the twin test uses a 1e-6
+    envelope, not bit equality — closed form and recursion associate
+    additions differently).
+
+    Hours close on event-time progress within the key (same contract
+    as `_update_change_points`); state is O(1) doubles per type."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        cur_hour, cur_sum, cur_n, s_up, s_dn = state.get
+    else:
+        cur_hour, cur_sum, cur_n, s_up, s_dn = -1, 0.0, 0, 0.0, 0.0
+
+    out_rows = []
+    mu = sd = None
+
+    def close_hour() -> None:
+        nonlocal s_up, s_dn
+        mean = round(cur_sum / cur_n, 6)
+        if sd and sd > 0:
+            z = round((mean - mu) / sd, 6)
+            s_up = max(0.0, s_up + round(z - _CUSUM_K, 6))
+            s_dn = max(0.0, s_dn + round(-z - _CUSUM_K, 6))
+            out_rows.append(
+                (
+                    key[0],
+                    cur_hour,
+                    mean,
+                    round(s_up, 6),
+                    round(s_dn, 6),
+                    round(s_up, 6) > _CUSUM_H or round(s_dn, 6) > _CUSUM_H,
+                )
+            )
+
+    allpdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(allpdf):
+        mu = float(allpdf["mu"].iloc[0])
+        sd = float(allpdf["sd"].iloc[0])
+        for _, row in allpdf.sort_values(["tus", "event_id"]).iterrows():
+            hour = (int(row["tus"]) // _HOUR_US) * 3600
+            if hour != cur_hour:
+                if cur_n > 0:
+                    close_hour()
+                cur_hour, cur_sum, cur_n = hour, 0.0, 0
+            cur_sum += float(row["value"])
+            cur_n += 1
+    state.update((cur_hour, cur_sum, cur_n, s_up, s_dn))
+    state.setTimeoutDuration(3_600_000)
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "event_type", "hour_epoch", "mean_value",
+                "cusum_up", "cusum_dn", "drift_alarm",
+            ],
+        )
+
+
+def cusum_stream(events: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Per-event-type causal CUSUM chart as keyed streaming state.
+    `baseline` is a static (event_type, mu, sd) frame — the batch
+    baseline broadcast onto the stream (stream-static join)."""
+    enriched = events.join(baseline, "event_type")
+    return enriched.groupBy("event_type").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -731,3 +731,41 @@ def test_shared_frames_planted_reencode(spark, tmp_path):
         for r in mining.multimodal_shared_frames(spark, str(tmp_path)).collect()
     }
     assert out == {(1, 2): 2}
+
+
+def test_dup_crosstab_mass_equals_pair_count(spark, sf_dir):
+    """Crosstab mass must equal the underlying ≥0.5 pair count, and
+    intra_source is consistent with the cell coordinates."""
+    from encodesrv_spark.operators import dedup
+    from encodesrv_spark.catalog import load_table
+
+    rows = mining.source_dup_crosstab(spark, sf_dir).collect()
+    total = sum(r["n_pairs"] for r in rows)
+    pairs = dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5, df_cap=10000
+    ).count()
+    assert total == pairs
+    for r in rows:
+        assert r["intra_source"] == (r["source_a"] == r["source_b"])
+        assert r["source_a"] <= r["source_b"]
+
+
+def test_rank_stability_perfect_on_identical_halves(spark, tmp_path):
+    """Identical content in both halves -> both rankings identical ->
+    ρ = 1 exactly (both the corr form and the d² closed form)."""
+    text = " ".join(f"tok{i}" for i in range(30) for _ in range(30 - i))
+    docs = spark.createDataFrame(
+        [(i, text, "en", "s", 1) for i in range(10)],  # ids 0..9: both parities
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = mining.token_rank_stability(spark, str(tmp_path)).collect()[0]
+    assert r["spearman_rho"] == 1.0
+    assert r["spearman_exact"] == 1.0
+    assert r["n_terms"] > 0
+
+
+def test_rank_stability_forms_agree_on_corpus(spark, sf_dir):
+    r = mining.token_rank_stability(spark, sf_dir).collect()[0]
+    assert abs(r["spearman_rho"] - r["spearman_exact"]) < 1e-4
+    assert -1 <= r["spearman_rho"] <= 1

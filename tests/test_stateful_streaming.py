@@ -371,3 +371,80 @@ def test_change_points_stream_flags_planted_shift_and_matches_batch_means(
     assert all(
         m == 10.0 for h, m in stream_means.items() if h not in (h24,)
     )
+
+
+def test_cusum_stream_matches_batch_chart(spark, tmp_path):
+    """Streaming CUSUM (exact recursion as state) vs the batch closed
+    form (running sum minus running min) on the planted-drift series:
+    per (type, hour) the two charts must agree within float-association
+    error, and the alarm sets must be identical."""
+    import datetime as dt
+
+    from encodesrv_spark.streaming.stateful import cusum_stream
+
+    base = dt.datetime(2026, 3, 1)
+    rows, eid = [], 0
+    for h in range(64):
+        level = 10.0 if h < 48 else 10.6
+        v = level + (0.2 if h % 2 == 0 else -0.2)
+        for k in range(2):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=k), 1, "click", v, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    from encodesrv_spark.plans.mining import events_cusum
+
+    batch = {
+        (r["event_type"], r["hour_start"]): r
+        for r in events_cusum(spark, str(tmp_path)).collect()
+    }
+
+    # baseline frame exactly as the batch computes it
+    h = (
+        spark.read.parquet(f"{tmp_path}/events.parquet")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    baseline = h.groupBy("event_type").agg(
+        F.round(F.avg("m"), 6).alias("mu"),
+        F.round(F.stddev_samp("m"), 6).alias("sd"),
+    )
+
+    src = str(tmp_path / "cusum_events")
+    df.select(
+        "event_id", "event_type", "value", F.unix_micros("ts").alias("tus")
+    ).orderBy("tus", "event_id").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double, tus long"
+    ).parquet(src)
+    q = (
+        cusum_stream(stream, baseline)
+        .writeStream.format("memory")
+        .queryName("cusum_chart")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT * FROM cusum_chart").collect()
+    assert len(out) == 63  # 64 hours, last never closes
+    import datetime as dt2
+
+    for r in out:
+        hour_str = dt2.datetime.fromtimestamp(
+            r["hour_epoch"], dt2.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        b = batch[(r["event_type"], hour_str)]
+        assert abs(r["cusum_up"] - b["cusum_up"]) < 1e-6, (hour_str, r, b)
+        assert abs(r["cusum_dn"] - b["cusum_dn"]) < 1e-6
+        assert r["drift_alarm"] == b["drift_alarm"]
+    assert any(r["drift_alarm"] for r in out)
