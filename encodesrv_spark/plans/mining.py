@@ -2552,3 +2552,208 @@ def token_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.lit(6.0) * d2 / (n * (n * n - F.lit(1))), 6
         ).alias("spearman_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# order backlog time series (sweep line)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_backlog_timeseries",
+    oracle="""
+        WITH spans AS (
+            SELECT o.o_orderkey,
+                   date_trunc('month', o.o_orderdate) AS m_open,
+                   date_trunc('month', max(l.l_shipdate)) AS m_close
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        deltas AS (
+            SELECT m_open AS month, 1 AS d FROM spans
+            UNION ALL
+            SELECT m_close + INTERVAL 1 MONTH, -1 FROM spans
+        ),
+        agg AS (SELECT month, sum(d)::BIGINT AS delta FROM deltas GROUP BY 1)
+        SELECT strftime(month, '%Y-%m') AS month,
+               delta,
+               sum(delta) OVER (
+                   ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS backlog
+        FROM agg
+    """,
+    tags=("extended", "window", "stats"),
+)
+def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per month by sweep line: each order
+    contributes +1 at its open month and −1 the month after its last
+    shipment; the running sum of deltas IS the number of concurrently
+    open orders — the interval-overlap-counting pattern (concurrent
+    sessions, active subscriptions, WIP inventory) done WITHOUT an
+    interval self-join.
+
+    Scale shape: one co-keyed join collapses lineitem to per-order
+    close months (map-side-combinable max), the delta stream is
+    2 rows/order aggregated down to ≤ |months| rows, and the only
+    unpartitioned window runs on that calendar-bounded frame.  The
+    naive alternative — join every order against every month it spans
+    — multiplies the fact table by the mean span length; the sweep
+    line replaces it with +1/−1 events."""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        l.select("l_orderkey", "l_shipdate")
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.date_trunc("month", "o_orderdate").alias("m_open"),
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey", "m_open")
+        .agg(F.date_trunc("month", F.max("l_shipdate")).alias("m_close"))
+    )
+    deltas = spans.select(F.col("m_open").alias("month"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.add_months("m_close", 1).cast("timestamp").alias("month"), F.lit(-1))
+    )
+    agg = deltas.groupBy("month").agg(F.sum("d").cast("long").alias("delta"))
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return agg.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "delta",
+        F.sum("delta").over(w).cast("long").alias("backlog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token position bias
+# ---------------------------------------------------------------------------
+
+_POS_MIN_CF = 30
+_POS_TOPK = 30
+
+
+@register(
+    "token_position_bias",
+    oracle=f"""
+        WITH tok AS (
+            SELECT t.doc_id, u.tokk AS t,
+                   (u.i - 1) * 1.0 / greatest(len(t.ts) - 1, 1) AS relpos
+            FROM (SELECT doc_id, {_TOKS_NE} AS ts FROM documents) t,
+                 LATERAL (SELECT unnest(ts) AS tokk,
+                                 generate_subscripts(ts, 1) AS i) u
+        ),
+        stats AS (
+            SELECT t,
+                   count(*)::BIGINT AS cf,
+                   round(avg(relpos), 6) AS mean_pos,
+                   round(stddev_samp(relpos), 6) AS sd_pos
+            FROM tok GROUP BY 1
+            HAVING count(*) >= {_POS_MIN_CF}
+        )
+        SELECT t, cf, mean_pos, sd_pos,
+               row_number() OVER (ORDER BY mean_pos, t)::BIGINT AS rnk
+        FROM stats
+        QUALIFY rnk <= {_POS_TOPK}
+    """,
+    tags=("llm", "quality", "stats"),
+)
+def token_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-bias profile: mean and spread of each frequent
+    token's RELATIVE position within its documents, surfacing the
+    head-anchored terms — boilerplate headers, bylines, navigation
+    crumbs cluster at relpos ≈ 0 with tiny spread, while content
+    vocabulary floats near 0.5 with wide spread.  The positional
+    complement of `token_burstiness` (which sees clumping across docs,
+    not placement within them).
+
+    One posexplode pass computes relative positions per occurrence
+    (pure per-row arithmetic), then a single token-keyed moment
+    aggregate (map-side-combinable) with the support cut; the top-k of
+    head-anchored terms is a TakeOrdered over the vocab-bounded stats
+    frame.  Mean/sd sums are per-token over O(cf) O(1)-magnitude
+    terms — 6 dp rounding absorbs association drift."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens_ne().alias("ts"))
+    tok = toks.select(
+        "doc_id",
+        F.posexplode("ts").alias("i", "t"),
+        (F.greatest(F.size("ts") - 1, F.lit(1))).alias("den"),
+    ).select("t", (F.col("i") * F.lit(1.0) / F.col("den")).alias("relpos"))
+    stats = (
+        tok.groupBy("t")
+        .agg(
+            F.count("*").alias("cf"),
+            F.round(F.avg("relpos"), 6).alias("mean_pos"),
+            F.round(F.stddev_samp("relpos"), 6).alias("sd_pos"),
+        )
+        .filter(F.col("cf") >= _POS_MIN_CF)
+    )
+    w = W.orderBy(F.asc("mean_pos"), F.asc("t"))
+    return (
+        stats.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _POS_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_benford_audit",
+    # first digit extracted NUMERICALLY (floor(x / 10^floor(log10 x)))
+    # — string casts of doubles render differently across engines
+    oracle="""
+        WITH digits AS (
+            SELECT floor(o_totalprice
+                         / pow(10, floor(log10(o_totalprice))))::BIGINT AS d
+            FROM orders WHERE o_totalprice > 0
+        ),
+        obs AS (SELECT d, count(*)::BIGINT AS n FROM digits GROUP BY 1),
+        tot AS (SELECT sum(n) AS t FROM obs)
+        SELECT obs.d AS first_digit, obs.n,
+               round(obs.n * 1.0 / tot.t, 6) AS observed_p,
+               round(log10(1.0 + 1.0 / obs.d), 6) AS benford_p,
+               round(pow(obs.n * 1.0 / tot.t - log10(1.0 + 1.0 / obs.d), 2)
+                     / log10(1.0 + 1.0 / obs.d), 6) AS chi2_term
+        FROM obs, tot
+    """,
+    tags=("extended", "quality", "stats"),
+)
+def price_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values: observed vs
+    expected log10(1 + 1/d) frequencies with per-digit χ²-style terms
+    — the classic fabricated-number detector (synthetic or tampered
+    monetary data deviates hard from Benford; this corpus's uniform
+    generator visibly does, which is exactly what the audit should
+    say about synthetic data).
+
+    One map-side-combinable digit aggregate (9 groups); the digit is
+    extracted numerically — floor(x/10^floor(log10 x)) — because
+    string renderings of doubles differ across engines.  Everything
+    after the count runs on the 9-row frame."""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    p_obs = F.col("n") * F.lit(1.0) / F.col("t")
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n",
+            F.round(p_obs, 6).alias("observed_p"),
+            F.round(p_ben, 6).alias("benford_p"),
+            F.round(F.pow(p_obs - p_ben, 2) / p_ben, 6).alias("chi2_term"),
+        )
+    )

@@ -769,3 +769,53 @@ def test_rank_stability_forms_agree_on_corpus(spark, sf_dir):
     r = mining.token_rank_stability(spark, sf_dir).collect()[0]
     assert abs(r["spearman_rho"] - r["spearman_exact"]) < 1e-4
     assert -1 <= r["spearman_rho"] <= 1
+
+
+def test_backlog_conservation_and_nonnegative(spark, sf_dir):
+    """Backlog is always >= 0, final backlog = 0 (every order closes),
+    and sum of positive deltas = order count with lineitems."""
+    rows = sorted(
+        mining.order_backlog_timeseries(spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows
+    assert all(r["backlog"] >= 0 for r in rows)
+    assert rows[-1]["backlog"] == 0
+    from encodesrv_spark.catalog import load_table
+
+    n_orders = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    # deltas are NET per month (same-month opens/closes cancel), so the
+    # conservation laws are: everything closes (sum 0) and the peak
+    # backlog is positive but bounded by the order count
+    assert sum(r["delta"] for r in rows) == 0
+    peak = max(r["backlog"] for r in rows)
+    assert 0 < peak <= n_orders
+
+
+def test_position_bias_planted_header(spark, tmp_path):
+    """A token planted at position 0 of every doc must rank first with
+    mean_pos 0 and sd 0; a mid-document token must not."""
+    docs = spark.createDataFrame(
+        [
+            (i, "HEADER " + " ".join(f"w{j}_{i % 3}" for j in range(40)), "en", "s", 1)
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = mining.token_position_bias(spark, str(tmp_path)).collect()
+    top = min(rows, key=lambda r: r["rnk"])
+    assert top["t"] == "HEADER"
+    assert top["mean_pos"] == 0.0 and top["sd_pos"] == 0.0
+
+
+def test_benford_terms_sum_and_probabilities(spark, sf_dir):
+    """Digits 1-9 all present, observed probabilities sum to 1, and
+    Benford expectations sum to 1 (sanity of the formula)."""
+    rows = mining.price_benford_audit(spark, sf_dir).collect()
+    assert sorted(r["first_digit"] for r in rows) == list(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_p"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi2_term"] >= 0 for r in rows)
