@@ -137,6 +137,22 @@ def main() -> None:
         "dedup_cluster_size_hist",
         "embedding_top_pc",
         "token_burstiness",
+        "doc_nearest_neighbor",
+        "order_seasonality_index",
+        "customer_order_gaps",
+        "copurchase_degree_dist",
+        "bigram_lm_perplexity",
+        "doc_hash_features",
+        "referential_integrity_audit",
+        "revenue_trend_mann_kendall",
+        "events_cusum",
+        "part_kcore_peel",
+        "multimodal_shared_frames",
+        "source_dup_crosstab",
+        "token_rank_stability",
+        "order_backlog_timeseries",
+        "token_position_bias",
+        "price_benford_audit",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -97,3 +97,27 @@ def write_jsonl_shards(
     if compress:
         w = w.option("compression", "gzip")
     w.json(path)
+
+
+def read_corpus_stream(
+    spark: SparkSession, path: str, schema: str = DOC_SCHEMA
+) -> DataFrame:
+    """Streaming JSONL corpus ingest: the continuous form of
+    :func:`read_corpus` — same explicit schema, same PERMISSIVE
+    corrupt-line capture — for the arriving-shards case (a crawler
+    dropping gzip shards into a landing directory).
+
+    Returns ONE stream carrying both clean docs and a `raw_line`
+    column (non-NULL ⇔ the line was corrupt), because a streaming
+    source cannot be filtered into two independently-consumed frames
+    without running the source twice; callers split with
+    ``.filter("raw_line IS NULL")`` / ``IS NOT NULL`` into separate
+    sinks (corpus vs quarantine) inside one foreachBatch, keeping the
+    single-read guarantee."""
+    return (
+        spark.readStream.schema(f"{schema}, {_CORRUPT} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+        .withColumnRenamed(_CORRUPT, "raw_line")
+    )

@@ -489,3 +489,41 @@ def test_watermark_drops_late_event_from_closed_window(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert rows.get(("2024-03-01 10:00:00", "click")) == 2, rows
+
+
+def test_jsonl_corpus_stream_ingests_and_quarantines(spark, tmp_path, sf_dir):
+    """Streaming JSONL ingest: shards arriving in a landing directory
+    flow through with the declared schema; corrupt lines surface with
+    raw_line set instead of being silently dropped; clean rows match
+    the batch reader exactly."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources import jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    landing = str(tmp_path / "landing")
+    jsonl.write_jsonl_shards(docs, landing, n_shards=2, compress=False)
+    (tmp_path / "landing" / "part-zz-bad.json").write_text(
+        "this is not json\n"
+    )
+
+    stream = jsonl.read_corpus_stream(spark, landing)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_ingest")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_jsonl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT * FROM jsonl_ingest")
+    clean = out.filter("raw_line IS NULL")
+    bad = out.filter("raw_line IS NOT NULL")
+    assert clean.count() == docs.count()
+    assert bad.count() == 1
+    assert bad.collect()[0]["raw_line"] == "this is not json"
+    # schema carried through the stream
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars", "raw_line",
+    ]
