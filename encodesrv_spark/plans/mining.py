@@ -2757,3 +2757,153 @@ def price_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(p_obs - p_ben, 2) / p_ben, 6).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_assortativity",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        deg AS (
+            SELECT node, count(*)::DOUBLE AS d FROM (
+                SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e
+            ) GROUP BY node
+        ),
+        ends AS (
+            -- each undirected edge contributes BOTH orientations so the
+            -- correlation is symmetric in (du, dv)
+            SELECT d1.d AS du, d2.d AS dv
+            FROM e JOIN deg d1 ON d1.node = e.p1
+                   JOIN deg d2 ON d2.node = e.p2
+            UNION ALL
+            SELECT d2.d, d1.d
+            FROM e JOIN deg d1 ON d1.node = e.p1
+                   JOIN deg d2 ON d2.node = e.p2
+        )
+        SELECT count(*)::BIGINT AS n_edge_ends,
+               round(corr(du, dv), 6) AS assortativity
+        FROM ends
+    """,
+    tags=("extended", "graph", "stats"),
+)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Pearson
+    correlation of endpoint degrees over edges (Newman's r): positive
+    means hubs link to hubs (assortative mixing, social-network-like),
+    negative means hubs link to leaves (disassortative,
+    catalog/anchor-product-like).  With `copurchase_degree_dist` this
+    is the two-number structural fingerprint that tells you WHICH
+    graph algorithms will hurt.
+
+    Shape: the shared basket-bounded edge build, one degree aggregate,
+    two co-keyed degree joins, then a single-pass moment aggregate
+    (corr) over the symmetrized edge-end list — the shuffle after the
+    edge build carries edges, never wedges."""
+    prep(spark)
+    from encodesrv_spark.plans.extended import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("double").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    ends0 = (
+        e.join(deg.select(F.col("node").alias("p1"), F.col("d").alias("du")), "p1")
+        .join(deg.select(F.col("node").alias("p2"), F.col("d").alias("dv")), "p2")
+        .select("du", "dv")
+    )
+    ends = ends0.unionAll(ends0.select(F.col("dv").alias("du"), F.col("du").alias("dv")))
+    return ends.agg(
+        F.count("*").alias("n_edge_ends"),
+        F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source template-header extraction
+# ---------------------------------------------------------------------------
+
+_TPL_PREFIX_TOKENS = 5
+
+
+@register(
+    "source_template_headers",
+    oracle=f"""
+        WITH pref AS (
+            SELECT source,
+                   array_to_string(list_slice({_TOKS_NE}, 1,
+                                              {_TPL_PREFIX_TOKENS}), ' ')
+                       AS prefix
+            FROM documents
+            WHERE len({_TOKS_NE}) >= {_TPL_PREFIX_TOKENS}
+        ),
+        c AS (
+            SELECT source, prefix, count(*)::BIGINT AS n
+            FROM pref GROUP BY 1, 2
+        ),
+        tot AS (SELECT source, sum(n) AS sn FROM c GROUP BY 1)
+        SELECT source, prefix, n,
+               round(n * 1.0 / sn, 6) AS doc_share
+        FROM (
+            SELECT c.*, tot.sn,
+                   row_number() OVER (
+                       PARTITION BY c.source ORDER BY n DESC, prefix
+                   ) AS rn
+            FROM c JOIN tot USING (source)
+        ) WHERE rn = 1
+    """,
+    tags=("llm", "quality", "stats"),
+)
+def source_template_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-header extraction: each source's single most common
+    {_TPL_PREFIX_TOKENS}-token document prefix and the share of the
+    source's documents that start with it — the actionable artifact
+    behind `token_position_bias`: a high doc_share prefix IS the
+    boilerplate header to strip before training (nav crumbs, feed
+    banners, license blurbs).
+
+    One per-row prefix projection (array slice, no explode), one
+    (source, prefix)-keyed count, per-source totals re-aggregated from
+    the count frame, and a per-source argmax window over the
+    prefix-cardinality frame.  Ties break on the prefix string, so the
+    winner is deterministic cross-engine."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = _tokens_ne()
+    pref = d.filter(F.size(toks) >= _TPL_PREFIX_TOKENS).select(
+        "source",
+        F.array_join(F.slice(toks, 1, _TPL_PREFIX_TOKENS), " ").alias("prefix"),
+    )
+    c = (
+        pref.groupBy("source", "prefix")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = c.groupBy("source").agg(F.sum("n").alias("sn"))
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("prefix"))
+    return (
+        c.join(F.broadcast(tot), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            "prefix",
+            "n",
+            F.round(F.col("n") * F.lit(1.0) / F.col("sn"), 6).alias("doc_share"),
+        )
+    )

@@ -819,3 +819,41 @@ def test_benford_terms_sum_and_probabilities(spark, sf_dir):
     assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["benford_p"] for r in rows) - 1.0) < 1e-4
     assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_assortativity_bounded_and_star_is_disassortative(spark, tmp_path):
+    """r ∈ [-1, 1]; a pure star graph (hub to leaves) is maximally
+    disassortative — every edge joins degree-n to degree-1, and with
+    symmetrized ends the correlation is exactly -1."""
+    r = mining.copurchase_assortativity(spark, "/root/testdata/sf0.001").collect()[0]
+    assert -1 <= r["assortativity"] <= 1
+
+    rows = []
+    okey = 0
+    for leaf in range(2, 7):          # star: hub 1 - leaves 2..6
+        for _ in range(2):            # support >= 2
+            okey += 1
+            rows.append((okey, 1))
+            rows.append((okey, leaf))
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/lineitem.parquet")
+    star = mining.copurchase_assortativity(spark, str(tmp_path)).collect()[0]
+    assert star["assortativity"] == -1.0
+    assert star["n_edge_ends"] == 10  # 5 edges, both orientations
+
+
+def test_template_headers_planted_boilerplate(spark, tmp_path):
+    """90% of a source's docs share a planted 5-token header: the op
+    must surface exactly that prefix with doc_share 0.9."""
+    hdr = "BREAKING NEWS FROM OUR WIRE"
+    docs = [(i, f"{hdr} body text {i} words here now", "en", "feed", 1) for i in range(18)]
+    docs += [(100 + i, f"organic opening {i} unique text here now", "en", "feed", 1) for i in range(2)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = mining.source_template_headers(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["prefix"] == hdr
+    assert r["doc_share"] == 0.9
