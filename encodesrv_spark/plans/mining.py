@@ -317,7 +317,16 @@ _SQ8_CODED_CTES = f"""
 def _sq8_coded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb, mins, scales, codes) — the Spark twin of
     _SQ8_CODED_CTES: one corpus pass fits the 64 per-dim ranges
-    (broadcast as a one-row frame), coding is per-row array arithmetic."""
+    (broadcast as a one-row frame), coding is per-row array arithmetic.
+
+    The result is MATERIALIZED (localCheckpoint): downstream consumers
+    index into `codes` element-wise (the MSE fold, the dequant
+    transform), and projection collapse would otherwise inline the
+    whole 64-element coding transform into EVERY element access —
+    an O(dims²) expression blowup per row (measured 6 s → 1.5 s at
+    sf0.1).  At production scale this materialization is the point:
+    the codes ARE the stored artifact (1 byte/dim), written once and
+    scanned by every ANN probe."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
@@ -335,15 +344,19 @@ def _sq8_coded_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: (s.mx - s.mn) / F.lit(255.0),
         ).alias("scales"),
     )
-    return e.crossJoin(F.broadcast(arrs)).withColumn(
-        "codes",
-        F.expr(
-            f"transform(sequence(1, {_SQ_DIMS}),"
-            " i -> CASE WHEN scales[i - 1] > 0"
-            "           THEN CAST(least(255, greatest(0,"
-            "                round((emb[i - 1] - mins[i - 1]) / scales[i - 1]))) AS BIGINT)"
-            "           ELSE CAST(0 AS BIGINT) END)"
-        ),
+    return (
+        e.crossJoin(F.broadcast(arrs))
+        .withColumn(
+            "codes",
+            F.expr(
+                f"transform(sequence(1, {_SQ_DIMS}),"
+                " i -> CASE WHEN scales[i - 1] > 0"
+                "           THEN CAST(least(255, greatest(0,"
+                "                round((emb[i - 1] - mins[i - 1]) / scales[i - 1]))) AS BIGINT)"
+                "           ELSE CAST(0 AS BIGINT) END)"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -444,13 +457,24 @@ def embedding_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 dp rounding; ties break on neighbor_id."""
     prep(spark)
     coded = _sq8_coded_frame(spark, sf_dir)
-    deq = coded.withColumn(
-        "r",
-        F.expr(
-            f"transform(sequence(1, {_SQ_DIMS}),"
-            " i -> mins[i - 1] + codes[i - 1] * scales[i - 1])"
-        ),
-    ).select("vec_id", "r", dot(F.col("r"), F.col("r")).alias("rnrm"))
+    # materialize the dequantized frame: projection collapse would
+    # otherwise INLINE the transform chain (codes -> r) into every
+    # reference — the rnrm fold and each of the 8 per-query dot
+    # products would re-run the 64-step dequant per pair (measured 6 s
+    # -> 1 s at sf0.1)
+    deq = (
+        coded.withColumn(
+            "r",
+            F.expr(
+                f"transform(sequence(1, {_SQ_DIMS}),"
+                " i -> mins[i - 1] + codes[i - 1] * scales[i - 1])"
+            ),
+        )
+        .select("vec_id", "r", dot(F.col("r"), F.col("r")).alias("rnrm"))
+        # r is referenced by rnrm AND by all 8 per-query dots — keep it
+        # materialized too so the dequant transform runs once per row
+        .localCheckpoint(eager=True)
+    )
     q = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _SQ8_ANN_QUERIES)

@@ -536,12 +536,14 @@ def test_ann_bucket_partitioned_probe_prunes(spark, sf_dir, tmp_path):
     assert probed_files < all_files / 2
 
 
-def test_sq8_exactly_two_corpus_passes(spark, sf_dir):
-    """SQ8 needs the range fit (pass 1) and the coding pass (pass 2) —
-    a third embedding scan means the stats broadcast regressed into a
-    recomputed subplan."""
+def test_sq8_rides_the_materialized_codes(spark, sf_dir):
+    """The coded frame is materialized once (element-wise access into
+    an INLINED coding transform is an O(dims²) expression blowup — the
+    codes are the stored artifact at scale), so the audit's executed
+    plan reads the checkpoint, not parquet."""
     plan = plan_of(spark, sf_dir, "embedding_sq8")
-    assert plan.count("FileScan") == 2
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
 
 
 def test_token_coverage_ranking_is_take_ordered(spark, sf_dir):
