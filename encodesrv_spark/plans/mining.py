@@ -2931,3 +2931,114 @@ def source_template_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * F.lit(1.0) / F.col("sn"), 6).alias("doc_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# order fill latency SLA
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_fill_latency_sla",
+    oracle="""
+        WITH lat AS (
+            SELECT o.o_orderpriority,
+                   date_diff('day', o.o_orderdate, min(l.l_shipdate))::BIGINT
+                       AS days_to_first_ship
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               round(avg(days_to_first_ship), 4) AS mean_days,
+               round(quantile_cont(days_to_first_ship, 0.5), 4) AS p50,
+               round(quantile_cont(days_to_first_ship, 0.95), 4) AS p95,
+               sum(CASE WHEN days_to_first_ship > 30 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_sla_breach
+        FROM lat GROUP BY 1
+    """,
+    tags=("extended", "stats"),
+)
+def order_fill_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fill latency SLA: days from order placement to FIRST
+    shipment, summarized per priority class (mean / p50 / p95 /
+    30-day-breach count) — the fulfillment dashboard's headline table,
+    and the check that 1-URGENT actually ships faster than 5-LOW.
+
+    One co-keyed join + per-order min (map-side-combinable), then a
+    |priorities|-group percentile aggregate over the orders-sized
+    latency frame.  Latencies are exact integer days; percentile
+    interpolation is the proven `percentile`↔`quantile_cont`
+    contract."""
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    lat = (
+        l.select(F.col("l_orderkey").alias("o_orderkey"), "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderpriority", "o_orderdate"), "o_orderkey")
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(F.min("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("days_to_first_ship")
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("days_to_first_ship"), 4).alias("mean_days"),
+        F.round(F.percentile("days_to_first_ship", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("days_to_first_ship", F.lit(0.95)), 4).alias("p95"),
+        F.sum(F.when(F.col("days_to_first_ship") > 30, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sla_breach"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hourly-count dispersion index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dispersion_index",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   count(*)::DOUBLE AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               count(*)::BIGINT AS n_hours,
+               round(avg(n), 6) AS mean_per_hour,
+               round(var_samp(n), 6) AS var_per_hour,
+               round(var_samp(n) / avg(n), 6) AS dispersion_index,
+               (var_samp(n) / avg(n) > 1.5) AS overdispersed
+        FROM h GROUP BY 1
+    """,
+    tags=("extended", "events", "stats"),
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion check on hourly event counts: variance/mean
+    per event type (index ≈ 1 for a Poisson arrival process; ≫ 1 means
+    bursty/clumped arrivals, ≪ 1 means throttled/scheduled) — the
+    one-number answer to 'can I model this stream as Poisson' that
+    decides whether rate alerts need burst-tolerant thresholds.
+
+    One hourly count aggregate then a |types|-group moment aggregate —
+    both map-side-combinable, nothing beyond the hourly frame ever
+    shuffles.  The flag threshold (1.5) is shared verbatim by both
+    engines; variance sums are per-type over O(hours) counts, 6 dp
+    rounding absorbs association drift."""
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    di = F.var_samp("n") / F.avg("n")
+    return h.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.avg("n"), 6).alias("mean_per_hour"),
+        F.round(F.var_samp("n"), 6).alias("var_per_hour"),
+        F.round(di, 6).alias("dispersion_index"),
+        (di > 1.5).alias("overdispersed"),
+    )

@@ -857,3 +857,43 @@ def test_template_headers_planted_boilerplate(spark, tmp_path):
     r = out[0]
     assert r["prefix"] == hdr
     assert r["doc_share"] == 0.9
+
+
+def test_fill_latency_ordered_quantiles_and_positive(spark, sf_dir):
+    rows = mining.order_fill_latency_sla(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50"] <= r["p95"]
+        assert 0 <= r["n_sla_breach"] <= r["n_orders"]
+
+
+def test_dispersion_index_poisson_and_bursty(spark, tmp_path):
+    """A deterministic constant-rate stream has variance 0 (index 0,
+    not overdispersed); a stream that dumps everything into a few
+    hours is overdispersed."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 5, 1)
+    rows, eid = [], 0
+    # 'steady': exactly 5 events every hour for 48h
+    for h in range(48):
+        for k in range(5):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=k), 1, "steady", 1.0, "{}"))
+    # 'bursty': 240 events in hour 0, then 1/hour for 47h
+    for k in range(240):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(minutes=k % 60), 2, "bursty", 1.0, "{}"))
+    for h in range(1, 48):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=h), 2, "bursty", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["event_type"]: r for r in mining.events_dispersion_index(spark, str(tmp_path)).collect()}
+    assert out["steady"]["dispersion_index"] == 0.0
+    assert not out["steady"]["overdispersed"]
+    assert out["bursty"]["overdispersed"]
+    assert out["bursty"]["dispersion_index"] > 10
