@@ -153,6 +153,10 @@ def main() -> None:
         "order_backlog_timeseries",
         "token_position_bias",
         "price_benford_audit",
+        "copurchase_assortativity",
+        "source_template_headers",
+        "order_fill_latency_sla",
+        "events_dispersion_index",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
