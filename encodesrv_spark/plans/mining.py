@@ -2638,6 +2638,10 @@ def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "m_open")
         .agg(F.date_trunc("month", F.max("l_shipdate")).alias("m_close"))
+        # both delta branches (opens, closes) consume spans — without
+        # the checkpoint each branch re-runs the orders⋈lineitem join
+        # (4 fact scans instead of 0 post-materialization)
+        .localCheckpoint(eager=True)
     )
     deltas = spans.select(F.col("m_open").alias("month"), F.lit(1).alias("d")).unionAll(
         spans.select(F.add_months("m_close", 1).cast("timestamp").alias("month"), F.lit(-1))
