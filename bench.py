@@ -157,6 +157,7 @@ def main() -> None:
         "source_template_headers",
         "order_fill_latency_sla",
         "events_dispersion_index",
+        "events_autocorrelation",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -3046,3 +3046,66 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(di, 6).alias("dispersion_index"),
         (di > 1.5).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hourly autocorrelation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_autocorrelation",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   round(avg(value), 6) AS m
+            FROM events GROUP BY 1, 2
+        ),
+        lagd AS (
+            SELECT event_type, m,
+                   lag(m, 1) OVER w AS m1,
+                   lag(m, 2) OVER w AS m2,
+                   lag(m, 3) OVER w AS m3
+            FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+        )
+        SELECT event_type,
+               count(*)::BIGINT AS n_hours,
+               round(corr(m, m1), 6) AS acf_1,
+               round(corr(m, m2), 6) AS acf_2,
+               round(corr(m, m3), 6) AS acf_3
+        FROM lagd GROUP BY 1
+    """,
+    tags=("extended", "events", "stats"),
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of hourly means per event type — the
+    memory-structure readout that completes the time-series family:
+    dispersion says HOW bursty, CUSUM/change-points say WHEN it
+    shifted, ACF says whether adjacent hours carry information about
+    each other at all (near-zero ACF ⇒ alerting on deltas is just
+    alerting on noise; high ACF ⇒ forecasting/smoothing is viable).
+
+    One hourly aggregate, one lag window per type partition (three lag
+    columns ride a single sort), then a per-type moment aggregate —
+    corr is single-pass and map-side-combinable, and every mean is
+    rounded 6 dp before the correlations so both engines correlate
+    identical series."""
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.round(F.avg("value"), 6).alias("m")
+    )
+    w = W.partitionBy("event_type").orderBy("hr")
+    lagd = h.select(
+        "event_type",
+        "m",
+        F.lag("m", 1).over(w).alias("m1"),
+        F.lag("m", 2).over(w).alias("m2"),
+        F.lag("m", 3).over(w).alias("m3"),
+    )
+    return lagd.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.corr("m", "m1"), 6).alias("acf_1"),
+        F.round(F.corr("m", "m2"), 6).alias("acf_2"),
+        F.round(F.corr("m", "m3"), 6).alias("acf_3"),
+    )

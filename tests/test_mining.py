@@ -897,3 +897,24 @@ def test_dispersion_index_poisson_and_bursty(spark, tmp_path):
     assert not out["steady"]["overdispersed"]
     assert out["bursty"]["overdispersed"]
     assert out["bursty"]["dispersion_index"] > 10
+
+
+def test_autocorrelation_planted_structure(spark, tmp_path):
+    """A strictly alternating hourly series has ACF(1) = -1 and
+    ACF(2) = +1; ACF values are bounded by [-1, 1]."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 6, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        v = 20.0 if h % 2 == 0 else 10.0
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=h), 1, "alt", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = {x["event_type"]: x for x in mining.events_autocorrelation(spark, str(tmp_path)).collect()}["alt"]
+    assert r["acf_1"] == -1.0
+    assert r["acf_2"] == 1.0
