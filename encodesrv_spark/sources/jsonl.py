@@ -56,22 +56,18 @@ def read_corpus(
     spark: SparkSession, path: str, schema: str = DOC_SCHEMA
 ) -> JsonlIngest:
     """Read a JSONL corpus with an explicit schema and corrupt-line
-    quarantine.
+    quarantine — the split/audit layer over the raw reading contract
+    in :func:`encodesrv_spark.sources.files.read_jsonl` (ONE place
+    defines schema-no-inference + PERMISSIVE capture semantics).
 
-    The read is ONE pass: PERMISSIVE mode parses good lines into the
-    declared schema and routes unparseable lines (verbatim) into the
-    corrupt column.  Per Spark semantics, corrupt-record rows can only
-    be materialized when the corrupt column is selected from a cached
-    or re-read frame — so the split below re-reads with the capture
-    column declared, filters each side, and drops the capture column
-    from the clean side (it would otherwise defeat column pruning
-    downstream)."""
-    full = (
-        spark.read.schema(f"{schema}, {_CORRUPT} string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .json(path)
-    )
+    Per Spark semantics, corrupt-record rows can only be materialized
+    when the corrupt column is selected from a cached or re-read frame
+    — so the split below caches the one-pass read, filters each side,
+    and drops the capture column from the clean side (it would
+    otherwise defeat column pruning downstream)."""
+    from encodesrv_spark.sources.files import read_jsonl
+
+    full = read_jsonl(spark, path, schema=schema)
     # Spark requires referencing raw rows (not just the corrupt col) —
     # a cache scopes the single pass for both filters.
     full = full.cache()
@@ -113,7 +109,9 @@ def read_corpus_stream(
     without running the source twice; callers split with
     ``.filter("raw_line IS NULL")`` / ``IS NOT NULL`` into separate
     sinks (corpus vs quarantine) inside one foreachBatch, keeping the
-    single-read guarantee."""
+    single-read guarantee.  Same schema/PERMISSIVE contract as
+    `files.read_jsonl` (readStream has no batch-reader to delegate to,
+    so the options are restated here — keep them in sync)."""
     return (
         spark.readStream.schema(f"{schema}, {_CORRUPT} string")
         .option("mode", "PERMISSIVE")
