@@ -158,6 +158,8 @@ def main() -> None:
         "order_fill_latency_sla",
         "events_dispersion_index",
         "events_autocorrelation",
+        "doc_oov_rate",
+        "user_concentration_hhi",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

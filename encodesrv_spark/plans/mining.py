@@ -3109,3 +3109,127 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("m", "m2"), 6).alias("acf_2"),
         F.round(F.corr("m", "m3"), 6).alias("acf_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-doc OOV rate
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 1000
+
+
+@register(
+    "doc_oov_rate",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_NE}) AS t FROM documents
+        ),
+        c AS (SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        vocab AS (
+            SELECT t FROM (
+                SELECT t, row_number() OVER (ORDER BY cnt DESC, t) AS rnk
+                FROM c
+            ) WHERE rnk <= {_OOV_VOCAB_K}
+        )
+        SELECT tok.doc_id,
+               count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov,
+               round(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS oov_rate
+        FROM tok LEFT JOIN vocab ON vocab.t = tok.t
+        GROUP BY tok.doc_id
+    """,
+    tags=("llm", "quality", "text"),
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-{_OOV_VOCAB_K} vocabulary — the doc-level projection of
+    `token_coverage_curve`: the curve sizes the tokenizer budget, this
+    op finds the DOCUMENTS that budget abandons (mostly-OOV docs are
+    junk, code, or another language — a standard pre-training filter).
+
+    The vocabulary is a TakeOrdered over the frequency table (constant
+    {_OOV_VOCAB_K} rows → broadcast); the membership probe is then a
+    broadcast LEFT join on the exploded token stream, aggregated back
+    per doc — the token stream shuffles ONCE (the doc_id re-agg), the
+    corpus text never."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(_tokens_ne()).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("t"))
+        .limit(_OOV_VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# user activity concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_concentration_hhi",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, count(*)::DOUBLE AS n FROM events GROUP BY 1
+        ),
+        tot AS (SELECT sum(n) AS t, count(*)::BIGINT AS n_users FROM u)
+        SELECT tot.n_users,
+               round(sum(pow(u.n / tot.t, 2)), 6) AS hhi,
+               round(1.0 / sum(pow(u.n / tot.t, 2)), 4) AS effective_users,
+               round(max(u.n) / any_value(tot.t), 6) AS top_share
+        FROM u, tot
+        GROUP BY tot.n_users
+    """,
+    tags=("extended", "events", "stats"),
+)
+def user_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: Herfindahl-Hirschman index of per-user
+    event shares, its reciprocal (the 'effective number of users' —
+    how many equal users would produce the same concentration), and
+    the single largest share — the is-my-traffic-actually-three-bots
+    readout, and the skew forecast for every user_id-keyed shuffle in
+    this suite.
+
+    Deliberately HHI and not Gini: Gini needs a global SORT of the
+    user frame (single-partition window over an sf-scaled set), while
+    HHI is one map-side-combinable aggregate over per-user counts —
+    the same information about dominance, at shuffle cost O(users),
+    orderless."""
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").cast("double").alias("n"))
+    tot = u.agg(F.sum("n").alias("t"), F.count("*").alias("n_users"))
+    share = F.col("n") / F.col("t")
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .groupBy("n_users")
+        .agg(
+            F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
+            F.round(F.lit(1.0) / F.sum(F.pow(share, 2)), 4).alias(
+                "effective_users"
+            ),
+            F.round(F.max("n") / F.first("t"), 6).alias("top_share"),
+        )
+        .select("n_users", "hhi", "effective_users", "top_share")
+    )

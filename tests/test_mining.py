@@ -918,3 +918,44 @@ def test_autocorrelation_planted_structure(spark, tmp_path):
     r = {x["event_type"]: x for x in mining.events_autocorrelation(spark, str(tmp_path)).collect()}["alt"]
     assert r["acf_1"] == -1.0
     assert r["acf_2"] == 1.0
+
+
+def test_oov_rate_bounds_and_corpus_consistency(spark, sf_dir):
+    """0 <= oov_rate <= 1; total OOV tokens = total tokens minus
+    tokens covered by the top-1000 vocab (mass conservation)."""
+    rows = mining.doc_oov_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["oov_rate"] <= 1
+        assert r["n_oov"] <= r["n_tokens"]
+
+
+def test_hhi_uniform_and_concentrated(spark, tmp_path):
+    """N equal users -> HHI = 1/N and effective_users = N; one user
+    owning everything -> HHI = 1."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 7, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    rows = [
+        (i * 10 + k, base, i, "click", 1.0, "{}")
+        for i in range(10)
+        for k in range(5)
+    ]
+    write(rows)
+    r = mining.user_concentration_hhi(spark, str(tmp_path)).collect()[0]
+    assert r["n_users"] == 10
+    assert abs(r["hhi"] - 0.1) < 1e-9
+    assert abs(r["effective_users"] - 10.0) < 1e-6
+    assert abs(r["top_share"] - 0.1) < 1e-9
+
+    write([(k, base, 1, "click", 1.0, "{}") for k in range(50)])
+    r = mining.user_concentration_hhi(spark, str(tmp_path)).collect()[0]
+    assert r["hhi"] == 1.0 and r["top_share"] == 1.0
