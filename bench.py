@@ -160,6 +160,7 @@ def main() -> None:
         "events_autocorrelation",
         "doc_oov_rate",
         "user_concentration_hhi",
+        "heaps_law_fit",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -3233,3 +3233,110 @@ def user_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_users", "hhi", "effective_users", "top_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary growth
+# ---------------------------------------------------------------------------
+
+_HEAPS_CHECKPOINTS = 20
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+        ),
+        cps AS (
+            SELECT lo + ((hi - lo + 1) * i) / {_HEAPS_CHECKPOINTS} AS cut
+            FROM bounds,
+                 unnest(generate_series(1, {_HEAPS_CHECKPOINTS})) AS u(i)
+        ),
+        tok AS (
+            SELECT doc_id, unnest({_TOKS_NE}) AS t FROM documents
+        ),
+        first_seen AS (
+            SELECT t, min(doc_id) AS first_doc, count(*) AS cf
+            FROM tok GROUP BY 1
+        ),
+        doc_tokens AS (
+            SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+        ),
+        pts AS (
+            SELECT cps.cut,
+                   (SELECT sum(n) FROM doc_tokens WHERE doc_id <= cps.cut)
+                       AS n_tokens,
+                   (SELECT count(*) FROM first_seen
+                    WHERE first_doc <= cps.cut) AS n_types
+            FROM cps
+        )
+        SELECT count(*)::BIGINT AS n_points,
+               round(regr_slope(log10(n_types), log10(n_tokens)), 6)
+                   AS heaps_beta,
+               round(pow(10, regr_intercept(log10(n_types),
+                                            log10(n_tokens))), 4) AS heaps_k,
+               round(regr_r2(log10(n_types), log10(n_tokens)), 6) AS r2
+        FROM pts WHERE n_tokens > 0 AND n_types > 0
+    """,
+    tags=("llm", "stats"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary size as a power of corpus size,
+    V(N) = K·N^β, fitted log-log over {_HEAPS_CHECKPOINTS} ingestion
+    checkpoints — the vocabulary-GROWTH twin of `token_zipf_fit`'s
+    frequency law: β predicts how fast the vocab table, the df census,
+    and every token-keyed state will grow as the corpus 10×es (natural
+    text: β ≈ 0.4-0.6; β ≈ 1 means unbounded junk token generation).
+
+    Scale shape: cumulative-distinct is NOT computed by a running scan
+    — each token's FIRST-occurrence doc comes from one (token)-keyed
+    min aggregate, per-doc token counts from one more, and each
+    checkpoint's (N, V) point is a threshold aggregate over those two
+    frames ({_HEAPS_CHECKPOINTS}-row explode join, the
+    threshold-curve pattern).  The regression is regr_* over
+    {_HEAPS_CHECKPOINTS} points."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(_tokens_ne()).alias("t"))
+    first_seen = (
+        tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+        .localCheckpoint(eager=True)
+    )
+    doc_tokens = tok.groupBy("doc_id").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=True
+    )
+    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    cps = (
+        spark.range(1, _HEAPS_CHECKPOINTS + 1)
+        .withColumnRenamed("id", "i")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.col("lo")
+                + ((F.col("hi") - F.col("lo") + 1) * F.col("i"))
+                / _HEAPS_CHECKPOINTS
+            ).cast("long").alias("cut")
+        )
+    )
+    n_tok = (
+        cps.join(doc_tokens, doc_tokens.doc_id <= F.col("cut"), "left")
+        .groupBy("cut")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    n_typ = (
+        cps.join(first_seen, first_seen.first_doc <= F.col("cut"), "left")
+        .groupBy("cut")
+        .agg(F.count("t").alias("n_types"))
+    )
+    pts = n_tok.join(n_typ, "cut").filter(
+        (F.col("n_tokens") > 0) & (F.col("n_types") > 0)
+    )
+    ly = F.log10("n_types")
+    lx = F.log10("n_tokens")
+    return pts.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.regr_slope(ly, lx), 6).alias("heaps_beta"),
+        F.round(F.pow(F.lit(10.0), F.regr_intercept(ly, lx)), 4).alias("heaps_k"),
+        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+    )

@@ -959,3 +959,30 @@ def test_hhi_uniform_and_concentrated(spark, tmp_path):
     write([(k, base, 1, "click", 1.0, "{}") for k in range(50)])
     r = mining.user_concentration_hhi(spark, str(tmp_path)).collect()[0]
     assert r["hhi"] == 1.0 and r["top_share"] == 1.0
+
+
+def test_heaps_fit_sane_exponent(spark, sf_dir):
+    """β ∈ [0, 1] — the synthetic corpus draws from a small shared
+    vocabulary that saturates in the first checkpoint, so its TRUE β
+    is ≈ 0 (the op reporting that is the point: β forecasts vocab
+    growth, and this corpus's vocab doesn't grow)."""
+    r = mining.heaps_law_fit(spark, sf_dir).collect()[0]
+    assert r["n_points"] >= 10
+    assert 0 <= r["heaps_beta"] <= 1.001
+    assert r["heaps_k"] > 0
+
+
+def test_heaps_fit_linear_growth_corpus(spark, tmp_path):
+    """Every doc contributes entirely fresh tokens -> V grows linearly
+    with N -> β ≈ 1 with an essentially perfect log-log fit."""
+    docs = [
+        (i, " ".join(f"tok_{i}_{j}" for j in range(20)), "en", "s", 1)
+        for i in range(100)
+    ]
+
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = mining.heaps_law_fit(spark, str(tmp_path)).collect()[0]
+    assert abs(r["heaps_beta"] - 1.0) < 1e-6
+    assert r["r2"] > 0.999
