@@ -1,7 +1,19 @@
-"""Statistical mining over the training corpus, round 3 batch 2:
-token-distribution divergence, collocation mining, per-document
-entropy, int8 embedding quantization, robust value winsorization,
-dedup-threshold calibration, and contrastive pair mining.
+"""Statistical mining over the corpus and warehouse, round 3:
+
+* token statistics — KL drift, PMI collocations, entropy, burstiness,
+  position bias, coverage curve, OOV rate, split-half rank stability,
+  Zipf's sibling Heaps'-law growth fit, bigram-LM perplexity, feature
+  hashing, per-source template headers;
+* embeddings — int8 scalar quantization (+ ADC ANN), norm outliers,
+  power-iteration principal component, contrastive pair mining;
+* dedup — threshold calibration curve, TF-IDF cosine pairs, per-doc
+  nearest neighbor, cluster-size histogram, source-pair crosstab,
+  per-source quality calibration, multimodal shared-frame pairs;
+* events/behavioral — winsorization, change points, CUSUM, ACF,
+  dispersion index, RFM segments, order gaps, seasonality, backlog
+  sweep line, fill-latency SLA, user-concentration HHI;
+* warehouse audits — referential integrity, Benford first digits,
+  Mann-Kendall trend.
 
 Same conventions as plans/corpus.py / plans/curation.py: every query
 has a DuckDB oracle sharing all constants with the Spark plan, floats
