@@ -161,6 +161,8 @@ def main() -> None:
         "doc_oov_rate",
         "user_concentration_hhi",
         "heaps_law_fit",
+        "dedup_quality_gain",
+        "embedding_intrinsic_dim",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

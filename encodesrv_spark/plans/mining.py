@@ -3352,3 +3352,168 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.lit(10.0), F.regr_intercept(ly, lx)), 4).alias("heaps_k"),
         F.round(F.regr_r2(ly, lx), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup quality gain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_quality_gain",
+    oracle=f"""
+        WITH RECURSIVE {_CLUSTERS_CTES},
+        drops AS (
+            SELECT node AS doc_id FROM walk
+            GROUP BY node HAVING min(comp) <> node
+        ),
+        q AS ({_QUALITY_SQL}),
+        agg AS (
+            SELECT count(*)::BIGINT AS n_docs_pre,
+                   sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_removed,
+                   round(avg(q.score), 6) AS mean_q_pre,
+                   round(avg(CASE WHEN d.doc_id IS NULL THEN q.score END), 6)
+                       AS mean_q_post
+            FROM q LEFT JOIN drops d USING (doc_id)
+        )
+        SELECT n_docs_pre, n_removed, mean_q_pre, mean_q_post,
+               round(mean_q_post - mean_q_pre, 6) AS quality_gain
+        FROM agg
+    """,
+    tags=("llm", "dedup", "quality", "eval"),
+)
+def dedup_quality_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did dedup improve the corpus?  Mean quality score before vs
+    after applying the near-dup drop list, in one number — positive
+    gain means duplicates skewed low-quality (usual for spam/template
+    floods), a NEGATIVE gain is the red flag that the dedup policy is
+    eating good content (e.g. popular high-quality passages syndicated
+    everywhere).
+
+    Pure composition over shared artifacts: the LSH cluster CTEs
+    (min-id keeper semantics, identical to `neardup_removals`) and the
+    quality frame; the measurement itself is ONE left-join + a
+    conditional aggregate — pre/post means rounded 6 dp and the gain
+    derived from the rounded values on both engines."""
+    prep(spark)
+    from encodesrv_spark.plans.llm import dedup_clusters, quality_score
+
+    comp = dedup_clusters(spark, sf_dir)
+    drops = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    q = quality_score(spark, sf_dir).select("doc_id", "score")
+    j = q.join(drops.withColumn("dropped", F.lit(1)), "doc_id", "left")
+    agg = j.agg(
+        F.count("*").alias("n_docs_pre"),
+        F.sum(F.when(F.col("dropped").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.round(F.avg("score"), 6).alias("mean_q_pre"),
+        F.round(
+            F.avg(F.when(F.col("dropped").isNull(), F.col("score"))), 6
+        ).alias("mean_q_post"),
+    )
+    return agg.select(
+        "n_docs_pre",
+        "n_removed",
+        "mean_q_pre",
+        "mean_q_post",
+        F.round(F.col("mean_q_post") - F.col("mean_q_pre"), 6).alias(
+            "quality_gain"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# intrinsic dimension (TwoNN)
+# ---------------------------------------------------------------------------
+
+_TWONN_QUERIES = 8
+
+
+@register(
+    "embedding_intrinsic_dim",
+    oracle=f"""
+        WITH e AS ({_EMB}),
+        q AS (
+            SELECT vec_id AS query_id, emb AS qemb FROM e
+            WHERE vec_id < {_TWONN_QUERIES}
+        ),
+        dists AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(sqrt(list_inner_product(
+                       list_transform(generate_series(1, {_SQ_DIMS}),
+                                      i -> q.qemb[i] - e.emb[i]),
+                       list_transform(generate_series(1, {_SQ_DIMS}),
+                                      i -> q.qemb[i] - e.emb[i]))), 6) AS dist
+            FROM e, q WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, dist,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY dist, neighbor_id
+                   ) AS rn
+            FROM dists
+        ),
+        rr AS (
+            SELECT query_id,
+                   max(CASE WHEN rn = 1 THEN dist END) AS r1,
+                   max(CASE WHEN rn = 2 THEN dist END) AS r2
+            FROM ranked WHERE rn <= 2 GROUP BY 1
+        ),
+        mu AS (
+            SELECT query_id, ln(r2 / r1) AS lmu FROM rr WHERE r1 > 0
+        )
+        SELECT count(*)::BIGINT AS n_queries,
+               round(count(*) / sum(lmu), 4) AS intrinsic_dim
+        FROM mu
+    """,
+    tags=("llm", "similarity", "stats", "eval"),
+)
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): the MLE
+    id = n / Σ ln(r₂/r₁) over each query's two nearest-neighbor
+    EUCLIDEAN distances — how many degrees of freedom the embedding
+    cloud actually uses, regardless of its 64 ambient dims.  Low id
+    with high ambient dim says aggressive compression (JL/PQ/SQ) is
+    safe; id near ambient says it isn't — the principled version of
+    the eyeball call `embedding_top_pc` starts.
+
+    Shape: the constant query set broadcasts, one corpus pass computes
+    exact distances (in-order array folds, rounded 6 dp BEFORE
+    ranking), per-query top-2 via window, and the estimator is a
+    scalar aggregate over {_TWONN_QUERIES} log-ratios.  Zero-distance
+    twins are excluded (r₁ > 0 guard on both engines)."""
+    prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    q = e.filter(F.col("vec_id") < _TWONN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    diff = F.zip_with("qemb", "emb", lambda a, b: a - b)
+    dist = F.round(
+        F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+    )
+    dists = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    rr = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("r1"),
+            F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("r2"),
+        )
+        .filter(F.col("r1") > 0)
+    )
+    lmu = F.log(F.col("r2") / F.col("r1"))
+    return rr.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.count("*") / F.sum(lmu), 4).alias("intrinsic_dim"),
+    )

@@ -986,3 +986,43 @@ def test_heaps_fit_linear_growth_corpus(spark, tmp_path):
     r = mining.heaps_law_fit(spark, str(tmp_path)).collect()[0]
     assert abs(r["heaps_beta"] - 1.0) < 1e-6
     assert r["r2"] > 0.999
+
+
+def test_dedup_quality_gain_consistency(spark, sf_dir):
+    """n_removed matches the removals query; the post mean equals the
+    mean over surviving docs recomputed independently."""
+    from encodesrv_spark.plans.llm import quality_score
+    from encodesrv_spark.plans.registry import all_queries
+
+    r = mining.dedup_quality_gain(spark, sf_dir).collect()[0]
+    removals = all_queries()["neardup_removals"].fn(spark, sf_dir)
+    assert r["n_removed"] == removals.count()
+    q = quality_score(spark, sf_dir).select("doc_id", "score")
+    survivors = q.join(removals.select("doc_id"), "doc_id", "left_anti")
+    post = survivors.agg(F.round(F.avg("score"), 6)).collect()[0][0]
+    assert abs(post - r["mean_q_post"]) < 1e-9
+    assert abs(r["quality_gain"] - round(r["mean_q_post"] - r["mean_q_pre"], 6)) < 1e-9
+
+
+def test_intrinsic_dim_planted_manifolds(spark, tmp_path):
+    """Vectors on a 1-D line embedded in 8-D must read id ≈ 1
+    (ratios r2/r1 = 2 exactly for equally spaced points -> id =
+    1/ln 2 ≈ 1.44 for the 2-spacing construction; use spacing that
+    gives exact ratio 2: neighbors at d and 2d)."""
+    # place queries at positions x=3i, neighbors at x=3i+1 and 3i-1?
+    # simpler: equally spaced points on a line, step 1: each query's
+    # r1=1, r2=2 (two sides) -> actually r2=1 too (other side). Use a
+    # geometric line: x_j = 2^j so distances are distinct.
+    rows = []
+    for j in range(12):
+        v = [float(2 ** j)] + [0.0] * 7
+        rows.append((j, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    r = mining.embedding_intrinsic_dim(spark, str(tmp_path)).collect()[0]
+    # a 1-D manifold: TwoNN on a geometric line gives a small id
+    # (exact value depends on the spacing law; the point is it reads
+    # far below the ambient 8)
+    assert r["n_queries"] > 0
+    assert r["intrinsic_dim"] < 4
