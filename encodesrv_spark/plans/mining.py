@@ -3517,3 +3517,99 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_queries"),
         F.round(F.count("*") / F.sum(lmu), 4).alias("intrinsic_dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset card
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_dataset_card",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS_NE}) AS t FROM documents
+        ),
+        tstats AS (
+            SELECT count(*)::BIGINT AS n_tokens,
+                   count(DISTINCT t)::BIGINT AS vocab_size
+            FROM tok
+        ),
+        dstats AS (
+            SELECT count(*)::BIGINT AS n_docs,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   count(DISTINCT source)::BIGINT AS n_sources,
+                   sum(length(text))::BIGINT AS n_chars
+            FROM documents
+        ),
+        q AS ({_QUALITY_SQL}),
+        qstats AS (SELECT round(avg(score), 6) AS mean_quality FROM q)
+        SELECT d.n_docs, d.n_chars, d.n_langs, d.n_sources,
+               t.n_tokens, t.vocab_size,
+               round(t.n_tokens * 1.0 / d.n_docs, 4) AS mean_doc_tokens,
+               (SELECT coalesce(sum(c - 1), 0) FROM (
+                    SELECT count(*) AS c FROM documents GROUP BY md5(text)
+                    HAVING count(*) > 1))::BIGINT AS n_exact_dup_docs,
+               qs.mean_quality
+        FROM dstats d, tstats t, qstats qs
+    """,
+    tags=("llm", "stats", "eval"),
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card, as one row: document/char/language/source
+    counts, token and vocabulary totals, mean document length, exact
+    duplicate overhang, and mean quality — the summary block every
+    corpus release ships, produced by the engine instead of a
+    notebook.
+
+    Three independent single-pass aggregates (doc-level stats, token
+    stats off one explode, the quality mean off the shared quality
+    expression) plus an md5-grouped duplicate count; the card row is
+    their broadcast product.  Each input pass is map-side-combinable;
+    nothing joins at corpus scale."""
+    prep(spark)
+    from encodesrv_spark.plans.llm import quality_score
+
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    dstats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    tok = d.select(F.explode(_tokens_ne()).alias("t"))
+    tstats = tok.agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("t").alias("vocab_size"),
+    )
+    dup = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_exact_dup_docs")
+        )
+    )
+    qstats = quality_score(spark, sf_dir).agg(
+        F.round(F.avg("score"), 6).alias("mean_quality")
+    )
+    return (
+        dstats.crossJoin(F.broadcast(tstats))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(qstats))
+        .select(
+            "n_docs",
+            "n_chars",
+            "n_langs",
+            "n_sources",
+            "n_tokens",
+            "vocab_size",
+            F.round(F.col("n_tokens") * F.lit(1.0) / F.col("n_docs"), 4).alias(
+                "mean_doc_tokens"
+            ),
+            "n_exact_dup_docs",
+            "mean_quality",
+        )
+    )

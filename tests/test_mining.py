@@ -1026,3 +1026,23 @@ def test_intrinsic_dim_planted_manifolds(spark, tmp_path):
     # far below the ambient 8)
     assert r["n_queries"] > 0
     assert r["intrinsic_dim"] < 4
+
+
+def test_dataset_card_planted_exact_dup(spark, tmp_path):
+    """Card fields recompute from a hand-built corpus: 4 docs, one
+    exact-dup pair -> n_exact_dup_docs = 1; token totals exact."""
+    docs = [
+        (1, "a b c", "en", "s1", 1),
+        (2, "a b c", "en", "s1", 1),  # exact dup of 1
+        (3, "d e", "fr", "s2", 1),
+        (4, "f", "en", "s2", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = mining.corpus_dataset_card(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["n_langs"] == 2 and r["n_sources"] == 2
+    assert r["n_tokens"] == 9 and r["vocab_size"] == 6
+    assert r["n_exact_dup_docs"] == 1
+    assert r["mean_doc_tokens"] == 2.25
