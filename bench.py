@@ -163,6 +163,9 @@ def main() -> None:
         "heaps_law_fit",
         "dedup_quality_gain",
         "embedding_intrinsic_dim",
+        "corpus_dataset_card",
+        "token_skipgram_pmi",
+        "embedding_distance_histogram",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -3613,3 +3613,195 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_quality",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skip-gram window PMI
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+_SG_MIN_COUNT = 10
+_SG_TOPK = 50
+
+
+@register(
+    "token_skipgram_pmi",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_NE} AS ts FROM documents),
+        pairs AS (
+            SELECT ts[i] AS a, ts[i + k] AS b
+            FROM toks,
+                 unnest(generate_series(1, len(ts) - 1)) AS u(i),
+                 unnest(generate_series(1, {_SG_WINDOW})) AS v(k)
+            WHERE i + k <= len(ts)
+        ),
+        c AS (SELECT a, b, count(*)::DOUBLE AS n_ab FROM pairs GROUP BY 1, 2),
+        la AS (SELECT a, sum(n_ab) AS n_a FROM c GROUP BY 1),
+        rb AS (SELECT b, sum(n_ab) AS n_b FROM c GROUP BY 1),
+        g AS (SELECT sum(n_ab) AS n FROM c),
+        scored AS (
+            SELECT a, b, n_ab::BIGINT AS n_pair,
+                   round(log2((n_ab / n) / ((n_a / n) * (n_b / n))), 6)
+                       AS pmi_bits
+            FROM c JOIN la USING (a) JOIN rb USING (b), g
+            WHERE n_ab >= {_SG_MIN_COUNT}
+        )
+        SELECT a, b, n_pair, pmi_bits,
+               row_number() OVER (ORDER BY pmi_bits DESC, a, b)::BIGINT AS rnk
+        FROM scored
+        QUALIFY rnk <= {_SG_TOPK}
+    """,
+    tags=("llm", "stats"),
+)
+def token_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram window PMI: co-occurrence within a ±{_SG_WINDOW}
+    forward window (the word2vec statistic proper) rather than strict
+    adjacency — catches associations that survive an intervening word
+    ('new … york times', 'machine … learning models') which
+    `token_bigram_pmi` structurally misses.
+
+    Each position emits {_SG_WINDOW} forward pairs (ordered, so the
+    window is asymmetric and N doubles rather than squares); the rest
+    is the bigram-PMI skeleton — one pair-keyed count feeding both
+    marginals and the scalar total, one TakeOrdered top-k.  Window
+    pairs are generated by a per-row transform over (offset, position)
+    — no self-join, no explode-then-join."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(_tokens_ne().alias("ts"))
+    pair_expr = (
+        "flatten(transform(sequence(1, greatest(size(ts) - 1, 1)),"
+        f" i -> filter(transform(sequence(1, {_SG_WINDOW}),"
+        "              k -> CASE WHEN i + k <= size(ts)"
+        "                        THEN struct(ts[i - 1] AS a, ts[i + k - 1] AS b)"
+        "                        END),"
+        "              s -> s IS NOT NULL)))"
+    )
+    pairs = (
+        toks.filter(F.size("ts") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.a", "p.b")
+    )
+    c = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
+    la = c.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    rb = c.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    g = c.agg(F.sum("n_ab").alias("n"))
+    scored = (
+        c.filter(F.col("n_ab") >= _SG_MIN_COUNT)
+        .join(la, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_pair"),
+            F.round(
+                F.log2(
+                    (F.col("n_ab") / F.col("n"))
+                    / ((F.col("n_a") / F.col("n")) * (F.col("n_b") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi_bits"),
+        )
+    )
+    w = W.orderBy(F.desc("pmi_bits"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _SG_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# pairwise distance histogram
+# ---------------------------------------------------------------------------
+
+_DH_SAMPLE = 100
+_DH_BINS = 10
+
+
+@register(
+    "embedding_distance_histogram",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, emb FROM ({_EMB}) WHERE vec_id < {_DH_SAMPLE}
+        ),
+        d AS (
+            SELECT round(sqrt(list_inner_product(
+                       list_transform(generate_series(1, {_SQ_DIMS}),
+                                      i -> a.emb[i] - b.emb[i]),
+                       list_transform(generate_series(1, {_SQ_DIMS}),
+                                      i -> a.emb[i] - b.emb[i]))), 6) AS dist
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ),
+        rng AS (SELECT min(dist) AS lo, max(dist) AS hi FROM d),
+        binned AS (
+            SELECT least({_DH_BINS} - 1,
+                         floor((dist - lo) / nullif((hi - lo) / {_DH_BINS}, 0))
+                        )::BIGINT AS bin
+            FROM d, rng
+        ),
+        tot AS (SELECT count(*) AS n FROM binned)
+        SELECT bin, count(*)::BIGINT AS n_pairs,
+               round(count(*) * 1.0 / tot.n, 6) AS share
+        FROM binned, tot GROUP BY bin, tot.n
+    """,
+    tags=("llm", "similarity", "stats"),
+)
+def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-distance histogram over a fixed vector sample — the
+    concentration-of-distances diagnostic: in a high-intrinsic-dim
+    cloud the histogram collapses into one narrow spike (nearest and
+    farthest neighbors nearly equidistant → every ANN index degrades),
+    while structured data spreads across bins.  Reads alongside
+    `embedding_intrinsic_dim`: one says how many dims, this says
+    whether distance-based retrieval has contrast to work with.
+
+    The all-pairs stage is bounded BY CONSTRUCTION to the
+    {_DH_SAMPLE}-vector sample ({_DH_SAMPLE}·{_DH_SAMPLE}/2 pairs —
+    constant, corpus-size-independent), distances are in-order folds
+    rounded before binning, and the equi-width bin edges come from one
+    min/max aggregate over the pair frame."""
+    prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        emb.filter(F.col("vec_id") < _DH_SAMPLE)
+        .select("vec_id", _as_double("embedding").alias("emb"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    diff = F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x - y)
+    dist = F.round(
+        F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+    )
+    d = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(dist.alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    rng = d.agg(F.min("dist").alias("lo"), F.max("dist").alias("hi"))
+    binned = d.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(_DH_BINS - 1),
+            F.floor(
+                (F.col("dist") - F.col("lo"))
+                / F.nullif((F.col("hi") - F.col("lo")) / _DH_BINS, F.lit(0.0))
+            ),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    tot = binned.agg(F.count("*").alias("n"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_pairs",
+            F.round(F.col("n_pairs") * F.lit(1.0) / F.col("n"), 6).alias("share"),
+        )
+    )

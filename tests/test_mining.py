@@ -1046,3 +1046,24 @@ def test_dataset_card_planted_exact_dup(spark, tmp_path):
     assert r["n_tokens"] == 9 and r["vocab_size"] == 6
     assert r["n_exact_dup_docs"] == 1
     assert r["mean_doc_tokens"] == 2.25
+
+
+def test_skipgram_window_emits_expected_pairs(spark, tmp_path):
+    """'w x y z' with window 2 emits exactly (w,x),(w,y),(x,y),(x,z),
+    (y,z) — forward-ordered, no self-pairs, no out-of-window pairs."""
+    spark.createDataFrame(
+        [(i, "w x y z", "en", "s", 1) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = mining.token_skipgram_pmi(spark, str(tmp_path)).collect()
+    got = {(r["a"], r["b"]): r["n_pair"] for r in rows}
+    assert set(got) == {("w", "x"), ("w", "y"), ("x", "y"), ("x", "z"), ("y", "z")}
+    assert all(n == 20 for n in got.values())
+
+
+def test_distance_histogram_shares_sum_to_one(spark, sf_dir):
+    rows = mining.embedding_distance_histogram(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["n_pairs"] for r in rows) == 100 * 99 // 2
+    assert all(0 <= r["bin"] <= 9 for r in rows)
