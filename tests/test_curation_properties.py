@@ -104,3 +104,34 @@ def test_tokenization_agrees_spark_duckdb():
     # and the Python reference everyone reasons with
     for i, t in enumerate(cases):
         assert got_spark[i] == t.split(), (i, repr(t))
+
+
+def test_cusum_closed_form_equals_recursion_property():
+    """The identity events_cusum is built on — S_t = R_t − min(0,
+    min_{τ≤t} R_τ) for the reset recursion S_t = max(0, S_{t−1} + x_t)
+    — holds for arbitrary real series (hypothesis-driven, pure
+    Python: the algebra the batch/streaming twin pair relies on)."""
+    from hypothesis import given, strategies as st
+
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    def check(xs):
+        s = 0.0
+        run = 0.0
+        floor = 0.0
+        for x in xs:
+            s = max(0.0, s + x)
+            run += x
+            floor = min(floor, run)
+            closed = run - min(0.0, floor)
+            assert abs(s - closed) < 1e-6 * max(1.0, abs(run))
+
+    check()
