@@ -166,6 +166,7 @@ def main() -> None:
         "corpus_dataset_card",
         "token_skipgram_pmi",
         "embedding_distance_histogram",
+        "part_supplier_concentration",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

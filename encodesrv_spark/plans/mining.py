@@ -3805,3 +3805,71 @@ def embedding_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_pairs") * F.lit(1.0) / F.col("n"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier concentration per part
+# ---------------------------------------------------------------------------
+
+_SUPP_HHI_TOPK = 25
+
+
+@register(
+    "part_supplier_concentration",
+    oracle=f"""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, count(*)::DOUBLE AS n
+            FROM lineitem GROUP BY 1, 2
+        ),
+        tot AS (SELECT l_partkey, sum(n) AS t FROM ps GROUP BY 1),
+        hhi AS (
+            SELECT ps.l_partkey,
+                   count(*)::BIGINT AS n_suppliers,
+                   round(sum(pow(ps.n / tot.t, 2)), 6) AS hhi
+            FROM ps JOIN tot USING (l_partkey)
+            GROUP BY ps.l_partkey
+        )
+        SELECT l_partkey, n_suppliers, hhi,
+               row_number() OVER (
+                   ORDER BY hhi DESC, l_partkey
+               )::BIGINT AS rnk
+        FROM hhi WHERE n_suppliers >= 2
+        QUALIFY rnk <= {_SUPP_HHI_TOPK}
+    """,
+    tags=("extended", "stats"),
+)
+def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-risk concentration: per-part Herfindahl index of its
+    shipment volume across suppliers, top-k most concentrated
+    multi-supplier parts — the single-source-of-failure report (HHI→1
+    with ≥2 suppliers means one supplier carries ~everything; the
+    single-supplier case is excluded because its HHI is trivially 1).
+
+    One (part, supplier)-keyed fact aggregate; per-part totals
+    re-aggregate that frame (co-keyed join on l_partkey, no second
+    fact pass); the HHI is a per-part sum of squared shares, and the
+    top-k is a TakeOrdered over the parts-sized frame.  Shares are
+    exact count ratios — identical IEEE division both engines —
+    rounded 6 dp before ranking with a partkey tie-break."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("n").alias("t"))
+    hhi = (
+        ps.join(tot, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.pow(F.col("n") / F.col("t"), 2)), 6).alias("hhi"),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )
+    w = W.orderBy(F.desc("hhi"), F.asc("l_partkey"))
+    return (
+        hhi.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _SUPP_HHI_TOPK)
+    )

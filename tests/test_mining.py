@@ -1067,3 +1067,17 @@ def test_distance_histogram_shares_sum_to_one(spark, sf_dir):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
     assert sum(r["n_pairs"] for r in rows) == 100 * 99 // 2
     assert all(0 <= r["bin"] <= 9 for r in rows)
+
+
+def test_supplier_concentration_bounds(spark, sf_dir):
+    """HHI ∈ (1/n_suppliers, 1]; ranked descending; only
+    multi-supplier parts reported."""
+    rows = mining.part_supplier_concentration(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in sorted(rows, key=lambda r: r["rnk"]):
+        assert r["n_suppliers"] >= 2
+        assert 1.0 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0
+        if prev is not None:
+            assert r["hhi"] <= prev + 1e-9
+        prev = r["hhi"]
