@@ -167,6 +167,8 @@ def main() -> None:
         "token_skipgram_pmi",
         "embedding_distance_histogram",
         "part_supplier_concentration",
+        "events_weekend_effect",
+        "doc_numeric_density",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

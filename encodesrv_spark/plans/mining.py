@@ -3873,3 +3873,132 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         hhi.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _SUPP_HHI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# weekend effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weekend_effect",
+    oracle="""
+        WITH e AS (
+            SELECT event_type,
+                   (dayofweek(ts) IN (0, 6)) AS is_weekend,
+                   value
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, is_weekend,
+                   count(*)::BIGINT AS n,
+                   round(avg(value), 6) AS mean_value
+            FROM e GROUP BY 1, 2
+        )
+        SELECT w.event_type,
+               wd.n AS n_weekday, w.n AS n_weekend,
+               wd.mean_value AS mean_weekday,
+               w.mean_value AS mean_weekend,
+               round(w.mean_value / nullif(wd.mean_value, 0), 6)
+                   AS weekend_ratio
+        FROM s w JOIN s wd
+          ON w.event_type = wd.event_type
+         AND w.is_weekend AND NOT wd.is_weekend
+    """,
+    tags=("extended", "events", "stats"),
+)
+def events_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend effect per event type: weekday vs weekend volume and
+    mean value with their ratio — the calendar-effect sibling of
+    `order_seasonality_index` at day-of-week granularity, and the
+    sanity check before comparing any Monday metric against a Sunday
+    one.
+
+    One conditional aggregate (two groups per type) and a
+    types-cardinality self-join to lay weekday/weekend side by side —
+    nothing beyond the 2·|types| frame shuffles after the fact pass.
+    DuckDB's dayofweek is 0-Sunday..6-Saturday, matching Spark's
+    dayofweek()-1 — the weekend predicate is written against each
+    engine's own convention and cross-checked by the oracle gate."""
+    prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday
+    s = (
+        ev.select(
+            "event_type",
+            F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+            "value",
+        )
+        .groupBy("event_type", "is_weekend")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    we = s.filter(F.col("is_weekend")).select(
+        "event_type",
+        F.col("n").alias("n_weekend"),
+        F.col("mean_value").alias("mean_weekend"),
+    )
+    wd = s.filter(~F.col("is_weekend")).select(
+        "event_type",
+        F.col("n").alias("n_weekday"),
+        F.col("mean_value").alias("mean_weekday"),
+    )
+    return (
+        we.join(wd, "event_type")
+        .select(
+            "event_type",
+            "n_weekday",
+            "n_weekend",
+            "mean_weekday",
+            "mean_weekend",
+            F.round(
+                F.col("mean_weekend") / F.nullif(F.col("mean_weekday"), F.lit(0.0)),
+                6,
+            ).alias("weekend_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# numeric density
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_numeric_density",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKS_NE})::BIGINT AS n_tokens,
+               len(list_filter({_TOKS_NE},
+                   t -> regexp_full_match(t, '[0-9][0-9.,%]*')))::BIGINT
+                   AS n_numeric,
+               round(len(list_filter({_TOKS_NE},
+                         t -> regexp_full_match(t, '[0-9][0-9.,%]*'))) * 1.0
+                     / len({_TOKS_NE}), 6) AS numeric_density
+        FROM documents
+        WHERE len({_TOKS_NE}) > 0
+    """,
+    tags=("llm", "quality", "text"),
+)
+def doc_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-token density per document — the tables/logs/price-list
+    detector: prose sits near zero, scraped tables and server logs
+    spike, and most pre-training recipes cap it (high-numeric docs
+    teach digit soup).  A pure per-row expression pipeline — zero
+    shuffles, whole-stage codegen, pushes down when composed as a
+    filter — alongside `gopher_quality_flags` in the gate family."""
+    prep(spark)
+    d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    toks = _tokens_ne()
+    is_num = lambda t: t.rlike("^[0-9][0-9.,%]*$")  # noqa: E731
+    n_tokens = F.size(toks).cast("long")
+    n_numeric = F.size(F.filter(toks, is_num)).cast("long")
+    return d.filter(F.size(toks) > 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_numeric.alias("n_numeric"),
+        F.round(n_numeric * F.lit(1.0) / n_tokens, 6).alias("numeric_density"),
+    )

@@ -1081,3 +1081,38 @@ def test_supplier_concentration_bounds(spark, sf_dir):
         if prev is not None:
             assert r["hhi"] <= prev + 1e-9
         prev = r["hhi"]
+
+
+def test_weekend_effect_counts_partition_events(spark, sf_dir):
+    """n_weekday + n_weekend = total events per type."""
+    from encodesrv_spark.catalog import load_table
+
+    rows = mining.events_weekend_effect(spark, sf_dir).collect()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["n_weekday"] + r["n_weekend"] == totals[r["event_type"]]
+        assert r["weekend_ratio"] > 0
+
+
+def test_numeric_density_planted_table_doc(spark, tmp_path):
+    """A price-table doc reads high density; prose reads zero; tokens
+    like '3.14' and '99,5%' count as numeric, 'v2' does not."""
+    docs = [
+        (1, "12 34.5 99,9% 1.000 7", "en", "s", 1),
+        (2, "plain prose with no digits here", "en", "s", 1),
+        (3, "v2 x3 3.14", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in mining.doc_numeric_density(spark, str(tmp_path)).collect()}
+    assert out[1]["numeric_density"] == 1.0
+    assert out[2]["numeric_density"] == 0.0
+    assert out[3]["n_numeric"] == 1  # only '3.14'
