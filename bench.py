@@ -169,6 +169,7 @@ def main() -> None:
         "part_supplier_concentration",
         "events_weekend_effect",
         "doc_numeric_density",
+        "part_price_dispersion",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -4002,3 +4002,70 @@ def doc_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_numeric.alias("n_numeric"),
         F.round(n_numeric * F.lit(1.0) / n_tokens, 6).alias("numeric_density"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unit-price dispersion
+# ---------------------------------------------------------------------------
+
+_PRICE_CV_MIN_N = 5
+_PRICE_CV_TOPK = 25
+
+
+@register(
+    "part_price_dispersion",
+    oracle=f"""
+        WITH up AS (
+            SELECT l_partkey,
+                   l_extendedprice / l_quantity AS unit_price
+            FROM lineitem WHERE l_quantity > 0
+        ),
+        s AS (
+            SELECT l_partkey,
+                   count(*)::BIGINT AS n_sales,
+                   round(avg(unit_price), 6) AS mean_price,
+                   round(stddev_samp(unit_price), 6) AS sd_price
+            FROM up GROUP BY 1 HAVING count(*) >= {_PRICE_CV_MIN_N}
+        )
+        SELECT l_partkey, n_sales, mean_price, sd_price,
+               round(sd_price / nullif(mean_price, 0), 6) AS cv,
+               row_number() OVER (
+                   ORDER BY round(sd_price / nullif(mean_price, 0), 6) DESC,
+                            l_partkey
+               )::BIGINT AS rnk
+        FROM s
+        QUALIFY rnk <= {_PRICE_CV_TOPK}
+    """,
+    tags=("extended", "stats", "quality"),
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-consistency audit: coefficient of variation of each
+    part's realized unit price (extendedprice/quantity) across its
+    sales, top-k most dispersed — high CV flags inconsistent pricing,
+    data-entry errors, or un-modeled discount structure (the
+    line-items worth auditing before any revenue model trusts them).
+
+    One fact pass to per-part moment aggregates (map-side-combinable;
+    min-support cut keeps one-off parts out), CV arithmetic on the
+    parts-sized frame, TakeOrdered top-k with rounded-before-rank CV
+    and a partkey tie-break."""
+    prep(spark)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    up = F.col("l_extendedprice") / F.col("l_quantity")
+    s = (
+        l.select("l_partkey", up.alias("unit_price"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_sales"),
+            F.round(F.avg("unit_price"), 6).alias("mean_price"),
+            F.round(F.stddev_samp("unit_price"), 6).alias("sd_price"),
+        )
+        .filter(F.col("n_sales") >= _PRICE_CV_MIN_N)
+    )
+    cv = F.round(F.col("sd_price") / F.nullif(F.col("mean_price"), F.lit(0.0)), 6)
+    w = W.orderBy(F.desc(cv), F.asc("l_partkey"))
+    return (
+        s.withColumn("cv", cv)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _PRICE_CV_TOPK)
+    )

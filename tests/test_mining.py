@@ -1116,3 +1116,17 @@ def test_numeric_density_planted_table_doc(spark, tmp_path):
     assert out[1]["numeric_density"] == 1.0
     assert out[2]["numeric_density"] == 0.0
     assert out[3]["n_numeric"] == 1  # only '3.14'
+
+
+def test_price_dispersion_nonneg_and_ranked(spark, sf_dir):
+    rows = sorted(
+        mining.part_price_dispersion(spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert rows
+    prev = None
+    for r in rows:
+        assert r["cv"] >= 0 and r["n_sales"] >= 5
+        if prev is not None:
+            assert r["cv"] <= prev + 1e-9
+        prev = r["cv"]
