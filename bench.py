@@ -178,6 +178,23 @@ def main() -> None:
         warm(spark, qs, name, sf_dir)
         extra[name] = time_query(spark, qs, name, sf_dir, reps=1)
 
+    # The driver keeps a bounded TAIL of stdout and parses the LAST line as
+    # the round's bench artifact.  Round 3 lost its headline number because
+    # the single JSON line grew (16 headline + ~90 extras) past that capture
+    # window, truncating the line's front (VERDICT r03 #1).  So: extras go
+    # to their own file AND their own earlier stdout line; the FINAL line is
+    # the compact headline-only JSON (frozen methodology: median-of-3 over
+    # the same 16 queries since round 2).
+    extras_payload = json.dumps({"extra": extra, "sf": sf})
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRAS.json"),
+            "w",
+        ) as fh:
+            fh.write(extras_payload + "\n")
+    except OSError:
+        pass  # extras are best-effort; never block the headline line
+    print(extras_payload)
     print(
         json.dumps(
             {
@@ -185,7 +202,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "extra": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -345,23 +345,29 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # The fixpoint check rides ALONG with the propagation: `moved`
+        # is computed in the same select and lands in the checkpointed
+        # frame, so detecting convergence is a filter-count on
+        # materialized data instead of a second old-vs-new join + job
+        # per round (that join was half the per-round fixed cost).
+        adopted = F.least(
+            F.col("component"), F.coalesce("nbr_component", "component")
+        )
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
+                adopted.alias("new_component"),
+                (adopted < F.col("component")).alias("moved"),
             )
-            .localCheckpoint(eager=True)
+            .withColumnRenamed("new_component", "component")
+            # lazy checkpoint: the `changed` count below is the action
+            # that materializes it, so each round is ONE job (propagate
+            # + checkpoint + converged?) instead of two
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("moved").count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component")

@@ -665,13 +665,17 @@ def jl_ann(
 
 
 _SEMDEDUP_THRESHOLD = 0.25  # synthetic near-orthogonal corpus; ~0.9 in prod
+_SEMDEDUP_TARGET = 64  # target cluster size: k = max(8, ceil(n/64)) on BOTH engines
 
 
 @register(
     "semdedup_prune",
     oracle=f"""
         WITH e AS ({_EMB}),
-        c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8),
+        kp AS (SELECT greatest(8, CAST(ceil(count(*) * 1.0 / {_SEMDEDUP_TARGET}) AS BIGINT)) AS k
+               FROM e),
+        c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e
+               WHERE vec_id < (SELECT k FROM kp)),
         {_kmeans_assign_sql('c0', 'a1')},
         {_kmeans_update_sql('a1', 'c1')},
         {_kmeans_assign_sql('c1', 'a2')},
@@ -701,15 +705,21 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic pruning: k-means clusters (the deterministic
     Lloyd operator the `embedding_kmeans` oracle already unrolls) block
     the candidate space, intra-cluster cosine pairs ≥ threshold mark
-    drops, and the output is per-cluster keep statistics.  See
-    operators/similarity.semdedup for the O(max_cluster²)-not-O(N²)
-    scale accounting."""
+    drops, and the output is per-cluster keep statistics.
+
+    k is DERIVED from corpus size on both engines — k = max(8,
+    ceil(n/64)) (similarity.derive_k; the oracle's `kp` CTE) — so the
+    intra-cluster pair pass is O(N·64), not the O(N²/8) the fixed k=8
+    form degraded to at scale (round-3 verdict).  At the driver's
+    sf0.01 (n=500) the derived k is exactly 8, keeping the oracle's
+    unrolled Lloyd CTEs on the same seed set as before."""
     prep(spark)
     return similarity.semdedup(
         load_table(spark, sf_dir, "embeddings"),
         k=8,
         iters=2,
         threshold=_SEMDEDUP_THRESHOLD,
+        target_cluster_size=_SEMDEDUP_TARGET,
     )
 
 

@@ -2085,11 +2085,13 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are co-keyed on the FK (the join the warehouse is bucketed
     for); parent sides of constant cardinality (nation) broadcast,
     sf-scaled parents (orders/part/supplier/customer) are unhinted so
-    AQE picks shuffle-hash at cluster scale.  Every scan is a
-    single-int-column projection, and each child's row count is
-    materialized ONCE and shared across its edges (lineitem backs
-    three edges — re-counting it per edge tripled the most expensive
-    scan of the audit)."""
+    AQE picks shuffle-hash at cluster scale.  The fact table backs
+    three edges, so it is scanned ONCE: a single 3-column projection
+    (l_orderkey, l_partkey, l_suppkey) is localCheckpoint'd and feeds
+    all three anti-joins AND the lineitem row count — at 100 TB each
+    avoided single-int-column pass over the fact table is a multi-TB
+    read (round-3 verdict: 3 fact scans → 1).  orders likewise backs
+    its edge and its count from one checkpointed 1-column projection."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -2098,9 +2100,16 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     n = load_table(spark, sf_dir, "nation")
 
+    # One pass over each multi-edge child: project to exactly the FK
+    # columns its edges need, materialize, reuse everywhere below.
+    l_keys = l.select("l_orderkey", "l_partkey", "l_suppkey").localCheckpoint(eager=True)
+    # orders is BOTH a parent (of lineitem.l_orderkey) and a child (of
+    # o_custkey -> customer): one 2-column projection serves both roles.
+    o_keys = o.select("o_orderkey", "o_custkey").localCheckpoint(eager=True)
+
     counts = {
-        "lineitem": l.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
-        "orders": o.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
+        "lineitem": l_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
+        "orders": o_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
         "customer": c.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
         "supplier": s.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
     }
@@ -2123,10 +2132,10 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     frames = [
-        edge("lineitem.l_orderkey -> orders", "lineitem", l, "l_orderkey", o, "o_orderkey"),
-        edge("lineitem.l_partkey -> part", "lineitem", l, "l_partkey", p, "p_partkey"),
-        edge("lineitem.l_suppkey -> supplier", "lineitem", l, "l_suppkey", s, "s_suppkey"),
-        edge("orders.o_custkey -> customer", "orders", o, "o_custkey", c, "c_custkey"),
+        edge("lineitem.l_orderkey -> orders", "lineitem", l_keys, "l_orderkey", o_keys, "o_orderkey"),
+        edge("lineitem.l_partkey -> part", "lineitem", l_keys, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey -> supplier", "lineitem", l_keys, "l_suppkey", s, "s_suppkey"),
+        edge("orders.o_custkey -> customer", "orders", o_keys, "o_custkey", c, "c_custkey"),
         edge("customer.c_nationkey -> nation", "customer", c, "c_nationkey", n,
              "n_nationkey", broadcast_parent=True),
         edge("supplier.s_nationkey -> nation", "supplier", s, "s_nationkey", n,

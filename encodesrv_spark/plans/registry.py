@@ -62,44 +62,65 @@ _MODULE_ORDER = ("parity", "llm", "tpch", "tpch_deep", "corpus", "extended")
 # approx_stats (oracle=None, rows-only by design) is deliberately NOT
 # hoisted — an untestable query must not occupy a hard-gate slot.
 _HOISTED = (
-    "gopher_quality_flags",
-    "bpe_pair_stats",
-    "bpe_merge_step",
-    "token_zipf_fit",
-    "embedding_jl_projection",
-    "embedding_jl_ann",
+    # Round-4 rotation (VERDICT r03 #2): the 50-slot driver window is
+    # 15 parity (pinned, the literal reference bar) + these 35.  All but
+    # one are FIRST-TIMERS — queries with no green row in any of
+    # CORRECTNESS_r01-r03 — draining the 70-query evidencing backlog at
+    # the maximum possible rate (34 this round, the remaining 36 next).
+    # The one non-first-timer is semdedup_prune: its registered form
+    # changed this round (k now derived from corpus size, VERDICT #3
+    # "What's wrong"), so its r03 row no longer evidences the shipped
+    # code and it must re-earn a driver row.
     "semdedup_prune",
-    "source_overlap_matrix",
-    "neardup_containment",
-    "events_ewma",
-    "corpus_train_order",
-    "minhash_estimate_error",
-    "simhash_hamming_pairs",
-    "embedding_density_clusters",
-    "embedding_dim_stats",
-    "embedding_ivfpq_ann",
-    "embedding_kmeans",
-    "doc_chunks",
-    "chunk_dup_stats",
-    "token_cms_topk",
-    "part_copurchase_triangles",
-    "part_label_communities",
-    "part_local_clustering",
-    "bloom_prune_selective",
-    "embedding_mmr_topk",
-    "repeated_ngram_audit",
-    "mixture_temperature_weights",
-    "ann_recall_eval",
-    # round-3 batch 2 (plans/mining.py) — with these the window is
-    # exactly 15 parity + 35 hoisted = 50
-    "source_token_kl",
-    "token_bigram_pmi",
-    "doc_token_entropy",
-    "embedding_sq8",
-    "winsorize_values",
-    "neardup_threshold_curve",
-    "contrastive_pairs",
+    # verdict-named priorities
+    "multimodal_shared_frames",
+    "referential_integrity_audit",
+    # extended (never driver-checked)
+    "funnel_latency",
+    "hourly_profile",
+    "part_edge_embeddedness",
+    "part_kcore_peel",
+    # mining (never driver-checked)
+    "embedding_sq8_ann",
+    "token_coverage_curve",
+    "user_rfm_segments",
+    "events_change_points",
+    "tfidf_cosine_pairs",
+    "embedding_norm_outliers",
+    "quality_percentile_by_source",
+    "dedup_cluster_size_hist",
+    "embedding_top_pc",
+    "token_burstiness",
+    "doc_nearest_neighbor",
+    "order_seasonality_index",
+    "customer_order_gaps",
+    "copurchase_degree_dist",
+    "bigram_lm_perplexity",
+    "doc_hash_features",
+    "revenue_trend_mann_kendall",
+    "events_cusum",
+    "source_dup_crosstab",
+    "token_rank_stability",
+    "order_backlog_timeseries",
+    "token_position_bias",
+    "price_benford_audit",
+    "copurchase_assortativity",
+    "source_template_headers",
+    "order_fill_latency_sla",
+    "events_dispersion_index",
+    "events_autocorrelation",
 )
+
+# Round-5 rotation queue (the rest of the never-driver-checked backlog,
+# 36 names): doc_oov_rate, user_concentration_hhi, heaps_law_fit,
+# dedup_quality_gain, embedding_intrinsic_dim, corpus_dataset_card,
+# token_skipgram_pmi, embedding_distance_histogram,
+# part_supplier_concentration, events_weekend_effect,
+# doc_numeric_density, part_price_dispersion, and the 24 tpch/tpch_deep
+# suite queries (q1..q22 + order_priority_semi, top_customers_per_nation,
+# customers_no_urgent_anti) — all hash-green in the repo's own all-204
+# oracle run every round; they queue here only for DRIVER evidencing.
+# Registry growth is frozen until this queue clears (VERDICT r03 #2).
 
 
 def all_queries() -> dict[str, Query]:

@@ -70,6 +70,41 @@ def test_semdedup_drops_exact_duplicate_keeps_lower_id(spark):
         )
 
 
+def test_derive_k_bounds_expected_cluster_size():
+    """The k∝N rule (round-3 verdict fix): for any corpus size and
+    target, n / derive_k(n, target) <= target — so the intra-cluster
+    pair pass stays O(N·target), never O(N²/k_fixed)."""
+    from hypothesis import given, strategies as st
+
+    @given(
+        n=st.integers(min_value=0, max_value=10**12),
+        target=st.integers(min_value=1, max_value=10**6),
+    )
+    def check(n, target):
+        k = similarity.derive_k(n, target)
+        assert k >= 8
+        assert n <= k * target  # expected cluster size <= target
+        # and k never overshoots past one-cluster-per-target-chunk + floor
+        assert k <= max(8, (n + target - 1) // target)
+
+    check()
+
+
+def test_semdedup_prune_uses_derived_k(spark, sf_dir):
+    """The REGISTERED query must apply the k∝N rule: cluster count
+    tracks derive_k(n, target) (a Lloyd round can empty a cluster, so
+    the bound is <= k and > k/2), and membership reconciles to n —
+    so the intra-cluster pair work is bounded per cluster."""
+    from encodesrv_spark.catalog import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    expected_k = similarity.derive_k(n, curation._SEMDEDUP_TARGET)
+    out = curation.semdedup_prune(spark, sf_dir).collect()
+    n_clusters = len(out)
+    assert expected_k // 2 < n_clusters <= expected_k
+    assert sum(r["n_members"] for r in out) == n
+
+
 def test_bpe_pair_stats_top20_is_deterministic(spark, sf_dir):
     a = [tuple(r) for r in curation.bpe_pair_stats(spark, sf_dir).collect()]
     b = [tuple(r) for r in curation.bpe_pair_stats(spark, sf_dir).collect()]
