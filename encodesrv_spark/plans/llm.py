@@ -22,6 +22,13 @@ from encodesrv_spark.session import prep
 
 # --- shared DuckDB fragments -------------------------------------------------
 
+# The multimodal twins slice the UTF-8 BYTE payload on the Spark side;
+# DuckDB substr slices characters and cannot slice/md5 a BLOB, so those
+# oracle pairs restrict to ASCII docs (byte length == char length) on
+# BOTH engines — the two slicings coincide exactly there.  Spark filter
+# half of that contract (the DuckDB half is `strlen(text) = length(text)`):
+_ascii_only = F.octet_length("text") == F.length("text")
+
 _TOKS = r"string_split_regex(text, '\s+')"
 
 # distinct 3-word shingles of `text`, as a FROM-able fragment
@@ -523,16 +530,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, text,
                    unnest(generate_series(0, strlen(text) // 100)) AS fi
             FROM documents
+            WHERE strlen(text) = length(text)
         )
     """,
     tags=("llm", "multimodal"),
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (UDTF-shaped mapInPandas:
-    rows multiply, one per fixed-size slice, checksummed). The oracle
-    verifies every slice byte-exactly (ascii corpus: char==byte)."""
+    rows multiply, one per fixed-size slice, checksummed).
+
+    The operator slices BYTES (real media payloads have no character
+    semantics); DuckDB's substr slices CHARACTERS and cannot slice or
+    md5 a BLOB, so the text-as-payload oracle twin is restricted ON
+    BOTH ENGINES to ASCII docs — byte length == char length, where the
+    two slicings provably coincide — making the twin exact on any
+    corpus, not just the current all-ASCII testdata."""
     prep(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(_ascii_only)
     return multimodal.sample_frames(multimodal.documents_as_binary(d))
 
 
@@ -546,15 +560,17 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                least(strlen(text), 192)::BIGINT AS resized_bytes,
                md5(substr(text, 1, 192)) AS resized_md5
         FROM documents
+        WHERE strlen(text) = length(text)
     """,
     tags=("llm", "multimodal"),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/thumbnail multimodal stage (1:1 payload transform via
     mapInPandas; deterministic fake scale — 128×96 → 192-byte budget —
-    checksummed so the oracle verifies the transform byte-exactly)."""
+    checksummed so the oracle verifies the transform byte-exactly).
+    ASCII-restricted twin, same rationale as multimodal_frames."""
     prep(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(_ascii_only)
     return multimodal.resize(multimodal.documents_as_binary(d), 128, 96)
 
 

@@ -2368,6 +2368,7 @@ _FRAME_MIN_SHARED = 2
                 SELECT doc_id, text,
                        unnest(generate_series(0, strlen(text) // 100)) AS fi
                 FROM documents
+                WHERE strlen(text) = length(text)
             )
         ),
         idx0 AS (SELECT DISTINCT doc_id, frame_md5 FROM frames),
@@ -2400,11 +2401,14 @@ def multimodal_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     black frames shared by thousands of videos — BEFORE the self-join,
     the same quadratic-blowup guard as stop-shingles.  Frames ride the
     real mapInPandas binary path (`operators.multimodal.sample_frames`);
-    only their 16-byte hashes enter the shuffle."""
+    only their 16-byte hashes enter the shuffle.  The text-as-payload
+    oracle twin is ASCII-restricted on both engines (byte slicing vs
+    DuckDB char substr — see plans.llm multimodal_frames)."""
     prep(spark)
     from encodesrv_spark.operators import multimodal
+    from encodesrv_spark.plans.llm import _ascii_only
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(_ascii_only)
     frames = multimodal.sample_frames(multimodal.documents_as_binary(d)).select(
         "doc_id", "frame_md5"
     )
@@ -3037,7 +3041,7 @@ def order_fill_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(avg(n), 6) AS mean_per_hour,
                round(var_samp(n), 6) AS var_per_hour,
                round(var_samp(n) / avg(n), 6) AS dispersion_index,
-               (var_samp(n) / avg(n) > 1.5) AS overdispersed
+               (round(var_samp(n) / avg(n), 6) > 1.5) AS overdispersed
         FROM h GROUP BY 1
     """,
     tags=("extended", "events", "stats"),
@@ -3051,20 +3055,21 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One hourly count aggregate then a |types|-group moment aggregate —
     both map-side-combinable, nothing beyond the hourly frame ever
-    shuffles.  The flag threshold (1.5) is shared verbatim by both
-    engines; variance sums are per-type over O(hours) counts, 6 dp
-    rounding absorbs association drift."""
+    shuffles.  The overdispersed flag compares the 6-dp-ROUNDED index
+    against 1.5 on both engines (the repo-wide round-before-threshold
+    rule: comparing the raw ratio would let ~1e-12 cross-engine
+    association drift flip the boolean exactly at the boundary)."""
     prep(spark)
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
         F.count("*").cast("double").alias("n")
     )
-    di = F.var_samp("n") / F.avg("n")
+    di = F.round(F.var_samp("n") / F.avg("n"), 6)
     return h.groupBy("event_type").agg(
         F.count("*").alias("n_hours"),
         F.round(F.avg("n"), 6).alias("mean_per_hour"),
         F.round(F.var_samp("n"), 6).alias("var_per_hour"),
-        F.round(di, 6).alias("dispersion_index"),
+        di.alias("dispersion_index"),
         (di > 1.5).alias("overdispersed"),
     )
 

@@ -80,6 +80,25 @@ DOCS_JSONL_SCHEMA = (
 )
 
 
+# The JSONL ingest contract, defined ONCE and consumed by BOTH the
+# batch reader below and the streaming reader (sources/jsonl.py
+# read_corpus_stream) so the two paths cannot silently diverge:
+# explicit schema (no inference pass), PERMISSIVE mode, corrupt lines
+# captured into JSONL_CORRUPT_COL.
+JSONL_CORRUPT_COL = "_corrupt_record"
+JSONL_READ_OPTIONS = {
+    "mode": "PERMISSIVE",
+    "columnNameOfCorruptRecord": JSONL_CORRUPT_COL,
+}
+
+
+def jsonl_full_schema(schema: str) -> str:
+    """The declared schema plus the corrupt-capture column (required:
+    Spark only captures corrupt lines into a column present in the
+    read schema)."""
+    return f"{schema}, {JSONL_CORRUPT_COL} string"
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: str = DOCS_JSONL_SCHEMA
 ) -> DataFrame:
@@ -93,11 +112,9 @@ def read_jsonl(
     failing the scan (PERMISSIVE), so a bad shard quarantines rather
     than kills a day-long ingest; count them and route to a dead-letter
     path."""
-    full = schema + ", _corrupt_record string"
     return (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        spark.read.schema(jsonl_full_schema(schema))
+        .options(**JSONL_READ_OPTIONS)
         .json(path)
     )
 

@@ -32,7 +32,7 @@ DOC_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
 
-_CORRUPT = "_corrupt_record"
+from encodesrv_spark.sources.files import JSONL_CORRUPT_COL as _CORRUPT
 
 
 @dataclass(frozen=True)
@@ -109,13 +109,15 @@ def read_corpus_stream(
     without running the source twice; callers split with
     ``.filter("raw_line IS NULL")`` / ``IS NOT NULL`` into separate
     sinks (corpus vs quarantine) inside one foreachBatch, keeping the
-    single-read guarantee.  Same schema/PERMISSIVE contract as
-    `files.read_jsonl` (readStream has no batch-reader to delegate to,
-    so the options are restated here — keep them in sync)."""
+    single-read guarantee.  The schema/PERMISSIVE/corrupt-column
+    contract is the SAME constants the batch reader uses
+    (`files.JSONL_READ_OPTIONS` / `files.jsonl_full_schema`) — a
+    future option change lands on both paths at once."""
+    from encodesrv_spark.sources.files import JSONL_READ_OPTIONS, jsonl_full_schema
+
     return (
-        spark.readStream.schema(f"{schema}, {_CORRUPT} string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
+        spark.readStream.schema(jsonl_full_schema(schema))
+        .options(**JSONL_READ_OPTIONS)
         .json(path)
         .withColumnRenamed(_CORRUPT, "raw_line")
     )
