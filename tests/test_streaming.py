@@ -314,6 +314,86 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_incremental_dedup_stream_watermark_state_bound(spark, tmp_path):
+    """Late-data contract of the WATERMARKED dedup path
+    (`dropDuplicatesWithinWatermark`, 1 h horizon on ingest_ts) —
+    the documented state bound, observed end-to-end:
+
+    * a same-hash redelivery WITHIN the horizon is dropped;
+    * a redelivery arriving with an event time BEHIND the watermark is
+      dropped as late data (never re-emitted, never re-opens state);
+    * a same-hash redelivery with a FRESH timestamp after the horizon
+      evicted the first occurrence's state IS re-emitted — dedup is
+      effectively-once within the horizon, by design (state is bounded
+      by rate x horizon, not stream lifetime).
+    """
+    import datetime as dt
+
+    from encodesrv_spark.streaming.corpus import incremental_dedup_stream
+
+    def t(h, m):
+        return dt.datetime(2024, 3, 1, h, m, 0)
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long, "
+        "ingest_ts timestamp"
+    )
+    src = tmp_path / "wm_docs"
+    src.mkdir()
+    store = spark.createDataFrame(
+        [("deadbeef" * 4,)], "text_hash string"
+    )  # store holds an unrelated hash; everything below is "new"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            incremental_dedup_stream(stream, store, ingest_ts="ingest_ts")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "wm_out"))
+            .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: docA at 10:00, in-horizon redelivery at 10:10 (dropped),
+    # and a 15:00 row that advances the watermark to 14:00 — past
+    # 10:00 + 1 h, so docA's dedup state is evicted after this run.
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha", "en", "s1", 5, t(10, 0)),
+            (2, "alpha", "en", "s1", 5, t(10, 10)),  # dup within horizon
+            (3, "omega", "en", "s1", 5, t(15, 0)),   # advances watermark
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    run()
+
+    # run 2: one redelivery BEHIND the watermark (late → dropped) and
+    # one with a fresh timestamp (state evicted → re-emitted).
+    batch2 = spark.createDataFrame(
+        [
+            (4, "alpha", "en", "s1", 5, t(10, 20)),  # late: watermark 14:00
+            (5, "alpha", "en", "s1", 5, t(15, 30)),  # fresh, post-eviction
+        ],
+        schema,
+    )
+    batch2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    run()
+
+    out = spark.read.parquet(str(tmp_path / "wm_out")).collect()
+    emitted_ids = sorted(r["doc_id"] for r in out)
+    # doc 1 (first alpha), doc 3 (omega), doc 5 (alpha re-emitted after
+    # eviction); docs 2 (in-horizon dup) and 4 (late) dropped
+    assert emitted_ids == [1, 3, 5], emitted_ids
+
+
 def test_error_rate_alerts_match_batch(spark, tmp_path, events_dir, sf_dir):
     """The streaming hourly error-rate agg must agree with the batch
     error_rate_hourly query on (n_events, n_errors, error_rate, alert)
