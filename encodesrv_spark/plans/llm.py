@@ -26,8 +26,11 @@ from encodesrv_spark.session import prep
 # DuckDB substr slices characters and cannot slice/md5 a BLOB, so those
 # oracle pairs restrict to ASCII docs (byte length == char length) on
 # BOTH engines — the two slicings coincide exactly there.  Spark filter
-# half of that contract (the DuckDB half is `strlen(text) = length(text)`):
-_ascii_only = F.octet_length("text") == F.length("text")
+# half of that contract (the DuckDB half is `strlen(text) = length(text)`).
+# A function, not a module-level Column: classic-mode Columns need an
+# active SparkContext, and this module imports before the session exists.
+def _ascii_only():
+    return F.octet_length("text") == F.length("text")
 
 _TOKS = r"string_split_regex(text, '\s+')"
 
@@ -546,7 +549,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     two slicings provably coincide — making the twin exact on any
     corpus, not just the current all-ASCII testdata."""
     prep(spark)
-    d = load_table(spark, sf_dir, "documents").filter(_ascii_only)
+    d = load_table(spark, sf_dir, "documents").filter(_ascii_only())
     return multimodal.sample_frames(multimodal.documents_as_binary(d))
 
 
@@ -570,7 +573,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksummed so the oracle verifies the transform byte-exactly).
     ASCII-restricted twin, same rationale as multimodal_frames."""
     prep(spark)
-    d = load_table(spark, sf_dir, "documents").filter(_ascii_only)
+    d = load_table(spark, sf_dir, "documents").filter(_ascii_only())
     return multimodal.resize(multimodal.documents_as_binary(d), 128, 96)
 
 

@@ -2103,15 +2103,18 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One pass over each multi-edge child: project to exactly the FK
     # columns its edges need, materialize, reuse everywhere below.
     l_keys = l.select("l_orderkey", "l_partkey", "l_suppkey").localCheckpoint(eager=True)
-    # orders is BOTH a parent (of lineitem.l_orderkey) and a child (of
-    # o_custkey -> customer): one 2-column projection serves both roles.
+    # orders/customer/supplier each play BOTH a parent role and a child
+    # role (or child + count): one key-column projection per table
+    # serves every role, so each table is scanned exactly once.
     o_keys = o.select("o_orderkey", "o_custkey").localCheckpoint(eager=True)
+    c_keys = c.select("c_custkey", "c_nationkey").localCheckpoint(eager=True)
+    s_keys = s.select("s_suppkey", "s_nationkey").localCheckpoint(eager=True)
 
     counts = {
         "lineitem": l_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
         "orders": o_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
-        "customer": c.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
-        "supplier": s.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
+        "customer": c_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
+        "supplier": s_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
     }
 
     def edge(name: str, child_name: str, child: DataFrame, ckey: str,
@@ -2134,11 +2137,11 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = [
         edge("lineitem.l_orderkey -> orders", "lineitem", l_keys, "l_orderkey", o_keys, "o_orderkey"),
         edge("lineitem.l_partkey -> part", "lineitem", l_keys, "l_partkey", p, "p_partkey"),
-        edge("lineitem.l_suppkey -> supplier", "lineitem", l_keys, "l_suppkey", s, "s_suppkey"),
-        edge("orders.o_custkey -> customer", "orders", o_keys, "o_custkey", c, "c_custkey"),
-        edge("customer.c_nationkey -> nation", "customer", c, "c_nationkey", n,
+        edge("lineitem.l_suppkey -> supplier", "lineitem", l_keys, "l_suppkey", s_keys, "s_suppkey"),
+        edge("orders.o_custkey -> customer", "orders", o_keys, "o_custkey", c_keys, "c_custkey"),
+        edge("customer.c_nationkey -> nation", "customer", c_keys, "c_nationkey", n,
              "n_nationkey", broadcast_parent=True),
-        edge("supplier.s_nationkey -> nation", "supplier", s, "s_nationkey", n,
+        edge("supplier.s_nationkey -> nation", "supplier", s_keys, "s_nationkey", n,
              "n_nationkey", broadcast_parent=True),
     ]
     out = frames[0]
@@ -2408,7 +2411,7 @@ def multimodal_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from encodesrv_spark.operators import multimodal
     from encodesrv_spark.plans.llm import _ascii_only
 
-    d = load_table(spark, sf_dir, "documents").filter(_ascii_only)
+    d = load_table(spark, sf_dir, "documents").filter(_ascii_only())
     frames = multimodal.sample_frames(multimodal.documents_as_binary(d)).select(
         "doc_id", "frame_md5"
     )

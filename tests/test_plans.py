@@ -336,6 +336,20 @@ def test_dq_audit_is_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_referential_audit_scans_each_fact_once(spark, sf_dir):
+    """The FK audit must not re-scan any sf-scaled table per edge or
+    per role: lineitem (3 edges), orders, customer, and supplier
+    (parent + child/count roles each) are materialized from ONE
+    key-column projection apiece, so their FileScans never appear in
+    the final plan — only the single-role part scan and the
+    constant-size nation scans do (at 100 TB each avoided fact pass is
+    a multi-TB read; r03 verdict had this at 12 scans)."""
+    plan = plan_of(spark, sf_dir, "referential_integrity_audit")
+    for prefix in ("l_", "o_", "c_", "s_"):
+        assert f"FileScan parquet [{prefix}" not in plan, prefix
+    assert plan.count("FileScan parquet") <= 3  # part + nation x2
+
+
 def test_dq_violating_rows_tags_failed_rules(spark, sf_dir):
     from pyspark.sql import functions as F
 
