@@ -982,10 +982,12 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok") != ""
     )
     counted = toks.groupBy("tok").agg(F.count("*").alias("n"))
-    w = W.orderBy(F.desc("n"), F.asc("tok"))
-    return (
-        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 100)
+    # limit-first: the top-100 is a per-partition heap merge
+    # (TakeOrderedAndProject); the rnk window then runs over 100 rows
+    # instead of shuffling the whole vocabulary to one task
+    top = counted.orderBy(F.desc("n"), F.asc("tok")).limit(100)
+    return top.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok"))).cast("long")
     )
 
 

@@ -208,11 +208,12 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_bits"),
         )
     )
+    # limit-first: TakeOrderedAndProject keeps top-k a per-partition
+    # heap + driver merge; the rnk window then runs over k rows instead
+    # of shuffling the whole scored pair set to one task
     w = W.orderBy(F.desc("pmi_bits"), F.asc("a"), F.asc("b"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _PMI_TOPK)
-    )
+    top = scored.orderBy(F.desc("pmi_bits"), F.asc("a"), F.asc("b")).limit(_PMI_TOPK)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -1564,11 +1565,10 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         F.round(F.col("cf") * F.lit(1.0) / F.col("df"), 4).alias("burstiness"),
     )
+    # limit-first: heap top-k, then the rnk window over just k rows
     w = W.orderBy(F.desc("burstiness"), F.asc("t"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _BURST_TOPK)
-    )
+    top = scored.orderBy(F.desc("burstiness"), F.asc("t")).limit(_BURST_TOPK)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -2748,11 +2748,10 @@ def token_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cf") >= _POS_MIN_CF)
     )
+    # limit-first: heap top-k, then the rnk window over just k rows
     w = W.orderBy(F.asc("mean_pos"), F.asc("t"))
-    return (
-        stats.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _POS_TOPK)
-    )
+    top = stats.orderBy(F.asc("mean_pos"), F.asc("t")).limit(_POS_TOPK)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -3725,11 +3724,10 @@ def token_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_bits"),
         )
     )
+    # limit-first: heap top-k, then the rnk window over just k rows
     w = W.orderBy(F.desc("pmi_bits"), F.asc("a"), F.asc("b"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _SG_TOPK)
-    )
+    top = scored.orderBy(F.desc("pmi_bits"), F.asc("a"), F.asc("b")).limit(_SG_TOPK)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -3885,11 +3883,11 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_suppliers") >= 2)
     )
+    # limit-first: heap top-k over the part-scaled frame, then the rnk
+    # window over just k rows (never all parts to one task)
     w = W.orderBy(F.desc("hhi"), F.asc("l_partkey"))
-    return (
-        hhi.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _SUPP_HHI_TOPK)
-    )
+    top = hhi.orderBy(F.desc("hhi"), F.asc("l_partkey")).limit(_SUPP_HHI_TOPK)
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -4080,9 +4078,11 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_sales") >= _PRICE_CV_MIN_N)
     )
     cv = F.round(F.col("sd_price") / F.nullif(F.col("mean_price"), F.lit(0.0)), 6)
-    w = W.orderBy(F.desc(cv), F.asc("l_partkey"))
-    return (
-        s.withColumn("cv", cv)
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _PRICE_CV_TOPK)
+    # limit-first: heap top-k over the part-scaled frame, then the rnk
+    # window over just k rows (never all parts to one task)
+    scored = s.withColumn("cv", cv)
+    top = scored.orderBy(F.desc("cv"), F.asc("l_partkey")).limit(_PRICE_CV_TOPK)
+    return top.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("cv"), F.asc("l_partkey"))).cast("long"),
     )
