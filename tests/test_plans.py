@@ -336,6 +336,27 @@ def test_dq_audit_is_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "vocab_topk",
+        "token_bigram_pmi",
+        "token_skipgram_pmi",
+        "token_burstiness",
+        "token_position_bias",
+        "part_supplier_concentration",
+        "part_price_dispersion",
+    ],
+)
+def test_global_topk_is_take_ordered_not_global_window(spark, sf_dir, name):
+    """Global top-k rankings must be limit-first: TakeOrderedAndProject
+    (per-partition heap + driver merge) feeds the rnk window k rows —
+    never a rank filter after an unpartitioned window, which shuffles
+    the whole vocabulary-/part-scaled frame to ONE task at 100 TB."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan, name
+
+
 def test_referential_audit_scans_each_fact_once(spark, sf_dir):
     """The FK audit must not re-scan any sf-scaled table per edge or
     per role: lineitem (3 edges), orders, customer, and supplier
