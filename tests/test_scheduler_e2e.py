@@ -356,3 +356,77 @@ def test_two_real_writers_claim_exactly_once(spark, tmp_path):
     assert store.current_version() == n_batches
     hist = store.history()
     assert hist == sorted(hist) and len(hist) == store.retain
+
+
+def test_three_real_writers_mixed_batch_claim_exactly_once(spark, tmp_path):
+    """The 2-writer stress generalized: THREE real threads with
+    DIFFERENT batch limits (1/2/3) drain one store — mixed batch sizes
+    produce partial batches and richer interleavings than the
+    symmetric case.  Exactly-once still holds: no job claimed twice,
+    none lost, final ownership matches the claim record, and the
+    version history is linear with one commit per successful non-empty
+    batch."""
+    import threading
+
+    from encodesrv_spark.jobs.schema import ENCODE_JOBS_SCHEMA
+    from encodesrv_spark.jobs.state import NOT_ENCODING, JobStore, claim_jobs
+
+    n_jobs = 18
+    rows = [
+        (
+            i,
+            f"/media/src{i}.mov",
+            f"/media/out/dest{i}.mp4",
+            1,
+            NOT_ENCODING,
+            i * 10,
+            None,
+            None,
+            float(i),
+        )
+        for i in range(1, n_jobs + 1)
+    ]
+    store = JobStore(spark, str(tmp_path / "jobs_race3"))
+    store.init(spark.createDataFrame(rows, ENCODE_JOBS_SCHEMA))
+
+    limits = {"srv-A": 1, "srv-B": 2, "srv-C": 3}
+    claimed: dict[str, list[int]] = {s: [] for s in limits}
+    batches: dict[str, int] = {s: 0 for s in limits}
+    errors: list[Exception] = []
+
+    def worker(server: str) -> None:
+        try:
+            while True:
+                got = claim_jobs(store, server, limit=limits[server], max_retries=300)
+                ids = [r["id"] for r in got.collect()]
+                if not ids:
+                    return
+                claimed[server].extend(ids)
+                batches[server] += 1
+        except Exception as exc:  # noqa: BLE001 — recorded for assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in limits]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, f"writer crashed under contention: {errors!r}"
+
+    sets = {s: set(ids) for s, ids in claimed.items()}
+    for s1 in sets:
+        for s2 in sets:
+            if s1 < s2:
+                assert not (sets[s1] & sets[s2]), (
+                    f"double-claimed by {s1}/{s2}: {sorted(sets[s1] & sets[s2])}"
+                )
+    assert set().union(*sets.values()) == set(range(1, n_jobs + 1)), "claims lost"
+
+    final = {r["id"]: r["status"] for r in store.read().collect()}
+    for s, ids in sets.items():
+        for i in ids:
+            assert final[i] == f"{s} - Waiting"
+
+    assert store.current_version() == sum(batches.values())
+    hist = store.history()
+    assert hist == sorted(hist) and len(hist) == store.retain
