@@ -185,7 +185,8 @@ def main() -> None:
     # to their own file AND their own earlier stdout line; the FINAL line is
     # the compact headline-only JSON (frozen methodology: median-of-3 over
     # the same 16 queries since round 2).
-    extras_payload = json.dumps({"extra": extra, "sf": sf})
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    extras_payload = json.dumps({"extra": extra, "sf": sf_val})
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRAS.json"),
@@ -202,7 +203,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

@@ -148,6 +148,18 @@ def resize(with_payload: DataFrame, target_w: int = 128, target_h: int = 96) -> 
     return with_payload.mapInPandas(run, RESIZE_SCHEMA)
 
 
+def ascii_only_filter():
+    """Spark half of the byte-contract the text-as-payload oracle twins
+    rely on: the operators here slice UTF-8 BYTES (media payloads have
+    no character semantics), while DuckDB's substr slices CHARACTERS
+    and cannot slice or md5 a BLOB — so those twins restrict to ASCII
+    docs, where byte length == char length and the two slicings
+    provably coincide.  DuckDB half: `strlen(text) = length(text)`.
+    A function, not a module-level Column: classic-mode Columns need
+    an active SparkContext."""
+    return F.octet_length("text") == F.length("text")
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as the opaque media payload
     (the testdata has no real media files)."""

@@ -22,15 +22,9 @@ from encodesrv_spark.session import prep
 
 # --- shared DuckDB fragments -------------------------------------------------
 
-# The multimodal twins slice the UTF-8 BYTE payload on the Spark side;
-# DuckDB substr slices characters and cannot slice/md5 a BLOB, so those
-# oracle pairs restrict to ASCII docs (byte length == char length) on
-# BOTH engines — the two slicings coincide exactly there.  Spark filter
-# half of that contract (the DuckDB half is `strlen(text) = length(text)`).
-# A function, not a module-level Column: classic-mode Columns need an
-# active SparkContext, and this module imports before the session exists.
-def _ascii_only():
-    return F.octet_length("text") == F.length("text")
+# ASCII byte-contract for the text-as-payload multimodal twins: lives
+# with the byte-slicing operators it guards (operators/multimodal.py).
+_ascii_only = multimodal.ascii_only_filter
 
 _TOKS = r"string_split_regex(text, '\s+')"
 

@@ -2090,8 +2090,18 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_orderkey, l_partkey, l_suppkey) is localCheckpoint'd and feeds
     all three anti-joins AND the lineitem row count — at 100 TB each
     avoided single-int-column pass over the fact table is a multi-TB
-    read (round-3 verdict: 3 fact scans → 1).  orders likewise backs
-    its edge and its count from one checkpointed 1-column projection."""
+    read (round-3 verdict: 3 fact scans → 1).  orders/customer/
+    supplier likewise feed both their roles from one checkpointed
+    key projection each.
+
+    Trade-off, stated: the checkpoint buys scan-once at the cost of a
+    cluster-storage materialization with truncated lineage (an
+    executor loss mid-audit fails the query instead of recomputing
+    from parquet, and cached int columns are less compressed than
+    encoded parquet).  For a periodic load-validation gate that is the
+    right default — the audit is cheap to re-run and the three probe
+    passes dominate — but a deployment preferring fault-tolerant
+    re-scans can drop the checkpoints and take the 3× column reads."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -2409,9 +2419,8 @@ def multimodal_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB char substr — see plans.llm multimodal_frames)."""
     prep(spark)
     from encodesrv_spark.operators import multimodal
-    from encodesrv_spark.plans.llm import _ascii_only
 
-    d = load_table(spark, sf_dir, "documents").filter(_ascii_only())
+    d = load_table(spark, sf_dir, "documents").filter(multimodal.ascii_only_filter())
     frames = multimodal.sample_frames(multimodal.documents_as_binary(d)).select(
         "doc_id", "frame_md5"
     )

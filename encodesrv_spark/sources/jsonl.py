@@ -32,6 +32,10 @@ DOC_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
 
+from encodesrv_spark.sources.files import (
+    JSONL_READ_OPTIONS,
+    jsonl_full_schema,
+)
 from encodesrv_spark.sources.files import JSONL_CORRUPT_COL as _CORRUPT
 
 
@@ -113,8 +117,6 @@ def read_corpus_stream(
     contract is the SAME constants the batch reader uses
     (`files.JSONL_READ_OPTIONS` / `files.jsonl_full_schema`) — a
     future option change lands on both paths at once."""
-    from encodesrv_spark.sources.files import JSONL_READ_OPTIONS, jsonl_full_schema
-
     return (
         spark.readStream.schema(jsonl_full_schema(schema))
         .options(**JSONL_READ_OPTIONS)
