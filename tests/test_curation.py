@@ -105,6 +105,49 @@ def test_semdedup_prune_uses_derived_k(spark, sf_dir):
     assert sum(r["n_members"] for r in out) == n
 
 
+def test_connected_components_matches_union_find(spark):
+    """Randomized equivalence: the iterative min-label operator (whose
+    per-round fixpoint check was restructured this round) must produce
+    the same partition as a driver-side union-find reference on random
+    graphs, including chains (multi-round propagation), duplicate
+    edges, self-loops, and multiple components."""
+    import random
+
+    from encodesrv_spark.operators.dedup import connected_components
+
+    rng = random.Random(20260814)
+    cases = []
+    for _ in range(4):
+        n = rng.randint(2, 30)
+        m = rng.randint(1, 40)
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    cases.append([(i, i + 1) for i in range(12)])       # 13-node chain
+    cases.append([(0, 0), (1, 2), (2, 1), (3, 4)])      # self-loop + dup edges
+
+    for edges in cases:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, (edges, got, want)
+
+
 def test_bpe_pair_stats_top20_is_deterministic(spark, sf_dir):
     a = [tuple(r) for r in curation.bpe_pair_stats(spark, sf_dir).collect()]
     b = [tuple(r) for r in curation.bpe_pair_stats(spark, sf_dir).collect()]
