@@ -571,6 +571,77 @@ def test_watermark_drops_late_event_from_closed_window(spark, tmp_path):
     assert rows.get(("2024-03-01 10:00:00", "click")) == 2, rows
 
 
+def test_session_window_ignores_late_event_after_close(spark, tmp_path):
+    """Session-window late-data contract: once the watermark closes a
+    session (last event + gap < watermark), a late event inside that
+    session's time range must NOT reopen or extend it — the closed
+    session's append-mode row is final.  Run 1 emits user 1's
+    10:00-10:40 session (2 events, 30 min gap) after a 15:00 event
+    advances the watermark; run 2 delivers a 10:20 straggler, which
+    must change nothing for user 1."""
+    import datetime as dt
+
+    from encodesrv_spark.streaming.events import user_sessions
+
+    def t(h, m):
+        return dt.datetime(2024, 3, 1, h, m, 0)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            user_sessions(stream, gap="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, t(10, 0), 1, "click", 1.0),
+            (2, t(10, 10), 1, "click", 1.0),
+            (3, t(15, 0), 9, "view", 1.0),  # advances watermark to 13:00
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    run()
+
+    batch2 = spark.createDataFrame(
+        [
+            (4, t(10, 20), 1, "click", 1.0),  # late: session already closed
+            (5, t(16, 0), 9, "view", 1.0),    # fresh, advances watermark
+        ],
+        schema,
+    )
+    batch2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    run()
+
+    rows = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    u1 = [r for r in rows if r[0] == 1]
+    # exactly ONE user-1 session, spanning 10:00 to 10:40 with 2 events
+    # — the 10:20 straggler neither extended it nor spawned a new row
+    assert u1 == [(1, t(10, 0), t(10, 40), 2)], rows
+
+
 def test_jsonl_corpus_stream_ingests_and_quarantines(spark, tmp_path, sf_dir):
     """Streaming JSONL ingest: shards arriving in a landing directory
     flow through with the declared schema; corrupt lines surface with
