@@ -61,8 +61,13 @@ def merge(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def finalize(partial: DataFrame, avg_name: str = "vavg") -> DataFrame:
-    """Derive the non-stored aggregates (avg) from merged partials."""
-    return partial.withColumn(avg_name, F.col("total") / F.col("n"))
+    """Derive the non-stored aggregates (avg) from merged partials.
+
+    The division runs in double (cast first): when `total` is an exact
+    DECIMAL partial (the order-independent money form — see
+    functions/exact.py) this keeps the result deterministic without
+    inheriting engine-specific decimal-division scale rules."""
+    return partial.withColumn(avg_name, F.col("total").cast("double") / F.col("n"))
 
 
 def hll_partials(df: DataFrame, keys: list[str], value: str) -> DataFrame:

@@ -672,7 +672,8 @@ _SEMDEDUP_TARGET = 64  # target cluster size: k = max(8, ceil(n/64)) on BOTH eng
     "semdedup_prune",
     oracle=f"""
         WITH e AS ({_EMB}),
-        kp AS (SELECT greatest(8, CAST(ceil(count(*) * 1.0 / {_SEMDEDUP_TARGET}) AS BIGINT)) AS k
+        kp AS (SELECT greatest(8, (count(*) + {_SEMDEDUP_TARGET} - 1)
+                                  // {_SEMDEDUP_TARGET}) AS k
                FROM e),
         c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e
                WHERE vec_id < (SELECT k FROM kp)),

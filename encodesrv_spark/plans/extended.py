@@ -11,8 +11,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
+from encodesrv_spark.functions.exact import money, money_round, rate
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
+
+
+def _disc_price():
+    """Exact decimal ``l_extendedprice * (1 - l_discount)`` — money sums
+    must be order-independent; see functions/exact.py."""
+    return money("l_extendedprice") * rate(F.lit(1) - F.col("l_discount"))
 
 
 @register(
@@ -84,7 +91,8 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(l_linestatus, 'ALL') AS ls,
                grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
                count(*)::BIGINT AS n,
-               round(sum(l_extendedprice), 2) AS total
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -100,7 +108,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            money_round(F.sum(money("l_extendedprice"))).alias("total"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
@@ -271,7 +279,8 @@ _BANDS = [
         )
         SELECT b.band,
                count(*)::BIGINT AS n_orders,
-               round(sum(o.o_totalprice), 2) AS total,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total,
                round(min(o.o_totalprice), 2) AS min_price,
                round(max(o.o_totalprice), 2) AS max_price
         FROM orders o
@@ -301,7 +310,7 @@ def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money_round(F.sum(money("o_totalprice"))).alias("total"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
@@ -313,7 +322,8 @@ def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n.n_name,
                count(*)::BIGINT AS n_customers,
-               round(sum(c.c_acctbal), 2) AS total_bal
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_bal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
@@ -342,7 +352,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            money_round(F.sum(money("c_acctbal"))).alias("total_bal"),
         )
     )
 
@@ -352,7 +362,8 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT r.r_name,
                count(DISTINCT c.c_custkey)::BIGINT AS n_customers,
-               round(sum(o.o_totalprice), 2) AS total_revenue
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_revenue
         FROM region r
         JOIN nation n ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -373,7 +384,8 @@ def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT r.r_name,
                count(DISTINCT c.c_custkey) AS n_customers,
-               round(sum(o.o_totalprice), 2) AS total_revenue
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_revenue
         FROM region r
         JOIN nation n ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -507,7 +519,8 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_EDGES = """
     SELECT n1.n_name AS src, n2.n_name AS dst,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS w
+           sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS w
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -522,7 +535,8 @@ def _pr_step(prev: str) -> str:
     return f"""
         SELECT nodes.node, nodes.cnt,
                0.15 / nodes.cnt
-                   + 0.85 * coalesce(sum({prev}.r * (e.w / outw.ow)), 0) AS r
+                   + 0.85 * coalesce(sum({prev}.r
+                       * (CAST(e.w AS DOUBLE) / CAST(outw.ow AS DOUBLE))), 0) AS r
         FROM nodes
         LEFT JOIN edges e ON e.dst = nodes.node
         LEFT JOIN outw ON outw.src = e.src
@@ -553,8 +567,8 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (d=0.85, 3 synchronous iterations, dangling
     mass dropped) over the nation->nation trade graph.  The 100 TB
     pattern on display: ONE corpus-scale join-aggregate collapses the
-    fact tables to a nodes^2-bounded edge list (weights rounded to 2
-    before iterating, so both engines fold identical doubles), and the
+    fact tables to a nodes^2-bounded edge list (weights summed as EXACT
+    decimals, so both engines iterate from identical shares), and the
     iteration then runs entirely on that tiny graph — each step is a
     broadcast join + re-aggregate, no further contact with the fact
     data.  For graphs too large to broadcast, the same loop runs with
@@ -579,11 +593,7 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .groupBy("src", "dst")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("w")
-        )
+        .agg(F.sum(_disc_price()).alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # materialize the nodes^2-bounded edge list ONCE: without this the
@@ -591,7 +601,11 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every step (the plan audit showed 44 FileScans for 3 iterations)
     e2 = (
         edges.join(F.broadcast(outw), "src")
-        .select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("ow").cast("double")).alias("share"),
+        )
         .localCheckpoint(eager=True)
     )
     ncnt = nation.agg(F.count("*").cast("double").alias("cnt"))
@@ -696,7 +710,9 @@ def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o.o_orderpriority,
                count(*)::BIGINT AS n,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderpriority = '1-URGENT'
         GROUP BY o.o_orderpriority
@@ -729,9 +745,7 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            money_round(F.sum(_disc_price())).alias("revenue"),
         )
     )
 
@@ -741,7 +755,9 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o.o_orderstatus,
                count(*)::BIGINT AS n,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderkey % 128 = 0
         GROUP BY o.o_orderstatus
@@ -776,9 +792,7 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            money_round(F.sum(_disc_price())).alias("revenue"),
         )
     )
 
@@ -1044,10 +1058,11 @@ def value_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                epoch_us(ts) // 3600000000 AS hr,
                count(*)::BIGINT AS n,
-               round(sum(value), 4) AS total,
-               round(min(value), 4) AS vmin,
-               round(max(value), 4) AS vmax,
-               round(sum(value) / count(*), 6) AS vavg
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS total,
+               CAST(round(min(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS vmin,
+               CAST(round(max(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS vmax,
+               round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*), 6) AS vavg
         FROM events
         GROUP BY 1, 2
     """,
@@ -1067,8 +1082,12 @@ def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     cutoff = 473712  # mid-range epoch hour; base ≈ history, delta ≈ new batch
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "hr", F.expr("ts_ns DIV 3600000000000")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("hr", F.expr("ts_ns DIV 3600000000000"))
+        # exact decimal partials: sums stay order-independent through
+        # the merge (functions/exact.py)
+        .withColumn("value", F.col("value").cast("decimal(12,2)"))
     )
     keys = ["event_type", "hr"]
     base = I.partials(e.filter(F.col("hr") < cutoff), keys, "value")
@@ -1078,9 +1097,9 @@ def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hr",
         "n",
-        F.round("total", 4).alias("total"),
-        F.round("vmin", 4).alias("vmin"),
-        F.round("vmax", 4).alias("vmax"),
+        F.round("total", 4).cast("double").alias("total"),
+        F.round("vmin", 4).cast("double").alias("vmin"),
+        F.round("vmax", 4).cast("double").alias("vmax"),
         F.round("vavg", 6).alias("vavg"),
     )
 
@@ -1427,16 +1446,17 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2))) AS v
             FROM lineitem GROUP BY 1
         ),
-        t AS (SELECT sum(revenue) AS tot FROM rev),
+        t AS (SELECT CAST(sum(v) AS DOUBLE) AS tot FROM rev),
         c AS (
-            SELECT l_suppkey, revenue,
-                   round(sum(revenue) OVER (
-                       ORDER BY revenue DESC, l_suppkey
+            SELECT l_suppkey, CAST(round(v, 2) AS DOUBLE) AS revenue,
+                   round(CAST(sum(v) OVER (
+                       ORDER BY v DESC, l_suppkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) / tot, 6) AS cum_share
+                   ) AS DOUBLE) / tot, 6) AS cum_share
             FROM rev, t
         )
         SELECT l_suppkey, revenue, cum_share,
@@ -1452,30 +1472,31 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     running cumulative share — A up to 70% of total, B to 90%, C the
     tail (the inventory-analysis classic).  The corpus-scale work is
     the one revenue aggregate; the ordered running sum runs on the
-    supplier-cardinality result (per-supplier revenues rounded to 2
-    BEFORE accumulating, and the share rounded before classifying, so
-    both engines fold identical doubles — the fp rule twice over)."""
+    supplier-cardinality result, entirely in EXACT decimals (sum, rank
+    key, and cumulative sum), so both engines accumulate identical
+    values and only the final share division happens in double."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
-    rev = l.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
-    )
-    tot = rev.agg(F.sum("revenue").alias("tot"))
+    rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("v"))
+    tot = rev.agg(F.sum("v").cast("double").alias("tot"))
     w = (
-        W.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        W.orderBy(F.desc("v"), F.asc("l_suppkey"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     c = rev.crossJoin(F.broadcast(tot)).withColumn(
-        "cum_share", F.round(F.sum("revenue").over(w) / F.col("tot"), 6)
+        "cum_share", F.round(F.sum("v").over(w).cast("double") / F.col("tot"), 6)
     )
     abc = (
         F.when(F.col("cum_share") <= 0.7, "A")
         .when(F.col("cum_share") <= 0.9, "B")
         .otherwise("C")
     )
-    return c.select("l_suppkey", "revenue", "cum_share", abc.alias("abc_class"))
+    return c.select(
+        "l_suppkey",
+        money_round(F.col("v")).alias("revenue"),
+        "cum_share",
+        abc.alias("abc_class"),
+    )
 
 
 @register(
@@ -1689,7 +1710,8 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
                count(*)::BIGINT AS n,
-               round(sum(value), 2) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -1708,10 +1730,10 @@ def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour_of_day")
         .agg(
             F.count("*").alias("n"),
-            # sum, not avg: an average can land exactly on a rounding
-            # boundary (54.77875 did), where last-ulp association
-            # differences flip the 4th decimal across engines
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact decimal sum: order-independent, so no last-ulp
+            # association drift can flip a rounding boundary (an avg
+            # landed exactly on 54.77875 once; this closes the class)
+            money_round(F.sum(money("value"))).alias("total_value"),
         )
     )
 

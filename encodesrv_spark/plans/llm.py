@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
 from encodesrv_spark.functions import text as T
+from encodesrv_spark.functions.exact import money, money_round
 from encodesrv_spark.functions.hashing import km_hash64_sql, stable_hash64_sql
 from encodesrv_spark.operators import dedup, multimodal, similarity
 from encodesrv_spark.plans.registry import register
@@ -581,7 +582,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                event_type,
                count(*)::BIGINT AS n,
-               round(sum(value), 2) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
     """,
     tags=("llm", "events"),
@@ -598,7 +600,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            money_round(F.sum(money("value"))).alias("total_value"),
+        )
     )
 
 
@@ -704,7 +709,8 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
                grouping(date_trunc('day', ts), date_trunc('hour', ts))::BIGINT AS gid,
                count(*)::BIGINT AS n,
-               round(sum(value), 2) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_value
         FROM events
         GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
     """,
@@ -727,7 +733,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_round(F.sum(money("value"))).alias("total_value"),
         )
         .select(
             F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),

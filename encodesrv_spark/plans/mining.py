@@ -38,6 +38,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from encodesrv_spark.catalog import load_table
+from encodesrv_spark.functions.exact import money
 from encodesrv_spark.functions.hashing import stable_hash64_sql
 from encodesrv_spark.operators import dedup
 from encodesrv_spark.operators.similarity import _as_double, dot
@@ -124,6 +125,14 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # collocation mining
 # ---------------------------------------------------------------------------
+
+# The limit-first top-k pattern plans as TakeOrderedAndProject (per-
+# partition heaps + driver merge) only while k stays below
+# spark.sql.execution.topKSortFallbackThreshold (default 10000); past
+# it Spark silently degrades to a global sort.  Every *_TOPK constant
+# in this module must stay far below that threshold — asserted here so
+# raising one can't silently change the plan class.
+_TOPK_SORT_FALLBACK = 10_000
 
 _PMI_MIN_COUNT = 5
 _PMI_TOPK = 50
@@ -1662,19 +1671,24 @@ def doc_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (
             SELECT extract(month FROM o_orderdate)::BIGINT AS month,
                    extract(year FROM o_orderdate)::BIGINT AS yr,
-                   sum(o_totalprice) AS rev,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
                    count(*)::BIGINT AS n
             FROM orders GROUP BY 1, 2
         ),
         avg_m AS (
-            SELECT month, sum(rev) AS rev, sum(n) AS n,
+            SELECT month, sum(rev_cents) AS rev_cents, sum(n) AS n,
                    count(*)::BIGINT AS n_years
             FROM m GROUP BY 1
         ),
-        g AS (SELECT sum(rev) / sum(n) AS overall_avg FROM avg_m)
+        g AS (
+            SELECT CAST(sum(rev_cents) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                       AS overall_avg
+            FROM avg_m
+        )
         SELECT month, n, n_years,
-               round(rev, 2) AS revenue,
-               round((rev / n) / g.overall_avg, 6) AS seasonality_index
+               round(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue,
+               round((CAST(rev_cents AS DOUBLE) / CAST(n AS DOUBLE))
+                     / g.overall_avg, 6) AS seasonality_index
         FROM avg_m, g
     """,
     tags=("extended", "events", "stats"),
@@ -1689,33 +1703,48 @@ def order_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     One fact pass aggregates (month, year) partials (map-side
     combinable); the 12-row month rollup and the one-row grand mean
     derive from that frame — no second scan, and the index arithmetic
-    runs on a broadcast scalar."""
+    runs on a broadcast scalar.
+
+    Bit-determinism: money is summed as exact integer CENTS (BIGINT) on
+    both engines, so every aggregate is associative and
+    partitioning-independent; `revenue` and `seasonality_index` are then
+    two divisions of exact integers — each ≤1 ulp from the true value,
+    absorbed by the 2-dp/6-dp rounds.  Never sum raw doubles across
+    rows: the summation-order drift is what cost this query its r04
+    driver row."""
     prep(spark)
     o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     m = (
         o.groupBy(
             F.month("o_orderdate").cast("long").alias("month"),
             F.year("o_orderdate").cast("long").alias("yr"),
         )
-        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+        .agg(F.sum(cents).alias("rev_cents"), F.count("*").alias("n"))
         .localCheckpoint(eager=True)
     )
     avg_m = m.groupBy("month").agg(
-        F.sum("rev").alias("rev"),
+        F.sum("rev_cents").alias("rev_cents"),
         F.sum("n").alias("n"),
         F.count("*").alias("n_years"),
     )
-    g = avg_m.agg((F.sum("rev") / F.sum("n")).alias("overall_avg"))
+    g = avg_m.agg(
+        (F.sum("rev_cents").cast("double") / F.sum("n").cast("double")).alias(
+            "overall_avg"
+        )
+    )
     return (
         avg_m.crossJoin(F.broadcast(g))
         .select(
             "month",
             "n",
             "n_years",
-            F.round("rev", 2).alias("revenue"),
-            F.round((F.col("rev") / F.col("n")) / F.col("overall_avg"), 6).alias(
-                "seasonality_index"
-            ),
+            F.round(F.col("rev_cents").cast("double") / 100, 2).alias("revenue"),
+            F.round(
+                (F.col("rev_cents").cast("double") / F.col("n").cast("double"))
+                / F.col("overall_avg"),
+                6,
+            ).alias("seasonality_index"),
         )
     )
 
@@ -2170,7 +2199,7 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH m AS (
             SELECT date_trunc('month', o_orderdate) AS mon,
-                   round(sum(o_totalprice), 2) AS rev
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
             FROM orders GROUP BY 1
         ),
         pairs AS (
@@ -2204,13 +2233,13 @@ def revenue_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate), and the O(n²) pairwise sign pass runs on that
     calendar-bounded frame — ~84 months of data is ~3.5k pairs, a
     constant, regardless of whether the fact table is 60k rows or
-    100 TB.  Revenue is rounded to 2 dp BEFORE comparison so sign ties
-    agree cross-engine."""
+    100 TB.  Monthly revenue is an EXACT decimal sum, so sign
+    comparisons (and their ties) agree cross-engine by construction."""
     prep(spark)
     o = load_table(spark, sf_dir, "orders")
     m = (
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
         .localCheckpoint(eager=True)
     )
     a, b = m.alias("a"), m.alias("b")
@@ -4095,3 +4124,21 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         F.row_number().over(W.orderBy(F.desc("cv"), F.asc("l_partkey"))).cast("long"),
     )
+
+
+# Guard the TakeOrderedAndProject plan class for every top-k constant
+# above (see the note at _TOPK_SORT_FALLBACK).
+for _k in (
+    _PMI_TOPK,
+    _BURST_TOPK,
+    _POS_TOPK,
+    _SG_TOPK,
+    _SUPP_HHI_TOPK,
+    _PRICE_CV_TOPK,
+):
+    assert _k < _TOPK_SORT_FALLBACK, (
+        f"top-k constant {_k} >= topKSortFallbackThreshold "
+        f"{_TOPK_SORT_FALLBACK}: orderBy().limit() would plan as a "
+        "global sort, not TakeOrderedAndProject"
+    )
+del _k

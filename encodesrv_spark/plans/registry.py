@@ -62,65 +62,66 @@ _MODULE_ORDER = ("parity", "llm", "tpch", "tpch_deep", "corpus", "extended")
 # approx_stats (oracle=None, rows-only by design) is deliberately NOT
 # hoisted — an untestable query must not occupy a hard-gate slot.
 _HOISTED = (
-    # Round-4 rotation (VERDICT r03 #2): the 50-slot driver window is
-    # 15 parity (pinned, the literal reference bar) + these 35.  All but
-    # one are FIRST-TIMERS — queries with no green row in any of
-    # CORRECTNESS_r01-r03 — draining the 70-query evidencing backlog at
-    # the maximum possible rate (34 this round, the remaining 36 next).
-    # The one non-first-timer is semdedup_prune: its registered form
-    # changed this round (k now derived from corpus size, VERDICT #3
-    # "What's wrong"), so its r03 row no longer evidences the shipped
-    # code and it must re-earn a driver row.
-    "semdedup_prune",
-    # verdict-named priorities
-    "multimodal_shared_frames",
-    "referential_integrity_audit",
-    # extended (never driver-checked)
-    "funnel_latency",
-    "hourly_profile",
-    "part_edge_embeddedness",
-    "part_kcore_peel",
-    # mining (never driver-checked)
-    "embedding_sq8_ann",
-    "token_coverage_curve",
-    "user_rfm_segments",
-    "events_change_points",
-    "tfidf_cosine_pairs",
-    "embedding_norm_outliers",
-    "quality_percentile_by_source",
-    "dedup_cluster_size_hist",
-    "embedding_top_pc",
-    "token_burstiness",
-    "doc_nearest_neighbor",
+    # Round-5 rotation (VERDICT r04 #1/#2): the 50-slot driver window is
+    # 15 parity (pinned) + these 35 — the round-4 queue drained at the
+    # maximum rate.  First: order_seasonality_index, the project's only
+    # red oracle row, re-registered in bit-deterministic form (exact
+    # integer-cent sums on both engines) and re-earning its driver row.
     "order_seasonality_index",
-    "customer_order_gaps",
-    "copurchase_degree_dist",
-    "bigram_lm_perplexity",
-    "doc_hash_features",
-    "revenue_trend_mann_kendall",
-    "events_cusum",
-    "source_dup_crosstab",
-    "token_rank_stability",
-    "order_backlog_timeseries",
-    "token_position_bias",
-    "price_benford_audit",
-    "copurchase_assortativity",
-    "source_template_headers",
-    "order_fill_latency_sla",
-    "events_dispersion_index",
-    "events_autocorrelation",
+    # mining/corpus first-timers (never driver-checked)
+    "doc_oov_rate",
+    "user_concentration_hhi",
+    "heaps_law_fit",
+    "dedup_quality_gain",
+    "embedding_intrinsic_dim",
+    "corpus_dataset_card",
+    "token_skipgram_pmi",
+    "embedding_distance_histogram",
+    "part_supplier_concentration",
+    "events_weekend_effect",
+    "doc_numeric_density",
+    "part_price_dispersion",
+    # tpch suite first-timers (money sums converted to exact DECIMAL
+    # this round — their FIRST driver check covers the final form)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "q6_forecast_revenue",
+    "order_priority_semi",
+    "top_customers_per_nation",
+    "q13_customer_distribution",
+    "customers_no_urgent_anti",
+    "q17_small_quantity_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q12_priority_by_status",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicate",
+    # tpch_deep suite first-timers
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 )
 
-# Round-5 rotation queue (the rest of the never-driver-checked backlog,
-# 36 names): doc_oov_rate, user_concentration_hhi, heaps_law_fit,
-# dedup_quality_gain, embedding_intrinsic_dim, corpus_dataset_card,
-# token_skipgram_pmi, embedding_distance_histogram,
-# part_supplier_concentration, events_weekend_effect,
-# doc_numeric_density, part_price_dispersion, and the 24 tpch/tpch_deep
-# suite queries (q1..q22 + order_priority_semi, top_customers_per_nation,
-# customers_no_urgent_anti) — all hash-green in the repo's own all-204
-# oracle run every round; they queue here only for DRIVER evidencing.
-# Registry growth is frozen until this queue clears (VERDICT r03 #2).
+# Round-6 rotation queue: q18_large_volume_customers and
+# q22_idle_customers (the two shapes whose structure is already
+# driver-evidenced via q20's grouped-HAVING and
+# customers_no_urgent_anti's anti-join — VERDICT r04 #2 defers exactly
+# these two), plus the re-evidencing debt from this round's
+# determinism sweep: queries already driver-green whose registered form
+# changed when money sums became exact DECIMAL (rollup_lineitem,
+# price_band_range_join, skew_salted_join, sql_revenue_by_region,
+# bloom_prune_join, bloom_prune_selective, trade_pagerank,
+# incremental_hourly_merge, supplier_pareto_abc, hourly_profile,
+# revenue_trend_mann_kendall, events_hourly, events_hypertable_rollup).
+# All are hash-green in the repo's own all-204 exact-repr oracle run and
+# shuffle-partition determinism harness; they queue for DRIVER
+# re-evidencing.  Registry growth stays frozen until this clears.
 
 
 def all_queries() -> dict[str, Query]:

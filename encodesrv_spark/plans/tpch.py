@@ -13,8 +13,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
+from encodesrv_spark.functions.exact import money, money_round, rate
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
+
+
+def _disc_price():
+    """Exact decimal ``l_extendedprice * (1 - l_discount)`` — see
+    functions/exact.py for why money sums must be decimal, not double."""
+    return money("l_extendedprice") * rate(F.lit(1) - F.col("l_discount"))
 
 
 @register(
@@ -22,12 +29,20 @@ from encodesrv_spark.session import prep
     oracle="""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(4,2))
+                              * CAST(1 + l_tax AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*), 4) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                     / count(*), 6) AS avg_disc,
                count(*)::BIGINT AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -38,21 +53,31 @@ from encodesrv_spark.session import prep
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy partial aggregation. Catalyst emits a
     map-side partial HashAggregate before the exchange, so the shuffle
-    carries only (flag,status) groups — constant rows regardless of SF."""
+    carries only (flag,status) groups — constant rows regardless of SF.
+
+    Money aggregates sum exact DECIMAL (order-independent — see
+    functions/exact.py); quantity is integer-valued so its double sum is
+    already exact."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _disc_price()
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_round(F.sum(money("l_extendedprice"))).alias("sum_base_price"),
+            money_round(F.sum(disc_price)).alias("sum_disc_price"),
+            money_round(
+                F.sum(disc_price * rate(F.lit(1) + F.col("l_tax")))
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(money("l_extendedprice")).cast("double") / F.count("*"), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(rate("l_discount")).cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -62,7 +87,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
         SELECT l.l_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue,
                strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o.o_orderpriority
         FROM customer c
@@ -99,11 +126,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(money_round(F.sum(_disc_price())).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select(
@@ -119,7 +142,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_volume",
     oracle="""
         SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -158,18 +183,16 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(money_round(F.sum(_disc_price())).alias("revenue"))
     )
 
 
 @register(
     "q6_forecast_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue,
                count(*)::BIGINT AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -194,9 +217,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            money_round(
+                F.sum(money("l_extendedprice") * rate("l_discount"))
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -234,7 +257,8 @@ def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT c.c_custkey, c.c_name, c.c_nationkey,
-                   round(sum(o.o_totalprice), 2) AS total
+                   CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS total
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey, c.c_name, c.c_nationkey
         )
@@ -261,7 +285,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey", "c_name", "c_nationkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(money_round(F.sum(money("o_totalprice"))).alias("total"))
     )
     w = W.partitionBy("c_nationkey").orderBy(F.desc("total"), F.asc("c_custkey"))
     return (
@@ -340,7 +364,8 @@ def customers_no_urgent_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
             FROM lineitem GROUP BY l_partkey
         )
-        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+        SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                          AS DOUBLE) / 7, 2) AS avg_yearly,
                count(*)::BIGINT AS n_items
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
@@ -367,7 +392,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avgs, l.l_partkey == avgs.a_partkey)
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(money("l_extendedprice")).cast("double") / F.lit(7), 2
+            ).alias("avg_yearly"),
             F.count("*").alias("n_items"),
         )
     )
@@ -414,7 +441,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                year(l.l_shipdate)::BIGINT AS l_year,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         JOIN customer c ON c.c_custkey = o.o_custkey
@@ -460,11 +489,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money_round(F.sum(_disc_price())).alias("revenue"))
     )
 
 
@@ -472,7 +497,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
         SELECT c.c_custkey, c.c_name, n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -508,11 +535,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money_round(F.sum(_disc_price())).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -559,10 +582,13 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-        SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                      THEN l.l_extendedprice * (1 - l.l_discount)
-                                      ELSE 0 END)
-                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+        SELECT round(100 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                              * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                                         ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                            AS DOUBLE), 4) AS promo_pct,
                count(*)::BIGINT AS n_items
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
@@ -579,7 +605,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _disc_price()
     return (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -588,9 +614,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.lit(100)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_pct"),
             F.count("*").alias("n_items"),
@@ -601,7 +629,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicate",
     oracle="""
-        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue,
                count(*)::BIGINT AS n_items
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
@@ -632,9 +662,7 @@ def q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            money_round(F.sum(_disc_price())).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

@@ -7,8 +7,9 @@ acts as the catalog entry, unit price = avg(l_extendedprice/l_quantity));
 the Q9 "supplycost" is proxied by a retail-price fraction.  Shapes and
 plan structure otherwise follow the TPC-H originals.
 
-Determinism rules (same as plans/tpch.py): round floats identically on
-both sides BEFORE any threshold/equality comparison on aggregates;
+Determinism rules (same as plans/tpch.py): money aggregates sum exact
+DECIMAL so they are order-independent (functions/exact.py); thresholds
+compare exact decimals (or values derived deterministically from them);
 tiebreak every top-k with a key column.
 """
 
@@ -19,8 +20,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
+from encodesrv_spark.functions.exact import money, money_round, rate
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
+
+
+def _disc_price():
+    """Exact decimal ``l_extendedprice * (1 - l_discount)``."""
+    return money("l_extendedprice") * rate(F.lit(1) - F.col("l_discount"))
 
 
 @register(
@@ -28,7 +35,9 @@ from encodesrv_spark.session import prep
     oracle="""
         WITH ps AS (
             SELECT l_partkey, l_suppkey,
-                   round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+                   round(CAST(sum(CAST(l_extendedprice / l_quantity
+                                       AS DECIMAL(18,10))) AS DOUBLE)
+                         / count(*), 4) AS unit_cost
             FROM lineitem GROUP BY l_partkey, l_suppkey
         ),
         eligible AS (
@@ -73,10 +82,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "n_name")
     )
+    # The per-row quotient is not a finite decimal, so quantize each term
+    # to DECIMAL(18,10) (identical per-row rounding on both engines) and
+    # sum exactly — an order-independent mean; see functions/exact.py.
     ps = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_cost"
-        )
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                    "decimal(18,10)"
+                )
+            ).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("unit_cost")
     )
     eligible = ps.join(regional, ps.l_suppkey == regional.s_suppkey)
     cheapest = eligible.withColumn(
@@ -97,10 +115,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
         SELECT year(o.o_orderdate)::BIGINT AS o_year,
-               round(sum(CASE WHEN n2.n_name = 'NATION_5'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+               round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                                   THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                        * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                            AS DOUBLE), 6) AS mkt_share
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         JOIN customer c ON c.c_custkey = o.o_custkey
@@ -140,7 +161,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _disc_price()
     return (
         l.join(
             o.filter(
@@ -157,8 +178,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -170,8 +195,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n.n_name AS nation,
                year(o.o_orderdate)::BIGINT AS o_year,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)
-                         - 0.08 * p.p_retailprice * l.l_quantity), 2) AS profit
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                              - CAST(0.08 AS DECIMAL(4,2))
+                                * CAST(p.p_retailprice AS DECIMAL(12,2))
+                                * CAST(l.l_quantity AS DECIMAL(2,0))), 2)
+                    AS DOUBLE) AS profit
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -195,9 +224,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.08 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    profit = _disc_price() - rate(F.lit(0.08)) * money("p_retailprice") * F.col(
+        "l_quantity"
+    ).cast("decimal(2,0)")
     return (
         l.join(
             p.filter(F.col("p_name").contains("red")),
@@ -210,7 +239,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(money_round(F.sum(profit)).alias("profit"))
     )
 
 
@@ -219,16 +248,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH val AS (
             SELECT l.l_partkey,
-                   round(sum(l.l_extendedprice * l.l_quantity), 2) AS value
+                   sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l.l_quantity AS DECIMAL(2,0))) AS v
             FROM lineitem l
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE n.n_name = 'NATION_3'
             GROUP BY l.l_partkey
         )
-        SELECT l_partkey, value
+        SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS value
         FROM val
-        WHERE value > (SELECT sum(value) FROM val) * 0.001
+        WHERE v * 1000 > (SELECT sum(v) FROM val)
     """,
     tags=("tpch", "scalar-subquery", "having"),
 )
@@ -252,13 +282,19 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (
         l.join(nat_supp, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
+        .agg(
+            F.sum(
+                money("l_extendedprice") * F.col("l_quantity").cast("decimal(2,0)")
+            ).alias("v")
+        )
     )
-    total = val.agg((F.sum("value") * 0.001).alias("threshold"))
+    total = val.agg(F.sum("v").alias("total"))
+    # value * 1000 > total keeps the 0.1% threshold compare in EXACT
+    # decimal arithmetic on both engines (no decimal division rounding).
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("l_partkey", "value")
+        .filter(F.col("v") * 1000 > F.col("total"))
+        .select("l_partkey", money_round(F.col("v")).alias("value"))
     )
 
 
@@ -267,23 +303,25 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2))) AS v
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
             GROUP BY l_suppkey
         )
-        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        SELECT s.s_suppkey, s.s_name,
+               CAST(round(r.v, 2) AS DOUBLE) AS total_revenue
         FROM supplier s
         JOIN rev r ON s.s_suppkey = r.l_suppkey
-        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        WHERE r.v = (SELECT max(v) FROM rev)
     """,
     tags=("tpch", "scalar-subquery"),
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the revenue 'view' aggregates once, then a
     scalar MAX over it selects the top supplier(s) — max computed as a
-    1-row broadcast, revenue rounded before the equality compare.
+    1-row broadcast, with the equality compare on EXACT decimal sums.
     Returns ALL suppliers tied at the max (set semantics, no arbitrary
     tiebreak — matches the SQL)."""
     prep(spark)
@@ -295,18 +333,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
-        )
+        .agg(F.sum(_disc_price()).alias("v"))
     )
-    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    top = rev.agg(F.max("v").alias("max_v"))
     return (
         rev.crossJoin(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .filter(F.col("v") == F.col("max_v"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey", "s_name", money_round(F.col("v")).alias("total_revenue")
+        )
     )
 
 
@@ -476,10 +512,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_mktsegment,
                count(*)::BIGINT AS numcust,
-               round(sum(c.c_acctbal), 2) AS totacctbal
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS totacctbal
         FROM customer c
         WHERE c.c_acctbal > (
-                  SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+                  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                         / count(*)
+                  FROM customer c2 WHERE c2.c_acctbal > 0
               )
           AND NOT EXISTS (
               SELECT 1 FROM orders o
@@ -497,14 +536,14 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     country code; "no orders since 2000" stands in for "no orders",
     which is empty in this data).  The average is a 1-row broadcast;
     the anti-join probes a date-filtered custkey projection of orders.
-    The avg threshold is a strict inequality on raw doubles: both
-    engines compute the same single-valued mean from the same rows, and
-    no customer balance sits within double-epsilon of it."""
+    The avg threshold derives from an EXACT decimal sum (order-
+    independent), so both engines compute the bit-identical mean and the
+    strict inequality cuts identically."""
     prep(spark)
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (F.sum(money("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
     )
     recent = o.filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
@@ -516,6 +555,6 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_round(F.sum(money("c_acctbal"))).alias("totacctbal"),
         )
     )

@@ -25,18 +25,18 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from encodesrv_spark.sources.files import (
+    JSONL_CORRUPT_COL as _CORRUPT,
+    JSONL_READ_OPTIONS,
+    jsonl_full_schema,
+)
+
 # The document schema of this engine's corpus tables (matches the
 # parquet `documents` table so JSONL shards and parquet shards are
 # interchangeable inputs to every documents query).
 DOC_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
-
-from encodesrv_spark.sources.files import (
-    JSONL_READ_OPTIONS,
-    jsonl_full_schema,
-)
-from encodesrv_spark.sources.files import JSONL_CORRUPT_COL as _CORRUPT
 
 
 @dataclass(frozen=True)

@@ -43,9 +43,13 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # 12 significant digits: enough to catch real bugs, immune to
-        # last-ulp noise between engines
-        return f"{v:.12g}"
+        # Exact shortest-repr: the driver's comparator proved stricter
+        # than the old 12-sig-digit normalization (r04: a query passed
+        # here and failed there), so the local gate now demands
+        # bit-identical doubles.  Queries must make that true by
+        # construction: exact DECIMAL/integer aggregation, identical
+        # rounding on both engines (functions/exact.py).
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, datetime.date):
