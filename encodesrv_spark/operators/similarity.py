@@ -451,10 +451,17 @@ def kmeans(
     absorbs the ~1 ulp partial-aggregation jitter).
 
     Scale shape per iteration: one broadcast of k centroids, one
-    argmin window keyed on vec_id, one (cid, dim) mean — linear in
-    N·k·d with no self-joins; localCheckpoint truncates the iteration
-    lineage (the iterative-DataFrame rule, same as
-    connected_components)."""
+    MAP-SIDE argmin (min_by partial aggregate over the broadcast cross
+    join — each vec_id lives in exactly one input partition, so the
+    k-way score fan-out collapses to one row per point before the
+    exchange and the shuffle never carries the k·N score rows, let
+    alone their embedding arrays; the old window argmin shuffled all of
+    them), one (cid, dim) mean — linear in N·k·d with no self-joins;
+    localCheckpoint truncates the iteration lineage (the
+    iterative-DataFrame rule, same as connected_components), and the
+    assignment frame checkpoints lazily so the caller's reuse of the
+    final assignment (semdedup's intra-cluster pass) does not replay
+    the scoring pass."""
     e = embeddings.select("vec_id", _as_double("embedding").alias("emb")).localCheckpoint(
         eager=True
     )
@@ -464,7 +471,6 @@ def kmeans(
     assigned = None
     history: list[tuple[int, float]] = []
     track_shift = tol is not None or return_info
-    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
     for i in range(iters):
         d2 = F.round(
             sq_norm(F.col("emb"))
@@ -472,12 +478,17 @@ def kmeans(
             + sq_norm(F.col("cemb")),
             4,
         )
+        # argmin = min_by over (d2, cid): same ordering (and tiebreak)
+        # as the old row_number window, but partial-aggregable
         assigned = (
             e.crossJoin(F.broadcast(cent))
             .select("vec_id", "emb", "cid", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "emb", "cid")
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(F.struct("cid", "emb"), F.struct("d2", "cid")).alias("m")
+            )
+            .select("vec_id", F.col("m.emb").alias("emb"), F.col("m.cid").alias("cid"))
+            .localCheckpoint(eager=False)
         )
         cmeans = (
             assigned.select("cid", F.posexplode("emb").alias("dim", "v"))

@@ -211,26 +211,93 @@ def distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_stats",
-    oracle=None,  # sketch internals differ per engine — rows-only check
+    oracle="""
+        SELECT l_returnflag,
+               count(*)::BIGINT AS n_rows,
+               true AS orders_est_ok,
+               true AS parts_est_ok,
+               true AS q50_rank_ok,
+               true AS q95_rank_ok,
+               true AS q99_rank_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("extended", "approx"),
 )
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates for 100 TB interactivity: HyperLogLog++
-    NDV and quantile sketches.  Deliberately no SQL oracle — sketch
-    algorithms are engine-specific (driver records the weaker rows-only
-    check); the exact twins are distinct_stats / q1."""
+    """Approximate aggregates for 100 TB interactivity — HyperLogLog++
+    NDV and quantile sketches — shipped WITH their accuracy audit.
+
+    Sketch internals are engine-specific, so raw estimates can't be
+    hash-compared against DuckDB.  What CAN be differentially checked
+    is the error contract: per group the query emits the exact row
+    count plus booleans asserting each estimate honors its documented
+    bound — HLL++ NDV within 15% of the exact distinct count (default
+    rsd 0.05, 3σ), and each percentile_approx value's exact rank within
+    ±0.01 of its target quantile (accuracy 10000 → rank error 1e-4,
+    plus tie/discreteness slack).  The oracle computes the same
+    contract from exact values — `true` per group — so any bound
+    violation is a hash mismatch, not a silent pass.  The booleans are
+    also partitioning-stable even where the underlying quantile sketch
+    merge is not, because the contract holds for every merge order.
+
+    Exact twins for the raw values: distinct_stats / q1.  Cost: the
+    audit adds one extra fact scan (rank check of the three quantile
+    values via a 3-row broadcast) — the estimates themselves still
+    aggregate in a single pass."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
-    # Scalar quantile columns (not one array column): the driver's
-    # rows-only canonicalizer sorts cell values with pandas, and a
-    # list-typed cell is unhashable there.  Spark evaluates the three
-    # percentile_approx calls in a single aggregate pass regardless.
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_q50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_q95"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_q99"),
+    est = (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_q50"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_q95"),
+            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_q99"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = (
+        l.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                (
+                    F.sum(
+                        F.when(
+                            F.col("l_extendedprice") <= F.col(f"price_q{q}"), 1
+                        ).otherwise(0)
+                    )
+                    / F.count("*")
+                ).alias(f"rank_q{q}")
+                for q in (50, 95, 99)
+            ]
+        )
+    )
+
+    def ndv_ok(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) <= 0.15 * F.col(exact)
+        )
+
+    def rank_ok(q):
+        target = q / 100.0
+        return (F.col(f"rank_q{q}") >= target - 0.01) & (
+            F.col(f"rank_q{q}") <= target + 0.01
+        )
+
+    return est.join(F.broadcast(ranks), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        ndv_ok("approx_orders", "exact_orders").alias("orders_est_ok"),
+        ndv_ok("approx_parts", "exact_parts").alias("parts_est_ok"),
+        rank_ok(50).alias("q50_rank_ok"),
+        rank_ok(95).alias("q95_rank_ok"),
+        rank_ok(99).alias("q99_rank_ok"),
     )
 
 
