@@ -462,20 +462,26 @@ def kmeans(
     assignment frame checkpoints lazily so the caller's reuse of the
     final assignment (semdedup's intra-cluster pass) does not replay
     the scoring pass."""
-    e = embeddings.select("vec_id", _as_double("embedding").alias("emb")).localCheckpoint(
-        eager=True
+    # Both squared norms are constant per point / per centroid, so they
+    # are computed ONCE here instead of once per (point, centroid)
+    # score — the d2 value (and hence every rounded comparison the
+    # oracle replays) is identical, but the scoring pass drops from
+    # 3 to 1 array folds per pair.
+    e = (
+        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+        .withColumn("nrm", sq_norm(F.col("emb")))
+        .localCheckpoint(eager=True)
     )
     cent = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
     )
     assigned = None
     history: list[tuple[int, float]] = []
     track_shift = tol is not None or return_info
     for i in range(iters):
         d2 = F.round(
-            sq_norm(F.col("emb"))
-            - 2 * dot(F.col("emb"), F.col("cemb"))
-            + sq_norm(F.col("cemb")),
+            F.col("nrm") - 2 * dot(F.col("emb"), F.col("cemb")) + F.col("cnrm"),
             4,
         )
         # argmin = min_by over (d2, cid): same ordering (and tiebreak)
@@ -499,6 +505,7 @@ def kmeans(
             cmeans.groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("dc"))
             .select("cid", F.expr("transform(dc, x -> x.cv)").alias("cemb"))
+            .withColumn("cnrm", sq_norm(F.col("cemb")))
             .localCheckpoint(eager=True)
         )
         if track_shift:
@@ -523,7 +530,7 @@ def kmeans(
     # it already carries emb from the checkpointed projection, so this
     # saves those consumers a second corpus scan + re-join
     cols = ["vec_id", "cid", "emb"] if keep_emb else ["vec_id", "cid"]
-    out = (assigned.select(*cols), cent)
+    out = (assigned.select(*cols), cent.select("cid", "cemb"))
     if not return_info:
         return out
     spark = embeddings.sparkSession
