@@ -611,3 +611,21 @@ def test_top_pc_iterations_ride_checkpoint(spark, sf_dir):
     no parquet rescans in the executed plan."""
     plan = plan_of(spark, sf_dir, "embedding_top_pc")
     assert "FileScan parquet" not in plan
+
+
+def test_no_decimal_or_float32_output_columns(spark, sf_dir):
+    """Exact DECIMAL is an INTERNAL aggregation representation
+    (functions/exact.py); every query's OUTPUT schema must surface
+    plain doubles/longs/strings/bools/timestamps.  A leaked DecimalType
+    column renders differently in the driver's comparator than
+    DuckDB's ("30.00" vs "30.0"), turning a correct query into a hash
+    mismatch — so the cast-to-double contract is pinned here for all
+    204 queries without executing them."""
+    from pyspark.sql.types import DecimalType, FloatType
+
+    bad: list[str] = []
+    for name, q in QUERIES.items():
+        for f in q.fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (DecimalType, FloatType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"decimal/float32 output columns leaked: {bad}"
