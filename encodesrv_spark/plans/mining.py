@@ -3257,15 +3257,20 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_concentration_hhi",
     oracle="""
         WITH u AS (
-            SELECT user_id, count(*)::DOUBLE AS n FROM events GROUP BY 1
+            SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1
         ),
-        tot AS (SELECT sum(n) AS t, count(*)::BIGINT AS n_users FROM u)
-        SELECT tot.n_users,
-               round(sum(pow(u.n / tot.t, 2)), 6) AS hhi,
-               round(1.0 / sum(pow(u.n / tot.t, 2)), 4) AS effective_users,
-               round(max(u.n) / any_value(tot.t), 6) AS top_share
-        FROM u, tot
-        GROUP BY tot.n_users
+        a AS (
+            SELECT count(*)::BIGINT AS n_users,
+                   CAST(sum(n * n) AS DOUBLE) AS s2,
+                   CAST(sum(n) AS DOUBLE) AS t,
+                   CAST(max(n) AS DOUBLE) AS mx
+            FROM u
+        )
+        SELECT n_users,
+               round(s2 / (t * t), 6) AS hhi,
+               round((t * t) / s2, 4) AS effective_users,
+               round(mx / t, 6) AS top_share
+        FROM a
     """,
     tags=("extended", "events", "stats"),
 )
@@ -3281,23 +3286,26 @@ def user_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     user frame (single-partition window over an sf-scaled set), while
     HHI is one map-side-combinable aggregate over per-user counts —
     the same information about dominance, at shuffle cost O(users),
-    orderless."""
+    orderless.  HHI = Σn²/(Σn)², so the whole readout derives from
+    exact BIGINT moments in ONE aggregate (no per-user share division,
+    no broadcast of the totals — the old crossJoin is gone), and the
+    single double division is bit-deterministic on both engines."""
     prep(spark)
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(F.count("*").cast("double").alias("n"))
-    tot = u.agg(F.sum("n").alias("t"), F.count("*").alias("n_users"))
-    share = F.col("n") / F.col("t")
-    return (
-        u.crossJoin(F.broadcast(tot))
-        .groupBy("n_users")
-        .agg(
-            F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
-            F.round(F.lit(1.0) / F.sum(F.pow(share, 2)), 4).alias(
-                "effective_users"
-            ),
-            F.round(F.max("n") / F.first("t"), 6).alias("top_share"),
-        )
-        .select("n_users", "hhi", "effective_users", "top_share")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    a = u.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+        F.sum("n").cast("double").alias("t"),
+        F.max("n").cast("double").alias("mx"),
+    )
+    return a.select(
+        "n_users",
+        F.round(F.col("s2") / (F.col("t") * F.col("t")), 6).alias("hhi"),
+        F.round((F.col("t") * F.col("t")) / F.col("s2"), 4).alias(
+            "effective_users"
+        ),
+        F.round(F.col("mx") / F.col("t"), 6).alias("top_share"),
     )
 
 
@@ -3871,16 +3879,17 @@ _SUPP_HHI_TOPK = 25
     "part_supplier_concentration",
     oracle=f"""
         WITH ps AS (
-            SELECT l_partkey, l_suppkey, count(*)::DOUBLE AS n
+            SELECT l_partkey, l_suppkey, count(*)::BIGINT AS n
             FROM lineitem GROUP BY 1, 2
         ),
-        tot AS (SELECT l_partkey, sum(n) AS t FROM ps GROUP BY 1),
         hhi AS (
-            SELECT ps.l_partkey,
+            SELECT l_partkey,
                    count(*)::BIGINT AS n_suppliers,
-                   round(sum(pow(ps.n / tot.t, 2)), 6) AS hhi
-            FROM ps JOIN tot USING (l_partkey)
-            GROUP BY ps.l_partkey
+                   round(CAST(sum(n * n) AS DOUBLE)
+                         / (CAST(sum(n) AS DOUBLE)
+                            * CAST(sum(n) AS DOUBLE)), 6) AS hhi
+            FROM ps
+            GROUP BY l_partkey
         )
         SELECT l_partkey, n_suppliers, hhi,
                row_number() OVER (
@@ -3898,26 +3907,24 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ≥2 suppliers means one supplier carries ~everything; the
     single-supplier case is excluded because its HHI is trivially 1).
 
-    One (part, supplier)-keyed fact aggregate; per-part totals
-    re-aggregate that frame (co-keyed join on l_partkey, no second
-    fact pass); the HHI is a per-part sum of squared shares, and the
-    top-k is a TakeOrdered over the parts-sized frame.  Shares are
-    exact count ratios — identical IEEE division both engines —
-    rounded 6 dp before ranking with a partkey tie-break."""
+    One (part, supplier)-keyed fact aggregate, then ONE per-part
+    re-aggregate of exact integer moments — HHI = Σn²/(Σn)², so the
+    squared-share sum needs no share division at all: Σn² and Σn are
+    exact BIGINTs (order-independent), the single double division is
+    bit-deterministic on both engines, and the old per-part totals
+    join disappears.  Top-k is a TakeOrdered over the parts-sized
+    frame, HHI rounded 6 dp before ranking with a partkey tie-break."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
-    ps = (
-        l.groupBy("l_partkey", "l_suppkey")
-        .agg(F.count("*").cast("double").alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    tot = ps.groupBy("l_partkey").agg(F.sum("n").alias("t"))
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(F.count("*").alias("n"))
+    t = F.sum("n").cast("double")
     hhi = (
-        ps.join(tot, "l_partkey")
-        .groupBy("l_partkey")
+        ps.groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum(F.pow(F.col("n") / F.col("t"), 2)), 6).alias("hhi"),
+            F.round(
+                F.sum(F.col("n") * F.col("n")).cast("double") / (t * t), 6
+            ).alias("hhi"),
         )
         .filter(F.col("n_suppliers") >= 2)
     )
@@ -3945,7 +3952,8 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         s AS (
             SELECT event_type, is_weekend,
                    count(*)::BIGINT AS n,
-                   round(avg(value), 6) AS mean_value
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                         / count(*), 6) AS mean_value
             FROM e GROUP BY 1, 2
         )
         SELECT w.event_type,
@@ -3985,7 +3993,10 @@ def events_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "is_weekend")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 6).alias("mean_value"),
+            # exact decimal sum -> deterministic mean (functions/exact.py)
+            F.round(F.sum(money("value")).cast("double") / F.count("*"), 6).alias(
+                "mean_value"
+            ),
         )
         .localCheckpoint(eager=True)
     )
@@ -4070,15 +4081,23 @@ _PRICE_CV_TOPK = 25
     oracle=f"""
         WITH up AS (
             SELECT l_partkey,
-                   l_extendedprice / l_quantity AS unit_price
+                   CAST(l_extendedprice / l_quantity AS DECIMAL(18,10)) AS q
             FROM lineitem WHERE l_quantity > 0
         ),
         s AS (
             SELECT l_partkey,
                    count(*)::BIGINT AS n_sales,
-                   round(avg(unit_price), 6) AS mean_price,
-                   round(stddev_samp(unit_price), 6) AS sd_price
+                   CAST(sum(q) AS DOUBLE) AS s1,
+                   CAST(sum(q * q) AS DOUBLE) AS s2
             FROM up GROUP BY 1 HAVING count(*) >= {_PRICE_CV_MIN_N}
+        ),
+        m AS (
+            SELECT l_partkey, n_sales,
+                   round(s1 / n_sales, 6) AS mean_price,
+                   round(sqrt(greatest(CAST(0 AS DOUBLE),
+                         (s2 - s1 * s1 / n_sales) / (n_sales - 1))), 6)
+                       AS sd_price
+            FROM s
         )
         SELECT l_partkey, n_sales, mean_price, sd_price,
                round(sd_price / nullif(mean_price, 0), 6) AS cv,
@@ -4086,7 +4105,7 @@ _PRICE_CV_TOPK = 25
                    ORDER BY round(sd_price / nullif(mean_price, 0), 6) DESC,
                             l_partkey
                )::BIGINT AS rnk
-        FROM s
+        FROM m
         QUALIFY rnk <= {_PRICE_CV_TOPK}
     """,
     tags=("extended", "stats", "quality"),
@@ -4101,19 +4120,37 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     One fact pass to per-part moment aggregates (map-side-combinable;
     min-support cut keeps one-off parts out), CV arithmetic on the
     parts-sized frame, TakeOrdered top-k with rounded-before-rank CV
-    and a partkey tie-break."""
+    and a partkey tie-break.
+
+    Determinism: engine-native avg/stddev accumulate doubles in
+    merge-order-dependent ways, so the moments come from EXACT decimal
+    sums instead — the per-row quotient quantizes to DECIMAL(18,10)
+    (identical on both engines), Σq and Σq² sum exactly, and mean/sd
+    derive from those via identical IEEE double ops (the two-pass-free
+    sd formula is fine here: it is bit-deterministic, and the audit
+    ranks CVs, not 15-digit tails)."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
-    up = F.col("l_extendedprice") / F.col("l_quantity")
-    s = (
-        l.select("l_partkey", up.alias("unit_price"))
+    q = (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,10)")
+    moments = (
+        l.select("l_partkey", q.alias("q"))
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_sales"),
-            F.round(F.avg("unit_price"), 6).alias("mean_price"),
-            F.round(F.stddev_samp("unit_price"), 6).alias("sd_price"),
+            F.sum("q").alias("s1d"),
+            F.sum(F.col("q") * F.col("q")).alias("s2d"),
         )
         .filter(F.col("n_sales") >= _PRICE_CV_MIN_N)
+    )
+    s1 = F.col("s1d").cast("double")
+    s2 = F.col("s2d").cast("double")
+    n = F.col("n_sales")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    s = moments.select(
+        "l_partkey",
+        "n_sales",
+        F.round(s1 / n, 6).alias("mean_price"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 6).alias("sd_price"),
     )
     cv = F.round(F.col("sd_price") / F.nullif(F.col("mean_price"), F.lit(0.0)), 6)
     # limit-first: heap top-k over the part-scaled frame, then the rnk
