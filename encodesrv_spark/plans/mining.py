@@ -3344,14 +3344,40 @@ _HEAPS_CHECKPOINTS = 20
                    (SELECT count(*) FROM first_seen
                     WHERE first_doc <= cps.cut) AS n_types
             FROM cps
+        ),
+        terms AS (
+            SELECT CAST(log10(n_tokens) AS DECIMAL(18,10)) AS x,
+                   CAST(log10(n_types) AS DECIMAL(18,10)) AS y
+            FROM pts WHERE n_tokens > 0 AND n_types > 0
+        ),
+        s AS (
+            SELECT count(*)::BIGINT AS n_points,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy,
+                   CAST(sum(y * y) AS DOUBLE) AS syy
+            FROM terms
+        ),
+        d AS (
+            SELECT n_points,
+                   (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)
+                       AS beta_raw,
+                   (sy - ((n_points * sxy - sx * sy)
+                          / (n_points * sxx - sx * sx)) * sx) / n_points
+                       AS icpt,
+                   ((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy))
+                       / ((n_points * sxx - sx * sx)
+                          * (n_points * syy - sy * sy)) AS r2_raw
+            FROM s
         )
-        SELECT count(*)::BIGINT AS n_points,
-               round(regr_slope(log10(n_types), log10(n_tokens)), 6)
-                   AS heaps_beta,
-               round(pow(10, regr_intercept(log10(n_types),
-                                            log10(n_tokens))), 4) AS heaps_k,
-               round(regr_r2(log10(n_types), log10(n_tokens)), 6) AS r2
-        FROM pts WHERE n_tokens > 0 AND n_types > 0
+        SELECT n_points,
+               round(CASE WHEN beta_raw > 0 THEN beta_raw
+                          ELSE CAST(0 AS DOUBLE) END, 6) AS heaps_beta,
+               round(pow(10, icpt), 4) AS heaps_k,
+               round(CASE WHEN r2_raw > 0 THEN r2_raw
+                          ELSE CAST(0 AS DOUBLE) END, 6) AS r2
+        FROM d
     """,
     tags=("llm", "stats"),
 )
@@ -3368,8 +3394,12 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     min aggregate, per-doc token counts from one more, and each
     checkpoint's (N, V) point is a threshold aggregate over those two
     frames ({_HEAPS_CHECKPOINTS}-row explode join, the
-    threshold-curve pattern).  The regression is regr_* over
-    {_HEAPS_CHECKPOINTS} points."""
+    threshold-curve pattern).  The log-log regression comes from exact
+    DECIMAL(18,10) moment sums over the {_HEAPS_CHECKPOINTS} points
+    (per-point log10 of exact BIGINTs is bit-identical cross-engine;
+    engine-native regr_* would accumulate doubles in merge-order —
+    the r04 failure class), with slope/intercept/r2 derived from the
+    exact sums via identical IEEE double expressions."""
     prep(spark)
     d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(_tokens_ne()).alias("t"))
@@ -3406,13 +3436,37 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = n_tok.join(n_typ, "cut").filter(
         (F.col("n_tokens") > 0) & (F.col("n_types") > 0)
     )
-    ly = F.log10("n_types")
-    lx = F.log10("n_tokens")
-    return pts.agg(
+    terms = pts.select(
+        F.log10("n_tokens").cast("decimal(18,10)").alias("x"),
+        F.log10("n_types").cast("decimal(18,10)").alias("y"),
+    )
+    s = terms.agg(
         F.count("*").alias("n_points"),
-        F.round(F.regr_slope(ly, lx), 6).alias("heaps_beta"),
-        F.round(F.pow(F.lit(10.0), F.regr_intercept(ly, lx)), 4).alias("heaps_k"),
-        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_points")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    beta_raw = cov / vx
+    r2_raw = (cov * cov) / (vx * vy)
+    # beta and r2 are mathematically >= 0 (cumulative counts are
+    # monotone); FP cancellation can land an epsilon below zero, and the
+    # engines disagree on round()'s zero sign (DuckDB keeps IEEE -0.0,
+    # Spark normalizes to +0.0) — clamp via an unambiguous CASE-WHEN
+    # before rounding so both emit the identical +0.0
+    clamp = lambda c: F.when(c > 0, c).otherwise(F.lit(0.0))  # noqa: E731
+    return s.select(
+        "n_points",
+        F.round(clamp(beta_raw), 6).alias("heaps_beta"),
+        F.round(F.pow(F.lit(10), (sy - (cov / vx) * sx) / n), 4).alias("heaps_k"),
+        F.round(clamp(r2_raw), 6).alias("r2"),
     )
 
 
@@ -3434,9 +3488,13 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT count(*)::BIGINT AS n_docs_pre,
                    sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                        AS n_removed,
-                   round(avg(q.score), 6) AS mean_q_pre,
-                   round(avg(CASE WHEN d.doc_id IS NULL THEN q.score END), 6)
-                       AS mean_q_post
+                   round(CAST(sum(CAST(q.score AS DECIMAL(8,4))) AS DOUBLE)
+                         / count(q.score), 6) AS mean_q_pre,
+                   round(CAST(sum(CASE WHEN d.doc_id IS NULL
+                                  THEN CAST(q.score AS DECIMAL(8,4)) END)
+                              AS DOUBLE)
+                         / count(CASE WHEN d.doc_id IS NULL
+                                 THEN q.score END), 6) AS mean_q_post
             FROM q LEFT JOIN drops d USING (doc_id)
         )
         SELECT n_docs_pre, n_removed, mean_q_pre, mean_q_post,
@@ -3456,7 +3514,9 @@ def dedup_quality_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure composition over shared artifacts: the LSH cluster CTEs
     (min-id keeper semantics, identical to `neardup_removals`) and the
     quality frame; the measurement itself is ONE left-join + a
-    conditional aggregate — pre/post means rounded 6 dp and the gain
+    conditional aggregate — pre/post means come from exact DECIMAL(8,4)
+    sums of the 4-dp score (engine-native avg would accumulate doubles
+    in merge order — the r04 failure class), rounded 6 dp, and the gain
     derived from the rounded values on both engines."""
     prep(spark)
     from encodesrv_spark.plans.llm import dedup_clusters, quality_score
@@ -3465,15 +3525,19 @@ def dedup_quality_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
     q = quality_score(spark, sf_dir).select("doc_id", "score")
     j = q.join(drops.withColumn("dropped", F.lit(1)), "doc_id", "left")
+    sd = F.col("score").cast("decimal(8,4)")
+    kept = F.when(F.col("dropped").isNull(), sd)
     agg = j.agg(
         F.count("*").alias("n_docs_pre"),
         F.sum(F.when(F.col("dropped").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_removed"),
-        F.round(F.avg("score"), 6).alias("mean_q_pre"),
-        F.round(
-            F.avg(F.when(F.col("dropped").isNull(), F.col("score"))), 6
-        ).alias("mean_q_post"),
+        F.round(F.sum(sd).cast("double") / F.count("score"), 6).alias(
+            "mean_q_pre"
+        ),
+        F.round(F.sum(kept).cast("double") / F.count(kept), 6).alias(
+            "mean_q_post"
+        ),
     )
     return agg.select(
         "n_docs_pre",
@@ -3524,10 +3588,11 @@ _TWONN_QUERIES = 8
             FROM ranked WHERE rn <= 2 GROUP BY 1
         ),
         mu AS (
-            SELECT query_id, ln(r2 / r1) AS lmu FROM rr WHERE r1 > 0
+            SELECT query_id, CAST(ln(r2 / r1) AS DECIMAL(18,10)) AS lmu
+            FROM rr WHERE r1 > 0
         )
         SELECT count(*)::BIGINT AS n_queries,
-               round(count(*) / sum(lmu), 4) AS intrinsic_dim
+               round(count(*) / CAST(sum(lmu) AS DOUBLE), 4) AS intrinsic_dim
         FROM mu
     """,
     tags=("llm", "similarity", "stats", "eval"),
@@ -3574,10 +3639,16 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("r1") > 0)
     )
-    lmu = F.log(F.col("r2") / F.col("r1"))
+    # per-query log-ratio quantized to DECIMAL(18,10) so the estimator's
+    # cross-row sum is exact (order-independent — r04 class); the
+    # per-row double ln over 6-dp-rounded distances is bit-identical
+    # cross-engine already
+    lmu = F.log(F.col("r2") / F.col("r1")).cast("decimal(18,10)")
     return rr.agg(
         F.count("*").alias("n_queries"),
-        F.round(F.count("*") / F.sum(lmu), 4).alias("intrinsic_dim"),
+        F.round(F.count("*") / F.sum(lmu).cast("double"), 4).alias(
+            "intrinsic_dim"
+        ),
     )
 
 
@@ -3605,7 +3676,11 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ),
         q AS ({_QUALITY_SQL}),
-        qstats AS (SELECT round(avg(score), 6) AS mean_quality FROM q)
+        qstats AS (
+            SELECT round(CAST(sum(CAST(score AS DECIMAL(8,4))) AS DOUBLE)
+                         / count(score), 6) AS mean_quality
+            FROM q
+        )
         SELECT d.n_docs, d.n_chars, d.n_langs, d.n_sources,
                t.n_tokens, t.vocab_size,
                round(t.n_tokens * 1.0 / d.n_docs, 4) AS mean_doc_tokens,
@@ -3654,8 +3729,14 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact_dup_docs")
         )
     )
+    # exact DECIMAL(8,4) sum of the 4-dp score, not engine-native avg —
+    # cross-row double accumulation is merge-order-dependent (r04 class)
     qstats = quality_score(spark, sf_dir).agg(
-        F.round(F.avg("score"), 6).alias("mean_quality")
+        F.round(
+            F.sum(F.col("score").cast("decimal(8,4)")).cast("double")
+            / F.count("score"),
+            6,
+        ).alias("mean_quality")
     )
     return (
         dstats.crossJoin(F.broadcast(tstats))

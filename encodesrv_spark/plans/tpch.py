@@ -13,15 +13,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
-from encodesrv_spark.functions.exact import money, money_round, rate
+from encodesrv_spark.functions.exact import exact_sum, money_round
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
 
 
-def _disc_price():
-    """Exact decimal ``l_extendedprice * (1 - l_discount)`` — see
-    functions/exact.py for why money sums must be decimal, not double."""
-    return money("l_extendedprice") * rate(F.lit(1) - F.col("l_discount"))
+def _rev_sum(where=None):
+    """Exact Σ ``l_extendedprice * (1 - l_discount)`` — see
+    functions/exact.py for why money sums must be exact (decimal), and
+    exact_sum for the compact-integer fast path (no per-row
+    double→decimal cast)."""
+    return exact_sum(
+        "l_extendedprice", F.lit(1) - F.col("l_discount"), where=where
+    )
 
 
 @register(
@@ -60,23 +64,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     already exact."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
-    disc_price = _disc_price()
+    disc = F.lit(1) - F.col("l_discount")
+    tax = F.lit(1) + F.col("l_tax")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            money_round(F.sum(money("l_extendedprice"))).alias("sum_base_price"),
-            money_round(F.sum(disc_price)).alias("sum_disc_price"),
-            money_round(
-                F.sum(disc_price * rate(F.lit(1) + F.col("l_tax")))
-            ).alias("sum_charge"),
+            money_round(exact_sum("l_extendedprice")).alias("sum_base_price"),
+            money_round(exact_sum("l_extendedprice", disc)).alias(
+                "sum_disc_price"
+            ),
+            money_round(exact_sum("l_extendedprice", disc, tax)).alias(
+                "sum_charge"
+            ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(
-                F.sum(money("l_extendedprice")).cast("double") / F.count("*"), 4
+                exact_sum("l_extendedprice").cast("double") / F.count("*"), 4
             ).alias("avg_price"),
             F.round(
-                F.sum(rate("l_discount")).cast("double") / F.count("*"), 6
+                exact_sum("l_discount").cast("double") / F.count("*"), 6
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -126,7 +133,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(money_round(F.sum(_disc_price())).alias("revenue"))
+        .agg(money_round(_rev_sum()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select(
@@ -183,7 +190,7 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(money_round(F.sum(_disc_price())).alias("revenue"))
+        .agg(money_round(_rev_sum()).alias("revenue"))
     )
 
 
@@ -218,7 +225,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             money_round(
-                F.sum(money("l_extendedprice") * rate("l_discount"))
+                exact_sum("l_extendedprice", F.col("l_discount"))
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -285,7 +292,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey", "c_name", "c_nationkey")
-        .agg(money_round(F.sum(money("o_totalprice"))).alias("total"))
+        .agg(money_round(exact_sum("o_totalprice")).alias("total"))
     )
     w = W.partitionBy("c_nationkey").orderBy(F.desc("total"), F.asc("c_custkey"))
     return (
@@ -393,7 +400,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(
             F.round(
-                F.sum(money("l_extendedprice")).cast("double") / F.lit(7), 2
+                exact_sum("l_extendedprice").cast("double") / F.lit(7), 2
             ).alias("avg_yearly"),
             F.count("*").alias("n_items"),
         )
@@ -489,7 +496,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(money_round(F.sum(_disc_price())).alias("revenue"))
+        .agg(money_round(_rev_sum()).alias("revenue"))
     )
 
 
@@ -535,7 +542,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(money_round(F.sum(_disc_price())).alias("revenue"))
+        .agg(money_round(_rev_sum()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -605,7 +612,6 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = _disc_price()
     return (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -615,10 +621,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100)
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
-                ).cast("double")
-                / F.sum(rev).cast("double"),
+                * _rev_sum(where=F.col("p_type") == "PROMO").cast("double")
+                / _rev_sum().cast("double"),
                 4,
             ).alias("promo_pct"),
             F.count("*").alias("n_items"),
@@ -662,7 +666,7 @@ def q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            money_round(F.sum(_disc_price())).alias("revenue"),
+            money_round(_rev_sum()).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

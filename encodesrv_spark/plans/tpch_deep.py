@@ -20,14 +20,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
-from encodesrv_spark.functions.exact import money, money_round, rate
+from encodesrv_spark.functions.exact import _units, exact_sum, money_round
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
 
 
-def _disc_price():
-    """Exact decimal ``l_extendedprice * (1 - l_discount)``."""
-    return money("l_extendedprice") * rate(F.lit(1) - F.col("l_discount"))
+def _rev_sum(where=None):
+    """Exact Σ ``l_extendedprice * (1 - l_discount)`` via the compact-
+    integer fast path (functions/exact.py::exact_sum)."""
+    return exact_sum(
+        "l_extendedprice", F.lit(1) - F.col("l_discount"), where=where
+    )
 
 
 @register(
@@ -161,7 +164,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = _disc_price()
     return (
         l.join(
             o.filter(
@@ -178,12 +180,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
-                        F.lit(0)
-                    )
-                ).cast("double")
-                / F.sum(vol).cast("double"),
+                _rev_sum(where=F.col("supp_nation") == "NATION_5").cast(
+                    "double"
+                )
+                / _rev_sum().cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -224,9 +224,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    profit = _disc_price() - rate(F.lit(0.08)) * money("p_retailprice") * F.col(
-        "l_quantity"
-    ).cast("decimal(2,0)")
+    # profit = price*(1-disc) - 0.08*retailprice*qty: both terms are exact
+    # scale-4 integers per row (compact-long fast path — see exact_sum),
+    # so one DECIMAL sum of their difference is exact and order-free
+    profit4 = (
+        _units("l_extendedprice") * _units(F.lit(1) - F.col("l_discount"))
+        - _units("p_retailprice") * _units(F.lit(0.08)) * F.col("l_quantity").cast("long")
+    ).cast("decimal(18,0)")
     return (
         l.join(
             p.filter(F.col("p_name").contains("red")),
@@ -239,7 +243,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(money_round(F.sum(profit)).alias("profit"))
+        .agg(
+            money_round(
+                F.sum(profit4) / F.lit(10**4).cast("decimal(7,0)")
+            ).alias("profit")
+        )
     )
 
 
@@ -283,8 +291,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(nat_supp, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(
-                money("l_extendedprice") * F.col("l_quantity").cast("decimal(2,0)")
+            exact_sum(
+                "l_extendedprice", (F.col("l_quantity"), 0)
             ).alias("v")
         )
     )
@@ -333,7 +341,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_disc_price()).alias("v"))
+        .agg(_rev_sum().alias("v"))
     )
     top = rev.agg(F.max("v").alias("max_v"))
     return (
@@ -543,7 +551,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        (F.sum(money("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+        (exact_sum("c_acctbal").cast("double") / F.count("*")).alias("avg_bal")
     )
     recent = o.filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
@@ -555,6 +563,6 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),
-            money_round(F.sum(money("c_acctbal"))).alias("totacctbal"),
+            money_round(exact_sum("c_acctbal")).alias("totacctbal"),
         )
     )
