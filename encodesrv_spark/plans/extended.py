@@ -260,9 +260,12 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # est/ranks are group-cardinality frames (tiny in practice) but NOT
+    # bounded by construction, so no explicit broadcast hint — AQE sizes
+    # both joins at runtime (repo rule: hints only on provable bounds).
     ranks = (
         l.select("l_returnflag", "l_extendedprice")
-        .join(F.broadcast(est), "l_returnflag")
+        .join(est, "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             *[
@@ -290,7 +293,7 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"rank_q{q}") <= target + 0.01
         )
 
-    return est.join(F.broadcast(ranks), "l_returnflag").select(
+    return est.join(ranks, "l_returnflag").select(
         "l_returnflag",
         "n_rows",
         ndv_ok("approx_orders", "exact_orders").alias("orders_est_ok"),
