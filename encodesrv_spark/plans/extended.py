@@ -11,15 +11,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
-from encodesrv_spark.functions.exact import money, money_round, rate
+from encodesrv_spark.functions.exact import exact_sum, money_round
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
 
 
-def _disc_price():
-    """Exact decimal ``l_extendedprice * (1 - l_discount)`` — money sums
-    must be order-independent; see functions/exact.py."""
-    return money("l_extendedprice") * rate(F.lit(1) - F.col("l_discount"))
+def _rev_sum():
+    """Exact Σ ``l_extendedprice * (1 - l_discount)`` — money sums must
+    be order-independent; uses the compact-integer fast path (see
+    functions/exact.py::exact_sum), value-identical to summing the
+    pure-decimal product."""
+    return exact_sum("l_extendedprice", F.lit(1) - F.col("l_discount"))
 
 
 @register(
@@ -108,7 +110,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n"),
-            money_round(F.sum(money("l_extendedprice"))).alias("total"),
+            money_round(exact_sum("l_extendedprice")).alias("total"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
@@ -380,7 +382,7 @@ def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_orders"),
-            money_round(F.sum(money("o_totalprice"))).alias("total"),
+            money_round(exact_sum("o_totalprice")).alias("total"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
@@ -422,7 +424,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            money_round(F.sum(money("c_acctbal"))).alias("total_bal"),
+            money_round(exact_sum("c_acctbal")).alias("total_bal"),
         )
     )
 
@@ -663,7 +665,7 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .groupBy("src", "dst")
-        .agg(F.sum(_disc_price()).alias("w"))
+        .agg(_rev_sum().alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # materialize the nodes^2-bounded edge list ONCE: without this the
@@ -815,7 +817,7 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            money_round(F.sum(_disc_price())).alias("revenue"),
+            money_round(_rev_sum()).alias("revenue"),
         )
     )
 
@@ -862,7 +864,7 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            money_round(F.sum(_disc_price())).alias("revenue"),
+            money_round(_rev_sum()).alias("revenue"),
         )
     )
 
@@ -1547,7 +1549,7 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     values and only the final share division happens in double."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
-    rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("v"))
+    rev = l.groupBy("l_suppkey").agg(_rev_sum().alias("v"))
     tot = rev.agg(F.sum("v").cast("double").alias("tot"))
     w = (
         W.orderBy(F.desc("v"), F.asc("l_suppkey"))
@@ -1803,7 +1805,7 @@ def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact decimal sum: order-independent, so no last-ulp
             # association drift can flip a rounding boundary (an avg
             # landed exactly on 54.77875 once; this closes the class)
-            money_round(F.sum(money("value"))).alias("total_value"),
+            money_round(exact_sum("value")).alias("total_value"),
         )
     )
 

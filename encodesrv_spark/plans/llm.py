@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
 from encodesrv_spark.functions import text as T
-from encodesrv_spark.functions.exact import money, money_round
+from encodesrv_spark.functions.exact import exact_sum, money_round
 from encodesrv_spark.functions.hashing import km_hash64_sql, stable_hash64_sql
 from encodesrv_spark.operators import dedup, multimodal, similarity
 from encodesrv_spark.plans.registry import register
@@ -602,7 +602,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            money_round(F.sum(money("value"))).alias("total_value"),
+            money_round(exact_sum("value")).alias("total_value"),
         )
     )
 
@@ -733,7 +733,7 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count("*").alias("n"),
-            money_round(F.sum(money("value"))).alias("total_value"),
+            money_round(exact_sum("value")).alias("total_value"),
         )
         .select(
             F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),

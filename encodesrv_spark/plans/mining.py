@@ -38,7 +38,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from encodesrv_spark.catalog import load_table
-from encodesrv_spark.functions.exact import money
+from encodesrv_spark.functions.exact import exact_sum
 from encodesrv_spark.functions.hashing import stable_hash64_sql
 from encodesrv_spark.operators import dedup
 from encodesrv_spark.operators.similarity import _as_double, dot
@@ -2239,7 +2239,7 @@ def revenue_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     m = (
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
-        .agg(F.sum(money("o_totalprice")).alias("rev"))
+        .agg(exact_sum("o_totalprice").alias("rev"))
         .localCheckpoint(eager=True)
     )
     a, b = m.alias("a"), m.alias("b")
@@ -4075,7 +4075,7 @@ def events_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             # exact decimal sum -> deterministic mean (functions/exact.py)
-            F.round(F.sum(money("value")).cast("double") / F.count("*"), 6).alias(
+            F.round(exact_sum("value").cast("double") / F.count("*"), 6).alias(
                 "mean_value"
             ),
         )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
-from encodesrv_spark.functions.exact import money, money_round
+from encodesrv_spark.functions.exact import exact_sum, money_round
 
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double"
@@ -44,7 +44,7 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            money_round(F.sum(money("value"))).alias("total_value"),
+            money_round(exact_sum("value")).alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
@@ -129,7 +129,7 @@ def sliding_rates(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            money_round(F.sum(money("value"))).alias("total_value"),
+            money_round(exact_sum("value")).alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
