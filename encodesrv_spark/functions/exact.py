@@ -35,31 +35,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Row-level money: exact 2-decimal values below 1e10.
-MONEY = "decimal(12,2)"
-#: Rate factors (discount/tax ± 1): exact 2-decimal values below 100.
-RATE = "decimal(4,2)"
-
-
-def money(col: Column | str) -> Column:
-    """Exact decimal view of a 2-decimal money double (sum-safe)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(MONEY)
-
-
-def rate(col: Column | str) -> Column:
-    """Exact decimal view of a 2-decimal rate factor (e.g. ``1 - l_discount``).
-
-    Compute the ±1 arithmetic in double first (the result stays within
-    1 ulp of the true 2-decimal value, so the cast recovers it exactly
-    on both engines), then cast once — casting factors *before* the
-    subtraction would widen Spark's decimal precision past 38 in the
-    three-factor charge product and trigger silent scale truncation.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(RATE)
-
-
 def money_round(col: Column, scale: int = 2) -> Column:
     """Round an exact decimal aggregate and emit the output double."""
     return F.round(col, scale).cast("double")
@@ -91,9 +66,9 @@ def exact_sum(
     (cheap codegen'd arithmetic — no per-row decimal object), is cast
     long→DECIMAL(18,0) (a compact, BigDecimal-free cast), summed
     exactly, and scaled back ONCE post-aggregation.  Value-identical to
-    ``sum(money(col) * rate(f) * ...)`` (verified row-for-row at sf0.1)
-    at ~40% less wall — use this for aggregate sites; keep `money()`/
-    `rate()` for per-row decimal comparisons.
+    summing per-row DECIMAL(12,2)×DECIMAL(4,2) products — the DuckDB
+    oracles' literal form (verified row-for-row at sf0.1) — at ~40%
+    less wall.
 
     Precision budget: money (12,2) → units < 1e12; each factor must be
     |f| ≤ ~9 (units ≤ 999 — the 1±discount/tax class is ≤ 1.08) so the
