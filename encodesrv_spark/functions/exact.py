@@ -63,20 +63,29 @@ def exact_sum(
     factors); a factor may also be a ``(col, ndp)`` tuple for other
     fixed-decimal widths (``ndp=0`` for integer-valued quantity
     columns).  Each row becomes an exact integer product of LONGs
-    (cheap codegen'd arithmetic — no per-row decimal object), is cast
-    long→DECIMAL(18,0) (a compact, BigDecimal-free cast), summed
-    exactly, and scaled back ONCE post-aggregation.  Value-identical to
-    summing per-row DECIMAL(12,2)×DECIMAL(4,2) products — the DuckDB
-    oracles' literal form (verified row-for-row at sf0.1) — at ~40%
-    less wall.
+    (cheap codegen'd arithmetic — no per-row decimal object), and is
+    accumulated CARRY-SAVE: the product splits into three 20-bit limbs
+    via arithmetic shift + mask (exact for negatives too — `u >> k` is
+    floor division and `u & (2^20-1)` its non-negative remainder, so
+    `u = (u>>40)·2^40 + ((u>>20)&m)·2^20 + (u&m)` holds identically in
+    two's complement), each limb is summed as a plain LONG (primitive
+    codegen — no per-row Decimal allocation, no BigDecimal branch for
+    the JIT to mix in), and the three limb sums recombine into ONE
+    DECIMAL(28,0) post-aggregation, scaled back once.  Value- AND
+    type-identical to summing per-row DECIMAL(12,2)×DECIMAL(4,2)
+    products — the DuckDB oracles' literal form (pinned against a
+    rational reference in tests/test_exact.py) — at ~2× less wall
+    than the decimal accumulator in interleaved A/B.
 
     Precision budget: money (12,2) → units < 1e12; each factor must be
     |f| ≤ ~9 (units ≤ 999 — the 1±discount/tax class is ≤ 1.08) so the
-    per-row product stays < 1e18 (DECIMAL(18,0) and LONG both hold it);
-    the DECIMAL(28,0) accumulator absorbs ~1e12 rows × 1e16 — the
-    100 TB grand total — with room to spare.  The post-agg divisor is
-    cast DECIMAL(7,0) so the quotient type stays uncapped (≤ (36,8))
-    and the division is exact for these ≤6-dp values.
+    per-row product stays < 1e18 < 2^63.  Limb sums: lo/mid < 2^20 per
+    row → a LONG limb accumulator absorbs 2^43 ≈ 8.8e12 rows per
+    GROUP; hi < 1.2e4 → ~7.7e14 rows.  The 100 TB global aggregate is
+    ~6e11 rows — 15× headroom on the tightest limb.  The recombined
+    DECIMAL(28,0) and the (7,0)-cast divisor keep the quotient type at
+    (36,8), uncapped, exact for these ≤6-dp values — the same output
+    type as the decimal-accumulator form it replaces.
     """
     prod = _units(col)
     scale = 2
@@ -84,11 +93,21 @@ def exact_sum(
         c, ndp = f if isinstance(f, tuple) else (f, 2)
         prod = prod * _units(c, ndp)
         scale += ndp
-    term = prod.cast("decimal(18,0)")
+    mask = (1 << 20) - 1
+    limbs = [
+        prod.bitwiseAND(F.lit(mask)),
+        F.shiftright(prod, 20).bitwiseAND(F.lit(mask)),
+        F.shiftright(prod, 40),
+    ]
     if where is not None:
         # .otherwise(0), not bare when(): the DuckDB oracles spell this
         # as CASE WHEN ... ELSE 0 END, which yields 0 (not NULL) when no
         # row matches — keep the engines identical on empty match sets.
-        term = F.when(where, term).otherwise(F.lit(0).cast("decimal(18,0)"))
-    total = F.sum(term)
+        limbs = [F.when(where, c).otherwise(F.lit(0)) for c in limbs]
+    s_lo, s_mid, s_hi = (F.sum(c) for c in limbs)
+    total = (
+        s_hi.cast("decimal(28,0)") * F.lit(1 << 40)
+        + s_mid.cast("decimal(28,0)") * F.lit(1 << 20)
+        + s_lo.cast("decimal(28,0)")
+    ).cast("decimal(28,0)")
     return total / F.lit(10**scale).cast("decimal(7,0)")
