@@ -126,8 +126,12 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_linestatus",
     oracle="""
         SELECT l_returnflag,
-               round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 0.0), 2) AS open_total,
-               round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 0.0), 2) AS filled_total
+               CAST(round(coalesce(sum(CASE WHEN l_linestatus = 'O'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,2)) END), 0), 2)
+                    AS DOUBLE) AS open_total,
+               CAST(round(coalesce(sum(CASE WHEN l_linestatus = 'F'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,2)) END), 0), 2)
+                    AS DOUBLE) AS filled_total
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -135,17 +139,22 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT on an explicit value list (no second scan to discover
-    values — the implicit form costs an extra distinct pass)."""
+    values — the implicit form costs an extra distinct pass).
+
+    Determinism: the pivoted money sums are EXACT (the compound
+    exact_sum expression rides inside the pivot aggregate — pivot
+    cells whose (flag, status) pair never occurs stay NULL and
+    coalesce to 0 in exact decimal space before the one round/cast)."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum("l_extendedprice"))
+        .agg(exact_sum("l_extendedprice"))
         .select(
             "l_returnflag",
-            F.round(F.coalesce("O", F.lit(0.0)), 2).alias("open_total"),
-            F.round(F.coalesce("F", F.lit(0.0)), 2).alias("filled_total"),
+            money_round(F.coalesce("O", F.lit(0))).alias("open_total"),
+            money_round(F.coalesce("F", F.lit(0))).alias("filled_total"),
         )
     )
 

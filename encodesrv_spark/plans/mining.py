@@ -38,7 +38,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from encodesrv_spark.catalog import load_table
-from encodesrv_spark.functions.exact import exact_sum
+from encodesrv_spark.functions.exact import exact_sum, money_round
 from encodesrv_spark.functions.hashing import stable_hash64_sql
 from encodesrv_spark.operators import dedup
 from encodesrv_spark.operators.similarity import _as_double, dot
@@ -889,8 +889,9 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS recency_days,
                    count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
                        AS frequency,
-                   round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'),
-                                  0), 4) AS monetary
+                   CAST(round(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(12,2))
+                              ELSE 0 END), 4) AS DOUBLE) AS monetary
             FROM events GROUP BY 1
         ),
         q AS (
@@ -950,9 +951,10 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("recency_days"),
             F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias("frequency"),
-            F.round(
-                F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)), 4
-            ).alias("monetary"),
+            # EXACT money sum (value is probed 2-decimal data): the
+            # monetary figure feeds the population quantiles below, so
+            # it must be bit-deterministic, not probabilistically safe.
+            money_round(exact_sum("value", where=is_p), 4).alias("monetary"),
         )
         .localCheckpoint(eager=True)
     )

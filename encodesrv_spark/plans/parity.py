@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
 from encodesrv_spark.functions import scalars
+from encodesrv_spark.functions.exact import exact_sum, money_round
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
 
@@ -182,11 +183,11 @@ def status_message(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_custkey, c.c_name,
                coalesce(o.n_orders, 0)::BIGINT AS n_orders,
-               round(coalesce(o.total, 0.0), 2) AS total
+               CAST(round(coalesce(o.total, 0), 2) AS DOUBLE) AS total
         FROM customer c
         LEFT JOIN (
             SELECT o_custkey, count(*)::BIGINT AS n_orders,
-                   sum(o_totalprice) AS total
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
             FROM orders GROUP BY o_custkey
         ) o ON c.c_custkey = o.o_custkey
     """,
@@ -196,12 +197,15 @@ def coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL coalescing (P7) over a left outer join: customers with no
     orders get default 0 — the Spark shape of the reference's NULL→''
     row normalization. Aggregation happens BEFORE the join (smaller
-    shuffle; partial aggregation map-side)."""
+    shuffle; partial aggregation map-side).  The money sum is EXACT
+    (exact_sum), and the no-orders default coalesces in decimal space
+    before the one round/cast — NULL-vs-0 and rounding agree with the
+    oracle by construction."""
     prep(spark)
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total")
+        F.count("*").alias("n_orders"), exact_sum("o_totalprice").alias("total")
     )
     return (
         c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
@@ -209,7 +213,7 @@ def coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
-            F.round(F.coalesce("total", F.lit(0.0)), 2).alias("total"),
+            money_round(F.coalesce("total", F.lit(0))).alias("total"),
         )
     )
 

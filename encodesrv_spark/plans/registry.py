@@ -118,7 +118,10 @@ _HOISTED = (
 # price_band_range_join, skew_salted_join, sql_revenue_by_region,
 # bloom_prune_join, bloom_prune_selective, trade_pagerank,
 # incremental_hourly_merge, supplier_pareto_abc, hourly_profile,
-# revenue_trend_mann_kendall, events_hourly, events_hypertable_rollup).
+# revenue_trend_mann_kendall, events_hourly, events_hypertable_rollup,
+# and the late-audit catches pivot_linestatus + user_rfm_segments;
+# coalesce_defaults also converted, but it is pinned parity and
+# re-evidences itself every round).
 # All are hash-green in the repo's own all-204 exact-repr oracle run and
 # shuffle-partition determinism harness; they queue for DRIVER
 # re-evidencing.  Registry growth stays frozen until this clears.
