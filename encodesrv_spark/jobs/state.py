@@ -431,12 +431,13 @@ def bot_status(jobs: DataFrame, server: str) -> BotStatus:
     waiting_cnt = jobs.filter(
         (F.col("status") == NOT_ENCODING) | (F.col("status") == "Waiting")
     ).count()
-    names = running.collect()[0]["names"] or "nothing"
-    plural = "" if waiting_cnt == 1 else "s"
+    # the relay module owns the template + the 'no jobs' idle fallback
+    # (reference common.py:59-64) — ONE definition for logger and bots
+    from encodesrv_spark.streaming.relays import form_status_message
+
+    names = running.collect()[0]["names"]
     return BotStatus(
-        currently_encoding=names,
+        currently_encoding=names or "no jobs",
         waiting_count=waiting_cnt,
-        message=(
-            f"Currently encoding {names}, with {waiting_cnt} item{plural} waiting."
-        ),
+        message=form_status_message([names] if names else [], waiting_cnt),
     )

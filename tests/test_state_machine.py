@@ -104,6 +104,14 @@ def test_bot_status_singular(spark):
     assert st.message.endswith("with 1 item waiting.")
 
 
+def test_bot_status_idle_says_no_jobs(spark):
+    # reference common.py:61-62: the idle fallback is 'no jobs'
+    df = jobs_df(spark).filter(F.col("id") < 0)
+    st = state.bot_status(df, SRV)
+    assert st.currently_encoding == "no jobs"
+    assert st.message == "Currently encoding no jobs, with 0 items waiting."
+
+
 def test_optimistic_claim_conflict_and_retry(spark, tmp_path):
     """Multi-writer exactly-once claim (SURVEY §7.3.1): a writer
     committing from a stale snapshot gets CommitConflict; the retry
