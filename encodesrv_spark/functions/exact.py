@@ -43,9 +43,12 @@ def money_round(col: Column, scale: int = 2) -> Column:
 def _units(col: Column | str, scale: int = 2) -> Column:
     """Exact scaled-integer view of a ``scale``-dp double, as LONG.
 
-    ``floor(x·10^s + 0.5)`` recovers the exact integer: a 2-dp value k/100
-    stored as its nearest double satisfies |x·100 − k| ≤ 50·ulp(x) ≪ 0.5,
-    so adding 0.5 and flooring lands on k for positives AND negatives —
+    ``floor(x·10^s + 0.5)`` recovers the exact integer: an s-dp value
+    k/10^s stored as its nearest double satisfies |x·10^s − k| ≲
+    |x|·10^s·2ε, which stays ≪ 0.5 while |x|·10^s < ~1e15 (all scales
+    used here: money at s=2, 6-dp-rounded intermediates at s=6 with
+    |x| ≤ 1e6), so adding 0.5 and flooring lands on k for positives
+    AND negatives —
     and costs a double multiply + floor instead of Spark's
     double→decimal cast, which routes through BigDecimal per row (the
     measured 3-4× tax on decimal aggregation).
@@ -55,14 +58,15 @@ def _units(col: Column | str, scale: int = 2) -> Column:
 
 
 def exact_sum(
-    col: Column | str, *factors: Column | str, where: Column | None = None
+    col: Column | str | tuple, *factors: Column | str | tuple, where: Column | None = None
 ) -> Column:
     """Exact, order-independent Σ col·Πfactors as DECIMAL — the fast path.
 
     All arguments are exact 2-decimal doubles (money columns, ±1±rate
-    factors); a factor may also be a ``(col, ndp)`` tuple for other
-    fixed-decimal widths (``ndp=0`` for integer-valued quantity
-    columns).  Each row becomes an exact integer product of LONGs
+    factors); the leading column or any factor may also be a
+    ``(col, ndp)`` tuple for other fixed-decimal widths (``ndp=0`` for
+    integer-valued quantity columns, ``ndp=6`` for already-6-dp-rounded
+    intermediates).  Each row becomes an exact integer product of LONGs
     (cheap codegen'd arithmetic — no per-row decimal object), and is
     accumulated CARRY-SAVE: the product splits into three 20-bit limbs
     via arithmetic shift + mask (exact for negatives too — `u >> k` is
@@ -87,8 +91,25 @@ def exact_sum(
     (36,8), uncapped, exact for these ≤6-dp values — the same output
     type as the decimal-accumulator form it replaces.
     """
-    prod = _units(col)
-    scale = 2
+    total, scale = exact_units_sum(col, *factors, where=where)
+    return total / F.lit(10**scale).cast("decimal(7,0)")
+
+
+def exact_units_sum(
+    col: Column | str | tuple, *factors: Column | str | tuple, where: Column | None = None
+) -> tuple[Column, int]:
+    """The carry-save core of :func:`exact_sum`, without the rescale:
+    returns ``(Σ units as DECIMAL(28,0), scale)`` where ``units`` is the
+    exact integer product scaled by ``10^scale``.  Use directly when the
+    combined scale exceeds 6 (e.g. Σd² of 6-dp values, scale 12): the
+    decimal-division rescale would blow Spark's division typing there,
+    but moment formulas don't need it — cast the exact integer to
+    double (correctly rounded, deterministic on both engines: DuckDB's
+    ``sum(BIGINT)`` widens to HUGEINT, this recombination to
+    DECIMAL(28,0) — both exact) and rescale inside the identical IEEE
+    double expression both engines evaluate."""
+    c0, scale = col if isinstance(col, tuple) else (col, 2)
+    prod = _units(c0, scale)
     for f in factors:
         c, ndp = f if isinstance(f, tuple) else (f, 2)
         prod = prod * _units(c, ndp)
@@ -110,4 +131,4 @@ def exact_sum(
         + s_mid.cast("decimal(28,0)") * F.lit(1 << 20)
         + s_lo.cast("decimal(28,0)")
     ).cast("decimal(28,0)")
-    return total / F.lit(10**scale).cast("decimal(7,0)")
+    return total, scale

@@ -647,6 +647,11 @@ def label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
     )
+    # determinism adjudication: centroid components average CONTINUOUS
+    # float32-derived doubles (no exact fixed-point form exists); the
+    # per-(label,pos) sums are O(n_label) unit-magnitude terms, drift
+    # ≲1e-14 against a 5e-7 rounding quantum, and the 6-dp round feeds
+    # every downstream comparison — accepted, like the kmeans ladder
     cent = (
         e.select("label", F.posexplode("emb").alias("pos", "d"))
         .groupBy("label", "pos")
@@ -728,6 +733,10 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_tokens"),
+            # determinism adjudication: log2 surprisals are continuous
+            # (no exact form); per-doc sums are ≤ vocab-of-doc terms
+            # with drift ≲1e-13 against the 5e-4 quantum of the 3-dp
+            # round — accepted
             F.round(
                 F.sum(F.col("cnt") * -F.log2(F.col("gcnt") / F.col("total")))
                 / F.sum("cnt"),
@@ -1003,6 +1012,9 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         d.join(scored, "doc_id")
         .groupBy("source", F.col("batch").cast("long").alias("batch"))
+        # determinism adjudication: bits is a continuous log-prob (no
+        # exact form); ~100-term batch sums drift ≲1e-13 against the
+        # 5e-4 quantum of the 3-dp round — accepted
         .agg(F.count("*").alias("n_docs"), F.round(F.avg("bits"), 3).alias("avg_bits"))
     )
     w = W.partitionBy("source").orderBy("batch")

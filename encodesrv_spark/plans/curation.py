@@ -497,6 +497,11 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("dim0") + 1).cast("long").alias("dim"), "v")
         .groupBy("dim")
         .agg(
+            # determinism adjudication: v is CONTINUOUS float32 data
+            # (no exact fixed-point form); per-dim drift is ~1e-15
+            # relative against the 5e-7 quantum of the 6-dp round —
+            # accepted rather than quantized (quantization would
+            # change the registered values for negligible risk)
             F.round(F.avg("v"), 6).alias("mu"),
             F.round(F.stddev_pop("v"), 6).alias("sd"),
             F.round(F.min("v"), 6).alias("lo"),

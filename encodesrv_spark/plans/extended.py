@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
-from encodesrv_spark.functions.exact import exact_sum, money_round
+from encodesrv_spark.functions.exact import (
+    _units,
+    exact_sum,
+    exact_units_sum,
+    money_round,
+)
 from encodesrv_spark.plans.registry import register
 from encodesrv_spark.session import prep
 
@@ -754,9 +759,17 @@ def error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_anomaly_zscore",
     oracle="""
-        WITH stats AS (
-            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        WITH m AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))
+                            * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
             FROM events GROUP BY 1
+        ),
+        stats AS (
+            SELECT event_type, s1 / n AS mu,
+                   sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+            FROM m
         )
         SELECT e.event_id, e.event_type,
                round(e.value, 2) AS value,
@@ -771,11 +784,24 @@ def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-cardinality stats aggregate BROADCAST back onto the stream-
     scale side, so the detector is one map-side join away from the raw
     events (no second shuffle).  z is rounded before thresholding on
-    both sides, the established cross-engine fp rule."""
+    both sides, the established cross-engine fp rule.
+
+    Determinism: engine-native avg/stddev merge doubles in
+    partition-order-dependent ways, so mu/sd derive from EXACT
+    decimal moments (Σv, Σv² via exact_sum — value is probed 2-dp
+    data) through identical IEEE double expressions on both engines."""
     prep(spark)
     e = load_table(spark, sf_dir, "events")
-    stats = e.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        exact_sum("value").alias("s1d"),
+        exact_sum("value", "value").alias("s2d"),
+    )
+    s1, s2, n = F.col("s1d").cast("double"), F.col("s2d").cast("double"), F.col("n")
+    stats = m.select(
+        "event_type",
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("sd"),
     )
     z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2)
     return (
@@ -883,7 +909,8 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, event_type,
                epoch_us(ts) // 1000000 AS tsec,
-               round(avg(value) OVER w, 6) AS avg_1h,
+               round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                     / (count(*) OVER w), 6) AS avg_1h,
                count(*) OVER w AS n_1h
         FROM events
         WINDOW w AS (
@@ -900,7 +927,14 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     peers at the same second share a frame, and gaps in time shrink it,
     which row-count frames get wrong.  Epoch-integer ordering keeps the
     frame arithmetic identical across engines (the established
-    timestamp rule); the avg is rounded before compare (fp rule)."""
+    timestamp rule); the avg is rounded before compare (fp rule).
+
+    Determinism: the frame SUM is exact — Spark evaluates sliding
+    frames left-to-right but DuckDB merges them via segment tree, so a
+    double windowed sum is order-divergent across engines; summing the
+    exact cent units (LONG — frame totals stay far below 2^63) and
+    dividing once in double matches the oracle's exact-decimal window
+    sum bit-for-bit."""
     prep(spark)
     e = load_table(spark, sf_dir, "events").withColumn(
         "tsec", F.expr("ts_ns DIV 1000000000")
@@ -910,7 +944,12 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "tsec",
-        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.round(
+            F.sum(_units("value")).over(w).cast("double")
+            / F.lit(100.0)
+            / F.count("*").over(w),
+            6,
+        ).alias("avg_1h"),
         F.count("*").over(w).alias("n_1h"),
     )
 
@@ -993,14 +1032,36 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "regression_stats",
     oracle="""
+        WITH u AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS xu,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS yu
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(xu) AS DOUBLE) AS x1,
+                   CAST(sum(xu * xu) AS DOUBLE) AS x2,
+                   CAST(sum(yu) AS DOUBLE) / 100 AS y1,
+                   CAST(sum(yu * yu) AS DOUBLE) / 10000 AS y2,
+                   CAST(sum(xu * yu) AS DOUBLE) / 100 AS xy
+            FROM u GROUP BY 1
+        )
         SELECT l_returnflag,
-               round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
-               round(covar_samp(l_extendedprice, l_quantity), 4) AS covar,
-               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
-        FROM lineitem
-        GROUP BY l_returnflag
+               round((n * xy - x1 * y1)
+                     / nullif(sqrt((n * x2 - x1 * x1)
+                                   * (n * y2 - y1 * y1)), 0), 6)
+                   AS corr_qty_price,
+               round((xy - x1 * y1 / n) / nullif(n - 1, 0), 4) AS covar,
+               round((n * xy - x1 * y1) / nullif(n * x2 - x1 * x1, 0), 6)
+                   AS slope,
+               round((y1 - (n * xy - x1 * y1)
+                           / nullif(n * x2 - x1 * x1, 0) * x1) / n, 4)
+                   AS intercept,
+               round((n * xy - x1 * y1) * (n * xy - x1 * y1)
+                     / nullif((n * x2 - x1 * x1) * (n * y2 - y1 * y1), 0), 6)
+                   AS r2
+        FROM m
     """,
     tags=("extended", "agg", "stats"),
 )
@@ -1008,16 +1069,48 @@ def regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistical aggregates (corr / covariance / OLS
     regression family) per group — single-pass, map-side-combinable
     moment sketches, so the shuffle carries one moment tuple per
-    (partition, group) no matter the fact-table size."""
+    (partition, group) no matter the fact-table size.
+
+    Determinism: the engine-native corr/covar/regr_* family merges
+    co-moment partials in partition order, so the five statistics
+    derive instead from EXACT unit-space moments (quantity is integer
+    data, price is 2-dp money; Σy² rides the carry-save limbs — its
+    cent-squared products overflow a plain LONG sum at fact scale)
+    through the textbook formulas as identical IEEE double expressions
+    on both engines."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.corr(y, x), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp(y, x), 4).alias("covar"),
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    xu = _units("l_quantity", 0)
+    yu = _units("l_extendedprice", 2)
+    m = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xu).alias("x1l"),
+        F.sum(xu * xu).alias("x2l"),
+        F.sum(yu).alias("y1l"),
+        exact_units_sum(("l_extendedprice", 2), ("l_extendedprice", 2))[0].alias(
+            "y2d"
+        ),
+        F.sum(xu * yu).alias("xyl"),
+    )
+    n = F.col("n")
+    x1 = F.col("x1l").cast("double")
+    x2 = F.col("x2l").cast("double")
+    y1 = F.col("y1l").cast("double") / F.lit(100)
+    y2 = F.col("y2d").cast("double") / F.lit(10000)
+    xy = F.col("xyl").cast("double") / F.lit(100)
+    cnum = n * xy - x1 * y1
+    vx = n * x2 - x1 * x1
+    vy = n * y2 - y1 * y1
+    slope = cnum / F.nullif(vx, F.lit(0.0))
+    return m.select(
+        "l_returnflag",
+        F.round(cnum / F.nullif(F.sqrt(vx * vy), F.lit(0.0)), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round((xy - x1 * y1 / n) / F.nullif(n - 1, F.lit(0)), 4).alias("covar"),
+        F.round(slope, 6).alias("slope"),
+        F.round((y1 - slope * x1) / n, 4).alias("intercept"),
+        F.round(cnum * cnum / F.nullif(vx * vy, F.lit(0.0)), 6).alias("r2"),
     )
 
 
@@ -1736,7 +1829,8 @@ def daily_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*)::BIGINT AS n_converted,
                round(quantile_cont((pt - vt) / 1000000.0, 0.5), 2) AS p50_sec,
                round(quantile_cont((pt - vt) / 1000000.0, 0.9), 2) AS p90_sec,
-               round(avg((pt - vt) / 1000000.0), 2) AS mean_sec
+               round(CAST(sum(pt - vt) AS DOUBLE) / count(*) / 1000000.0, 2)
+                   AS mean_sec
         FROM p JOIN v USING (user_id) JOIN c USING (user_id)
     """,
     tags=("extended", "events", "funnel"),
@@ -1773,15 +1867,20 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("tus").alias("pt"))
     )
-    lat = (
-        p.join(v, "user_id")
-        .select(((F.col("pt") - F.col("vt")) / 1000000.0).alias("sec"))
+    lat = p.join(v, "user_id").select(
+        (F.col("pt") - F.col("vt")).alias("usec"),
+        ((F.col("pt") - F.col("vt")) / 1000000.0).alias("sec"),
     )
+    # mean from the EXACT micros sum (LONG — latencies are integer
+    # micros), divided once in double: avg over the double seconds
+    # would accumulate in partition order
     return lat.agg(
         F.count("*").alias("n_converted"),
         F.round(F.percentile("sec", F.lit(0.5)), 2).alias("p50_sec"),
         F.round(F.percentile("sec", F.lit(0.9)), 2).alias("p90_sec"),
-        F.round(F.avg("sec"), 2).alias("mean_sec"),
+        F.round(
+            F.sum("usec").cast("double") / F.count("*") / F.lit(1000000.0), 2
+        ).alias("mean_sec"),
     )
 
 

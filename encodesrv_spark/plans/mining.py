@@ -38,7 +38,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from encodesrv_spark.catalog import load_table
-from encodesrv_spark.functions.exact import exact_sum, money_round
+from encodesrv_spark.functions.exact import (
+    _units,
+    exact_sum,
+    exact_units_sum,
+    money_round,
+)
 from encodesrv_spark.functions.hashing import stable_hash64_sql
 from encodesrv_spark.operators import dedup
 from encodesrv_spark.operators.similarity import _as_double, dot
@@ -539,17 +544,19 @@ _WINS_LO, _WINS_HI = 0.01, 0.99
     oracle=f"""
         WITH p AS (
             SELECT event_type,
-                   quantile_cont(value, {_WINS_LO}) AS p_lo,
-                   quantile_cont(value, {_WINS_HI}) AS p_hi
+                   round(quantile_cont(value, {_WINS_LO}), 4) AS p_lo,
+                   round(quantile_cont(value, {_WINS_HI}), 4) AS p_hi
             FROM events GROUP BY 1
         )
         SELECT e.event_type,
                count(*)::BIGINT AS n,
-               round(p_lo, 4) AS p01,
-               round(p_hi, 4) AS p99,
-               round(avg(value), 4) AS mean_raw,
-               round(avg(least(greatest(value, p_lo), p_hi)), 4)
-                   AS mean_winsorized,
+               p_lo AS p01,
+               p_hi AS p99,
+               round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*), 4) AS mean_raw,
+               round(CAST(sum(CAST(least(greatest(value, p_lo), p_hi)
+                                   AS DECIMAL(14,4))) AS DOUBLE)
+                     / count(*), 4) AS mean_winsorized,
                sum(CASE WHEN value < p_lo OR value > p_hi
                         THEN 1 ELSE 0 END)::BIGINT AS n_clipped
         FROM events e JOIN p USING (event_type)
@@ -569,21 +576,30 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back (|types| rows), then one map-side-combinable clamp +
     mean pass.  At 100 TB swap `F.percentile` for `percentile_approx`
     and the second pass is unchanged — the exact form IS the oracle
-    here."""
+    here.
+
+    Determinism: the clip bounds are ROUNDED to 4 dp before any
+    comparison (the round-before-compare rule), which also makes every
+    clipped value a fixed 4-dp number — so both means are EXACT sums
+    (value is probed 2-dp data) divided once in double, not
+    order-dependent double accumulations."""
     prep(spark)
     ev = load_table(spark, sf_dir, "events")
     p = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(_WINS_LO)).alias("p_lo"),
-        F.percentile("value", F.lit(_WINS_HI)).alias("p_hi"),
+        F.round(F.percentile("value", F.lit(_WINS_LO)), 4).alias("p_lo"),
+        F.round(F.percentile("value", F.lit(_WINS_HI)), 4).alias("p_hi"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    n = F.count("*")
     return (
         ev.join(F.broadcast(p), "event_type")
         .groupBy("event_type", "p_lo", "p_hi")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("mean_raw"),
-            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            n.alias("n"),
+            F.round(exact_sum("value").cast("double") / n, 4).alias("mean_raw"),
+            F.round(exact_sum((clipped, 4)).cast("double") / n, 4).alias(
+                "mean_winsorized"
+            ),
             F.sum(
                 F.when(
                     (F.col("value") < F.col("p_lo"))
@@ -595,8 +611,8 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n",
-            F.round("p_lo", 4).alias("p01"),
-            F.round("p_hi", 4).alias("p99"),
+            F.col("p_lo").alias("p01"),
+            F.col("p_hi").alias("p99"),
             "mean_raw",
             "mean_winsorized",
             "n_clipped",
@@ -1011,7 +1027,8 @@ _CHG_Z = 2.0
     oracle=f"""
         WITH h AS (
             SELECT event_type, date_trunc('hour', ts) AS hr,
-                   round(avg(value), 6) AS mean_value
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                         / count(*), 6) AS mean_value
             FROM events GROUP BY 1, 2
         ),
         lagd AS (
@@ -1019,9 +1036,23 @@ _CHG_Z = 2.0
                    round(mean_value - lag(mean_value) OVER w, 6) AS delta
             FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
         ),
+        u AS (
+            SELECT event_type,
+                   CAST(round(delta * 1000000) AS BIGINT) AS du
+            FROM lagd WHERE delta IS NOT NULL
+        ),
+        m AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(du) AS DOUBLE) AS d1,
+                   CAST(sum(du * du) AS DOUBLE) AS d2
+            FROM u GROUP BY 1
+        ),
         s AS (
-            SELECT event_type, round(stddev_samp(delta), 6) AS sd
-            FROM lagd WHERE delta IS NOT NULL GROUP BY 1
+            SELECT event_type,
+                   round(sqrt(greatest(CAST(0 AS DOUBLE),
+                         (d2 - d1 * d1 / n) / nullif(n - 1, 0)))
+                         / 1000000.0, 6) AS sd
+            FROM m
         )
         SELECT l.event_type,
                strftime(l.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -1045,12 +1076,17 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per event type (hours-per-type partitions — bounded and
     parallel), one tiny per-type volatility aggregate broadcast back.
     The rounding ladder (means 6 dp → deltas 6 dp → sd 6 dp → z 4 dp)
-    makes every cross-engine comparison operate on identical doubles."""
+    makes every cross-engine comparison operate on identical doubles;
+    the hourly mean and the delta volatility both derive from EXACT
+    sums (value is 2-dp data, deltas are 6-dp-rounded), so no stage
+    depends on double accumulation order."""
     prep(spark)
     ev = load_table(spark, sf_dir, "events")
-    h = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.round(F.avg("value"), 6).alias("mean_value"))
+    h = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.round(exact_sum("value").cast("double") / F.count("*"), 6).alias(
+            "mean_value"
+        )
+    )
     w = W.partitionBy("event_type").orderBy("hr")
     lagd = h.withColumn(
         "delta", F.round(F.col("mean_value") - F.lag("mean_value").over(w), 6)
@@ -1058,8 +1094,32 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers of the lagged frame (the volatility aggregate and
     # the final filter) — checkpoint so the fact scan + window run once
     lagd = lagd.localCheckpoint(eager=True)
-    s = lagd.groupBy("event_type").agg(
-        F.round(F.stddev_samp("delta"), 6).alias("sd")
+    d1u, d2u = exact_units_sum(("delta", 6)), exact_units_sum(("delta", 6), ("delta", 6))
+    d1c, d2c, nd = (
+        F.col("d1").cast("double"),
+        F.col("d2").cast("double"),
+        F.col("n"),
+    )
+    s = (
+        lagd.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            d1u[0].alias("d1"),
+            d2u[0].alias("d2"),
+        )
+        .select(
+            "event_type",
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        (d2c - d1c * d1c / nd) / F.nullif(nd - 1, F.lit(0)),
+                    )
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("sd"),
+        )
     )
     z = F.round(F.col("delta") / F.nullif(F.col("sd"), F.lit(0.0)), 4)
     return (
@@ -2286,25 +2346,47 @@ _CUSUM_H = 4.0   # decision threshold, in per-type stddev units
     oracle=f"""
         WITH h AS (
             SELECT event_type, date_trunc('hour', ts) AS hr,
-                   round(avg(value), 6) AS m
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                         / count(*), 6) AS m
             FROM events GROUP BY 1, 2
+        ),
+        hu AS (
+            SELECT event_type, hr, m,
+                   CAST(round(m * 1000000) AS BIGINT) AS m_u
+            FROM h
+        ),
+        st AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(m_u) AS DOUBLE) AS d1,
+                   CAST(sum(m_u * m_u) AS DOUBLE) AS d2
+            FROM hu GROUP BY 1
         ),
         s AS (
             SELECT event_type,
-                   round(avg(m), 6) AS mu,
-                   round(stddev_samp(m), 6) AS sd
-            FROM h GROUP BY 1
+                   round(d1 / n / 1000000.0, 6) AS mu,
+                   round(sqrt(greatest(CAST(0 AS DOUBLE),
+                         (d2 - d1 * d1 / n) / nullif(n - 1, 0)))
+                         / 1000000.0, 6) AS sd
+            FROM st
         ),
         z AS (
             SELECT h.event_type, h.hr, h.m,
                    round((h.m - s.mu) / nullif(s.sd, 0), 6) AS zz
             FROM h JOIN s USING (event_type)
         ),
+        su AS (
+            SELECT event_type, hr, m,
+                   CAST(round((zz - {_CUSUM_K}) * 1000000) AS BIGINT) AS u_up,
+                   CAST(round((-zz - {_CUSUM_K}) * 1000000) AS BIGINT) AS u_dn
+            FROM z
+        ),
         raw AS (
             SELECT event_type, hr, m,
-                   round(sum(round(zz - {_CUSUM_K}, 6)) OVER w, 6) AS raw_up,
-                   round(sum(round(-zz - {_CUSUM_K}, 6)) OVER w, 6) AS raw_dn
-            FROM z
+                   round(CAST(sum(u_up) OVER w AS DOUBLE) / 1000000.0, 6)
+                       AS raw_up,
+                   round(CAST(sum(u_dn) OVER w AS DOUBLE) / 1000000.0, 6)
+                       AS raw_dn
+            FROM su
             WINDOW w AS (PARTITION BY event_type ORDER BY hr
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ),
@@ -2342,15 +2424,43 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     min) on the SAME (event_type, hour) partitioning: hours-per-type
     frames, bounded and parallel, no recursion and no UDF.  The
     rounding ladder (means → z → summands → sums, all 6 dp) keeps both
-    engines on identical doubles."""
+    engines on identical doubles; every cross-row accumulation (hourly
+    mean, per-type moments, the running sums themselves) is EXACT —
+    Spark evaluates window sums left-to-right but DuckDB merges them
+    via segment tree, so even the cumsum must ride on integer units."""
     prep(spark)
     ev = load_table(spark, sf_dir, "events")
-    h = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.round(F.avg("value"), 6).alias("m")).localCheckpoint(eager=True)
-    s = h.groupBy("event_type").agg(
-        F.round(F.avg("m"), 6).alias("mu"),
-        F.round(F.stddev_samp("m"), 6).alias("sd"),
+    h = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.round(exact_sum("value").cast("double") / F.count("*"), 6).alias(
+                "m"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    d1c, d2c, nh = F.col("d1").cast("double"), F.col("d2").cast("double"), F.col("n")
+    s = (
+        h.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            exact_units_sum(("m", 6))[0].alias("d1"),
+            exact_units_sum(("m", 6), ("m", 6))[0].alias("d2"),
+        )
+        .select(
+            "event_type",
+            F.round(d1c / nh / F.lit(1000000.0), 6).alias("mu"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        (d2c - d1c * d1c / nh) / F.nullif(nh - 1, F.lit(0)),
+                    )
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("sd"),
+        )
     )
     z = h.join(F.broadcast(s), "event_type").select(
         "event_type",
@@ -2365,8 +2475,16 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hr")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    raw_up = F.round(F.sum(F.round(F.col("zz") - _CUSUM_K, 6)).over(w), 6)
-    raw_dn = F.round(F.sum(F.round(-F.col("zz") - _CUSUM_K, 6)).over(w), 6)
+    raw_up = F.round(
+        F.sum(_units(F.col("zz") - _CUSUM_K, 6)).over(w).cast("double")
+        / F.lit(1000000.0),
+        6,
+    )
+    raw_dn = F.round(
+        F.sum(_units(-F.col("zz") - _CUSUM_K, 6)).over(w).cast("double")
+        / F.lit(1000000.0),
+        6,
+    )
     cum = z.select(
         "event_type",
         "hr",
@@ -2593,13 +2711,25 @@ _RANK_TOPN = 200
                    row_number() OVER (ORDER BY c0 DESC, t) AS r0,
                    row_number() OVER (ORDER BY c1 DESC, t) AS r1
             FROM top
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   CAST(sum(r0) AS DOUBLE) AS s0,
+                   CAST(sum(r0 * r0) AS DOUBLE) AS s00,
+                   CAST(sum(r1) AS DOUBLE) AS s1,
+                   CAST(sum(r1 * r1) AS DOUBLE) AS s11,
+                   CAST(sum(r0 * r1) AS DOUBLE) AS s01,
+                   sum((r0 - r1) * (r0 - r1)) AS d2
+            FROM ranked
         )
-        SELECT count(*)::BIGINT AS n_terms,
-               round(corr(r0, r1), 6) AS spearman_rho,
-               round(1.0 - 6.0 * sum((r0 - r1) * (r0 - r1))
-                     / (count(*) * (count(*) * count(*) - 1)), 6)
+        SELECT n::BIGINT AS n_terms,
+               round((n * s01 - s0 * s1)
+                     / nullif(sqrt((n * s00 - s0 * s0)
+                                   * (n * s11 - s1 * s1)), 0), 6)
+                   AS spearman_rho,
+               round(1.0 - 6.0 * d2 / (n * (n * n - 1)), 6)
                    AS spearman_exact
-        FROM ranked
+        FROM m
     """,
     tags=("llm", "stats", "eval"),
 )
@@ -2635,13 +2765,34 @@ def token_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy(F.desc("c0"), F.asc("t"))).alias("r0"),
         F.row_number().over(W.orderBy(F.desc("c1"), F.asc("t"))).alias("r1"),
     )
-    n = F.count("*")
-    d2 = F.sum((F.col("r0") - F.col("r1")) * (F.col("r0") - F.col("r1")))
-    return ranked.agg(
+    # exact integer rank moments (engine-native corr merges co-moment
+    # doubles in partition order): ρ derives from Σr, Σr², Σr0r1 —
+    # all exact LONG sums on the constant-bounded ranked frame —
+    # through the identical IEEE formula the oracle evaluates
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("r0").alias("s0l"),
+        F.sum(F.col("r0") * F.col("r0")).alias("s00l"),
+        F.sum("r1").alias("s1l"),
+        F.sum(F.col("r1") * F.col("r1")).alias("s11l"),
+        F.sum(F.col("r0") * F.col("r1")).alias("s01l"),
+        F.sum((F.col("r0") - F.col("r1")) * (F.col("r0") - F.col("r1"))).alias(
+            "d2"
+        ),
+    )
+    n = F.col("n")
+    s0, s00, s1, s11, s01 = (
+        F.col(c).cast("double") for c in ("s0l", "s00l", "s1l", "s11l", "s01l")
+    )
+    return m.select(
         n.alias("n_terms"),
-        F.round(F.corr("r0", "r1"), 6).alias("spearman_rho"),
         F.round(
-            F.lit(1.0) - F.lit(6.0) * d2 / (n * (n * n - F.lit(1))), 6
+            (n * s01 - s0 * s1)
+            / F.nullif(F.sqrt((n * s00 - s0 * s0) * (n * s11 - s1 * s1)), F.lit(0.0)),
+            6,
+        ).alias("spearman_rho"),
+        F.round(
+            F.lit(1.0) - F.lit(6.0) * F.col("d2") / (n * (n * n - F.lit(1))), 6
         ).alias("spearman_exact"),
     )
 
@@ -2872,7 +3023,7 @@ def price_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             HAVING count(*) >= 2
         ),
         deg AS (
-            SELECT node, count(*)::DOUBLE AS d FROM (
+            SELECT node, count(*)::BIGINT AS d FROM (
                 SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e
             ) GROUP BY node
         ),
@@ -2886,10 +3037,22 @@ def price_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT d2.d, d1.d
             FROM e JOIN deg d1 ON d1.node = e.p1
                    JOIN deg d2 ON d2.node = e.p2
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   CAST(sum(du) AS DOUBLE) AS su,
+                   CAST(sum(dv) AS DOUBLE) AS sv,
+                   CAST(sum(du * du) AS DOUBLE) AS suu,
+                   CAST(sum(dv * dv) AS DOUBLE) AS svv,
+                   CAST(sum(du * dv) AS DOUBLE) AS suv
+            FROM ends
         )
-        SELECT count(*)::BIGINT AS n_edge_ends,
-               round(corr(du, dv), 6) AS assortativity
-        FROM ends
+        SELECT n::BIGINT AS n_edge_ends,
+               round((n * suv - su * sv)
+                     / nullif(sqrt((n * suu - su * su)
+                                   * (n * svv - sv * sv)), 0), 6)
+                   AS assortativity
+        FROM m
     """,
     tags=("extended", "graph", "stats"),
 )
@@ -2904,8 +3067,13 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the shared basket-bounded edge build, one degree aggregate,
     two co-keyed degree joins, then a single-pass moment aggregate
-    (corr) over the symmetrized edge-end list — the shuffle after the
-    edge build carries edges, never wedges."""
+    over the symmetrized edge-end list — the shuffle after the edge
+    build carries edges, never wedges.  Newman's r derives from EXACT
+    integer degree moments (engine-native corr merges co-moment
+    doubles in partition order; the Σd² products ride the carry-save
+    limbs, which keep the sums exact even at hub degrees a plain LONG
+    sum would overflow) through the identical IEEE formula on both
+    engines."""
     prep(spark)
     from encodesrv_spark.plans.extended import _copurchase_edges
 
@@ -2914,7 +3082,7 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("p1").alias("node"))
         .unionAll(e.select(F.col("p2").alias("node")))
         .groupBy("node")
-        .agg(F.count("*").cast("double").alias("d"))
+        .agg(F.count("*").alias("d"))
         .localCheckpoint(eager=True)
     )
     ends0 = (
@@ -2923,9 +3091,26 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("du", "dv")
     )
     ends = ends0.unionAll(ends0.select(F.col("dv").alias("du"), F.col("du").alias("dv")))
-    return ends.agg(
-        F.count("*").alias("n_edge_ends"),
-        F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+    m = ends.agg(
+        F.count("*").alias("n"),
+        F.sum("du").alias("sul"),
+        F.sum("dv").alias("svl"),
+        exact_units_sum((F.col("du"), 0), (F.col("du"), 0))[0].alias("suud"),
+        exact_units_sum((F.col("dv"), 0), (F.col("dv"), 0))[0].alias("svvd"),
+        exact_units_sum((F.col("du"), 0), (F.col("dv"), 0))[0].alias("suvd"),
+    )
+    n = F.col("n")
+    su, sv = F.col("sul").cast("double"), F.col("svl").cast("double")
+    suu, svv, suv = (
+        F.col(c).cast("double") for c in ("suud", "svvd", "suvd")
+    )
+    return m.select(
+        n.alias("n_edge_ends"),
+        F.round(
+            (n * suv - su * sv)
+            / F.nullif(F.sqrt((n * suu - su * su) * (n * svv - sv * sv)), F.lit(0.0)),
+            6,
+        ).alias("assortativity"),
     )
 
 
@@ -3075,16 +3260,28 @@ def order_fill_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH h AS (
             SELECT event_type, date_trunc('hour', ts) AS hr,
-                   count(*)::DOUBLE AS n
+                   count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, count(*) AS nh,
+                   CAST(sum(n) AS DOUBLE) AS d1,
+                   CAST(sum(n * n) AS DOUBLE) AS d2
+            FROM h GROUP BY 1
+        ),
+        s AS (
+            SELECT event_type, nh,
+                   d1 / nh AS mean_,
+                   (d2 - d1 * d1 / nh) / nullif(nh - 1, 0) AS var_
+            FROM m
         )
         SELECT event_type,
-               count(*)::BIGINT AS n_hours,
-               round(avg(n), 6) AS mean_per_hour,
-               round(var_samp(n), 6) AS var_per_hour,
-               round(var_samp(n) / avg(n), 6) AS dispersion_index,
-               (round(var_samp(n) / avg(n), 6) > 1.5) AS overdispersed
-        FROM h GROUP BY 1
+               nh AS n_hours,
+               round(mean_, 6) AS mean_per_hour,
+               round(var_, 6) AS var_per_hour,
+               round(var_ / mean_, 6) AS dispersion_index,
+               (round(var_ / mean_, 6) > 1.5) AS overdispersed
+        FROM s
     """,
     tags=("extended", "events", "stats"),
 )
@@ -3104,15 +3301,30 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
-        F.count("*").cast("double").alias("n")
+        F.count("*").alias("n")
     )
-    di = F.round(F.var_samp("n") / F.avg("n"), 6)
-    return h.groupBy("event_type").agg(
-        F.count("*").alias("n_hours"),
-        F.round(F.avg("n"), 6).alias("mean_per_hour"),
-        F.round(F.var_samp("n"), 6).alias("var_per_hour"),
-        di.alias("dispersion_index"),
-        (di > 1.5).alias("overdispersed"),
+    # exact integer moments (engine-native var_samp merges M2 partials
+    # in partition order — not associative even for integer inputs);
+    # the Σn² limb budget covers ~1e9-event hours at the 100 TB mark
+    d1c, d2c, nh = F.col("d1").cast("double"), F.col("d2").cast("double"), F.col("nh")
+    mean_ = d1c / nh
+    var_ = (d2c - d1c * d1c / nh) / F.nullif(nh - 1, F.lit(0))
+    di = F.round(var_ / mean_, 6)
+    return (
+        h.groupBy("event_type")
+        .agg(
+            F.count("*").alias("nh"),
+            F.sum("n").alias("d1"),
+            exact_units_sum((F.col("n"), 0), (F.col("n"), 0))[0].alias("d2"),
+        )
+        .select(
+            "event_type",
+            F.col("nh").alias("n_hours"),
+            F.round(mean_, 6).alias("mean_per_hour"),
+            F.round(var_, 6).alias("var_per_hour"),
+            di.alias("dispersion_index"),
+            (di > 1.5).alias("overdispersed"),
+        )
     )
 
 
@@ -3126,22 +3338,47 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH h AS (
             SELECT event_type, date_trunc('hour', ts) AS hr,
-                   round(avg(value), 6) AS m
+                   round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                         / count(*), 6) AS m
             FROM events GROUP BY 1, 2
         ),
         lagd AS (
-            SELECT event_type, m,
-                   lag(m, 1) OVER w AS m1,
-                   lag(m, 2) OVER w AS m2,
-                   lag(m, 3) OVER w AS m3
+            SELECT event_type,
+                   CAST(round(m * 1000000) AS BIGINT) AS x,
+                   CAST(round(lag(m, 1) OVER w * 1000000) AS BIGINT) AS x1,
+                   CAST(round(lag(m, 2) OVER w * 1000000) AS BIGINT) AS x2,
+                   CAST(round(lag(m, 3) OVER w * 1000000) AS BIGINT) AS x3
             FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+        ),
+        g AS (
+            SELECT event_type, count(*) AS n_hours,
+"""
+    + ",\n".join(
+        f"""                   count(x{k}) AS n{k},
+                   CAST(sum(CASE WHEN x{k} IS NOT NULL THEN x ELSE 0 END)
+                        AS DOUBLE) AS sx{k},
+                   CAST(sum(CASE WHEN x{k} IS NOT NULL THEN x * x ELSE 0 END)
+                        AS DOUBLE) AS sxx{k},
+                   CAST(coalesce(sum(x{k}), 0) AS DOUBLE) AS sy{k},
+                   CAST(coalesce(sum(x{k} * x{k}), 0) AS DOUBLE) AS syy{k},
+                   CAST(coalesce(sum(x * x{k}), 0) AS DOUBLE) AS sxy{k}"""
+        for k in (1, 2, 3)
+    )
+    + """
+            FROM lagd GROUP BY 1
         )
         SELECT event_type,
-               count(*)::BIGINT AS n_hours,
-               round(corr(m, m1), 6) AS acf_1,
-               round(corr(m, m2), 6) AS acf_2,
-               round(corr(m, m3), 6) AS acf_3
-        FROM lagd GROUP BY 1
+               n_hours::BIGINT AS n_hours,
+"""
+    + ",\n".join(
+        f"""               round((n{k} * sxy{k} - sx{k} * sy{k})
+                     / nullif(sqrt((n{k} * sxx{k} - sx{k} * sx{k})
+                                   * (n{k} * syy{k} - sy{k} * sy{k})), 0), 6)
+                   AS acf_{k}"""
+        for k in (1, 2, 3)
+    )
+    + """
+        FROM g
     """,
     tags=("extended", "events", "stats"),
 )
@@ -3155,13 +3392,22 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One hourly aggregate, one lag window per type partition (three lag
     columns ride a single sort), then a per-type moment aggregate —
-    corr is single-pass and map-side-combinable, and every mean is
-    rounded 6 dp before the correlations so both engines correlate
-    identical series."""
+    single-pass and map-side-combinable, and every mean is rounded
+    6 dp before the correlations so both engines correlate identical
+    series.
+
+    Determinism: engine-native `corr` merges co-moment partials in
+    partition order, so each lag's Pearson is computed instead from
+    EXACT per-lag moment sums over the 6-dp means' integer units
+    (corr is scale-invariant, so unit space needs no rescale at all);
+    each lag conditions its x-moments on the pair being complete,
+    matching corr's null-pair skipping.  The moment→corr arithmetic is
+    the identical IEEE double expression on both engines, with the
+    zero-variance edge mapped to NULL via nullif like corr itself."""
     prep(spark)
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
-        F.round(F.avg("value"), 6).alias("m")
+        F.round(exact_sum("value").cast("double") / F.count("*"), 6).alias("m")
     )
     w = W.partitionBy("event_type").orderBy("hr")
     lagd = h.select(
@@ -3171,12 +3417,29 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("m", 2).over(w).alias("m2"),
         F.lag("m", 3).over(w).alias("m3"),
     )
-    return lagd.groupBy("event_type").agg(
-        F.count("*").alias("n_hours"),
-        F.round(F.corr("m", "m1"), 6).alias("acf_1"),
-        F.round(F.corr("m", "m2"), 6).alias("acf_2"),
-        F.round(F.corr("m", "m3"), 6).alias("acf_3"),
-    )
+    aggs = [F.count("*").alias("n_hours")]
+    for k in (1, 2, 3):
+        mk, ok = F.col(f"m{k}"), F.col(f"m{k}").isNotNull()
+        aggs += [
+            F.count(f"m{k}").alias(f"n{k}"),
+            exact_units_sum(("m", 6), where=ok)[0].alias(f"sx{k}"),
+            exact_units_sum(("m", 6), ("m", 6), where=ok)[0].alias(f"sxx{k}"),
+            exact_units_sum((mk, 6), where=ok)[0].alias(f"sy{k}"),
+            exact_units_sum((mk, 6), (mk, 6), where=ok)[0].alias(f"syy{k}"),
+            exact_units_sum(("m", 6), (mk, 6), where=ok)[0].alias(f"sxy{k}"),
+        ]
+    g = lagd.groupBy("event_type").agg(*aggs)
+
+    def acf(k: int):
+        n = F.col(f"n{k}")
+        sx, sxx, sy, syy, sxy = (
+            F.col(f"{c}{k}").cast("double") for c in ("sx", "sxx", "sy", "syy", "sxy")
+        )
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return F.round(num / F.nullif(den, F.lit(0.0)), 6).alias(f"acf_{k}")
+
+    return g.select("event_type", "n_hours", acf(1), acf(2), acf(3))
 
 
 # ---------------------------------------------------------------------------

@@ -118,10 +118,17 @@ _HOISTED = (
 # price_band_range_join, skew_salted_join, sql_revenue_by_region,
 # bloom_prune_join, bloom_prune_selective, trade_pagerank,
 # incremental_hourly_merge, supplier_pareto_abc, hourly_profile,
-# revenue_trend_mann_kendall, events_hourly, events_hypertable_rollup,
-# and the late-audit catches pivot_linestatus + user_rfm_segments;
-# coalesce_defaults also converted, but it is pinned parity and
-# re-evidences itself every round).
+# revenue_trend_mann_kendall, events_hourly, events_hypertable_rollup),
+# the late-audit money catches (pivot_linestatus, user_rfm_segments;
+# coalesce_defaults too, but it is pinned parity and re-evidences
+# itself every round), and the sweep's extension to ALL
+# exact-representable aggregation inputs — engine-native moment
+# families and cross-engine-divergent window sums re-derived from
+# exact integer/decimal moments (value_anomaly_zscore,
+# events_moving_avg, winsorize_values, regression_stats,
+# events_change_points, events_cusum, events_dispersion_index,
+# events_autocorrelation, token_rank_stability,
+# copurchase_assortativity, funnel_latency).
 # All are hash-green in the repo's own all-204 exact-repr oracle run and
 # shuffle-partition determinism harness; they queue for DRIVER
 # re-evidencing.  Registry growth stays frozen until this clears.

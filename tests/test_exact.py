@@ -86,6 +86,10 @@ def test_exact_sum_matches_rational_reference(spark):
         exact_sum("price", (F.col("qty"), 0)).alias("s4"),
         exact_sum("price", where=F.col("disc") > F.lit(0.05)).alias("sw"),
         exact_sum("price", where=F.col("disc") > F.lit(2)).alias("s0"),
+        # leading-tuple form: a 4-dp view of a 2-dp column (exact), and
+        # the Σv² square shape used by the exact-moment variance sites
+        exact_sum((F.col("tax"), 4)).alias("t4"),
+        exact_sum("tax", "tax").alias("sq"),
     ).collect()[0]
 
     def cents(x: float) -> Fraction:
@@ -96,6 +100,8 @@ def test_exact_sum_matches_rational_reference(spark):
     e3 = sum(cents(p) * (1 - cents(d)) * (1 + cents(t)) for p, d, t, q in rows)
     e4 = sum(cents(p) * q for p, d, t, q in rows)
     ew = sum(cents(p) for p, d, t, q in rows if cents(d) > Fraction(5, 100))
+    et4 = sum(cents(t) for p, d, t, q in rows)
+    esq = sum(cents(t) * cents(t) for p, d, t, q in rows)
 
     for name, got_v, exp in (
         ("s1", got["s1"], e1),
@@ -103,6 +109,8 @@ def test_exact_sum_matches_rational_reference(spark):
         ("s3", got["s3"], e3),
         ("s4", got["s4"], e4),
         ("sw", got["sw"], ew),
+        ("t4", got["t4"], et4),
+        ("sq", got["sq"], esq),
     ):
         assert isinstance(got_v, Decimal)
         assert Fraction(got_v) == exp, (name, got_v, exp)
