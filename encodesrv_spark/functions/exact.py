@@ -58,7 +58,10 @@ def _units(col: Column | str, scale: int = 2) -> Column:
 
 
 def exact_sum(
-    col: Column | str | tuple, *factors: Column | str | tuple, where: Column | None = None
+    col: Column | str | tuple,
+    *factors: Column | str | tuple,
+    where: Column | None = None,
+    acc: str = "limb",
 ) -> Column:
     """Exact, order-independent Σ col·Πfactors as DECIMAL — the fast path.
 
@@ -91,12 +94,15 @@ def exact_sum(
     (36,8), uncapped, exact for these ≤6-dp values — the same output
     type as the decimal-accumulator form it replaces.
     """
-    total, scale = exact_units_sum(col, *factors, where=where)
+    total, scale = exact_units_sum(col, *factors, where=where, acc=acc)
     return total / F.lit(10**scale).cast("decimal(7,0)")
 
 
 def exact_units_sum(
-    col: Column | str | tuple, *factors: Column | str | tuple, where: Column | None = None
+    col: Column | str | tuple,
+    *factors: Column | str | tuple,
+    where: Column | None = None,
+    acc: str = "limb",
 ) -> tuple[Column, int]:
     """The carry-save core of :func:`exact_sum`, without the rescale:
     returns ``(Σ units as DECIMAL(28,0), scale)`` where ``units`` is the
@@ -107,13 +113,42 @@ def exact_units_sum(
     double (correctly rounded, deterministic on both engines: DuckDB's
     ``sum(BIGINT)`` widens to HUGEINT, this recombination to
     DECIMAL(28,0) — both exact) and rescale inside the identical IEEE
-    double expression both engines evaluate."""
+    double expression both engines evaluate.
+
+    ``acc`` picks the accumulator, value- and type-identical either way:
+
+    * ``"limb"`` (default) — three carry-save 20-bit LONG limb sums,
+      recombined post-aggregation.  The fact-scale hot path: zero
+      per-row object allocation, pure primitive codegen.  Cost: 3
+      aggregate expressions per sum, each embedding the full product —
+      a moment FAMILY (Σx/Σx²/Σxy × several lags) multiplies that
+      forest and stalls codegen even on tiny inputs.
+    * ``"decimal"`` — one ``sum(product::DECIMAL(20,0))``, cast to the
+      same DECIMAL(28,0).  Per-row BigDecimal (the tax limbs avoid),
+      so ONLY for aggregates over already-reduced inputs (hourly
+      series, top-k token sets, per-group summaries — ≤ ~1e5 rows),
+      where one shallow expression beats three deep ones: the
+      events_autocorrelation 15-sum family measured 1.27 s limb vs
+      0.77 s decimal at sf0.1, values bit-identical.
+    """
     c0, scale = col if isinstance(col, tuple) else (col, 2)
     prod = _units(c0, scale)
     for f in factors:
         c, ndp = f if isinstance(f, tuple) else (f, 2)
         prod = prod * _units(c, ndp)
         scale += ndp
+    if acc == "decimal":
+        if where is not None:
+            # .otherwise(0), not bare when(): the DuckDB oracles spell
+            # this as CASE WHEN ... ELSE 0 END, which yields 0 (not
+            # NULL) when no row matches — keep engines identical on
+            # empty match sets.
+            prod = F.when(where, prod).otherwise(F.lit(0))
+        # sum(DECIMAL(20,0)) widens to (30,0); cast back to the limb
+        # path's (28,0) so callers see one output type.  Products are
+        # < 1e18 (the documented budget), so (20,0) holds every row.
+        total = F.sum(prod.cast("decimal(20,0)")).cast("decimal(28,0)")
+        return total, scale
     mask = (1 << 20) - 1
     limbs = [
         prod.bitwiseAND(F.lit(mask)),
@@ -121,9 +156,7 @@ def exact_units_sum(
         F.shiftright(prod, 40),
     ]
     if where is not None:
-        # .otherwise(0), not bare when(): the DuckDB oracles spell this
-        # as CASE WHEN ... ELSE 0 END, which yields 0 (not NULL) when no
-        # row matches — keep the engines identical on empty match sets.
+        # see the acc="decimal" note: ELSE 0, matching the oracles.
         limbs = [F.when(where, c).otherwise(F.lit(0)) for c in limbs]
     s_lo, s_mid, s_hi = (F.sum(c) for c in limbs)
     total = (

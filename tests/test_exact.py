@@ -118,6 +118,33 @@ def test_exact_sum_matches_rational_reference(spark):
     assert got["s0"] is not None and Fraction(got["s0"]) == 0
 
 
+def test_decimal_acc_identical_to_limb(spark):
+    """acc="decimal" must be value- AND type-identical to the limb
+    accumulator on every form the small-input moment sites use —
+    including `where=` empty-match 0-not-NULL semantics."""
+    rng = random.Random(44)
+    rows = _sum_frame(rng, 400)
+    df = spark.createDataFrame(rows, "price double, disc double, tax double, qty int")
+    forms = {
+        "plain": lambda a: exact_sum("price", acc=a),
+        "factor": lambda a: exact_sum("price", F.lit(1) - F.col("disc"), acc=a),
+        # squares only for magnitude-bounded columns (product < 1e18
+        # budget) — same shape the moment sites use on rates/series
+        "square": lambda a: exact_sum("tax", "tax", acc=a),
+        "intsq": lambda a: exact_sum(
+            (F.col("qty"), 0), (F.col("qty"), 0), acc=a
+        ),
+        "where": lambda a: exact_sum("price", where=F.col("disc") > 0.05, acc=a),
+        "empty": lambda a: exact_sum("price", where=F.col("disc") > 2, acc=a),
+    }
+    row = df.agg(
+        *[f(a).alias(f"{n}_{a}") for n, f in forms.items() for a in ("limb", "decimal")]
+    ).collect()[0]
+    for n in forms:
+        limb, dec = row[f"{n}_limb"], row[f"{n}_decimal"]
+        assert isinstance(dec, Decimal) and dec == limb, (n, limb, dec)
+
+
 def test_exact_sum_partitioning_invariant(spark):
     rng = random.Random(43)
     rows = _sum_frame(rng, 300)
