@@ -68,8 +68,9 @@ def exact_sum(
     All arguments are exact 2-decimal doubles (money columns, ±1±rate
     factors); the leading column or any factor may also be a
     ``(col, ndp)`` tuple for other fixed-decimal widths (``ndp=0`` for
-    integer-valued quantity columns, ``ndp=6`` for already-6-dp-rounded
-    intermediates).  Each row becomes an exact integer product of LONGs
+    integer-valued DOUBLE columns, ``ndp=6`` for already-6-dp-rounded
+    intermediates, ``ndp=None`` for already-exact integer LONG columns,
+    used verbatim with no double round-trip).  Each row becomes an exact integer product of LONGs
     (cheap codegen'd arithmetic — no per-row decimal object), and is
     accumulated CARRY-SAVE: the product splits into three 20-bit limbs
     via arithmetic shift + mask (exact for negatives too — `u >> k` is
@@ -131,11 +132,26 @@ def exact_units_sum(
       events_autocorrelation 15-sum family measured 1.27 s limb vs
       0.77 s decimal at sf0.1, values bit-identical.
     """
-    c0, scale = col if isinstance(col, tuple) else (col, 2)
-    prod = _units(c0, scale)
+    if acc not in ("limb", "decimal"):
+        raise ValueError(f"acc must be 'limb' or 'decimal', got {acc!r}")
+
+    def units_of(c, ndp):
+        # ndp=None marks an already-exact integer column: skip the
+        # floor(x·10^s + 0.5) double round-trip (and its implicit
+        # |x| < 2^53 exactness budget) and use the value as units.
+        # The LONG cast is load-bearing, not cosmetic: the limb split
+        # shifts by 40, and Java shift amounts wrap mod the operand
+        # width — shiftright(INT, 40) silently becomes shiftright(x, 8).
+        if ndp is None:
+            return (F.col(c) if isinstance(c, str) else c).cast("long"), 0
+        return _units(c, ndp), ndp
+
+    c0, s0 = col if isinstance(col, tuple) else (col, 2)
+    prod, scale = units_of(c0, s0)
     for f in factors:
         c, ndp = f if isinstance(f, tuple) else (f, 2)
-        prod = prod * _units(c, ndp)
+        u, ndp = units_of(c, ndp)
+        prod = prod * u
         scale += ndp
     if acc == "decimal":
         if where is not None:

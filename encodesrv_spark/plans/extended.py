@@ -768,14 +768,15 @@ def error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         stats AS (
             SELECT event_type, s1 / n AS mu,
-                   sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+                   sqrt(greatest(CAST(0 AS DOUBLE),
+                        (s2 - s1 * s1 / n) / nullif(n - 1, 0))) AS sd
             FROM m
         )
         SELECT e.event_id, e.event_type,
                round(e.value, 2) AS value,
-               round((e.value - s.mu) / s.sd, 2) AS z
+               round((e.value - s.mu) / nullif(s.sd, 0), 2) AS z
         FROM events e JOIN stats s USING (event_type)
-        WHERE abs(round((e.value - s.mu) / s.sd, 2)) >= 3.0
+        WHERE abs(round((e.value - s.mu) / nullif(s.sd, 0), 2)) >= 3.0
     """,
     tags=("events", "monitoring"),
 )
@@ -789,7 +790,13 @@ def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: engine-native avg/stddev merge doubles in
     partition-order-dependent ways, so mu/sd derive from EXACT
     decimal moments (Σv, Σv² via exact_sum — value is probed 2-dp
-    data) through identical IEEE double expressions on both engines."""
+    data) through identical IEEE double expressions on both engines.
+    The variance is clamped (greatest 0 — catastrophic cancellation on
+    a near-constant type could land at −ε, where DuckDB's
+    sqrt(negative) ERRORS rather than NaNs) and both the n−1 divisor
+    and the sd denominator route through nullif, so degenerate types
+    (one event, zero variance) yield NULL z and drop out of the |z|
+    filter identically on both engines — the events_cusum template."""
     prep(spark)
     e = load_table(spark, sf_dir, "events")
     m = e.groupBy("event_type").agg(
@@ -801,9 +808,15 @@ def value_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = m.select(
         "event_type",
         (s1 / n).alias("mu"),
-        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("sd"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0), (s2 - s1 * s1 / n) / F.nullif(n - F.lit(1), F.lit(0))
+            )
+        ).alias("sd"),
     )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2)
+    z = F.round(
+        (F.col("value") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 2
+    )
     return (
         e.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
@@ -931,10 +944,14 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the frame SUM is exact — Spark evaluates sliding
     frames left-to-right but DuckDB merges them via segment tree, so a
-    double windowed sum is order-divergent across engines; summing the
-    exact cent units (LONG — frame totals stay far below 2^63) and
-    dividing once in double matches the oracle's exact-decimal window
-    sum bit-for-bit."""
+    double windowed sum is order-divergent across engines; the exact
+    cent units sum as LONG (frame totals stay far below 2^63 — a
+    1-hour frame at ~1e9 events/hour of ≤6e4-cent values is ~6e13),
+    the /100 rescale happens in DECIMAL, and the only double rounding
+    is the final cast — the identical single rounding the oracle's
+    CAST(sum(DECIMAL) AS DOUBLE) performs (casting to double BEFORE
+    the /100 would round twice and could diverge by 1 ulp once frame
+    cent totals pass 2^53)."""
     prep(spark)
     e = load_table(spark, sf_dir, "events").withColumn(
         "tsec", F.expr("ts_ns DIV 1000000000")
@@ -945,8 +962,10 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "tsec",
         F.round(
-            F.sum(_units("value")).over(w).cast("double")
-            / F.lit(100.0)
+            (
+                F.sum(_units("value")).over(w).cast("decimal(28,0)")
+                / F.lit(100).cast("decimal(7,0)")
+            ).cast("double")
             / F.count("*").over(w),
             6,
         ).alias("avg_1h"),
@@ -1074,30 +1093,34 @@ def regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the engine-native corr/covar/regr_* family merges
     co-moment partials in partition order, so the five statistics
     derive instead from EXACT unit-space moments (quantity is integer
-    data, price is 2-dp money; Σy² rides the carry-save limbs — its
-    cent-squared products overflow a plain LONG sum at fact scale)
-    through the textbook formulas as identical IEEE double expressions
-    on both engines."""
+    data, price is 2-dp money) through the textbook formulas as
+    identical IEEE double expressions on both engines.  Every
+    money-bearing moment rides the carry-save limbs, because plain
+    LONG sums of their unit products overflow int64 inside the 100 TB
+    envelope (Σy² at any fact scale; Σx·y ≈ 50·1e7 per row × ~2e11
+    rows per flag ≈ 1e20; Σy within 5× of 2^63) — DuckDB's BIGINT sums
+    widen to HUGEINT, so the limb sums keep Spark exactly as exact.
+    The quantity-only moments stay plain LONG sums: Σq ≤ 1e13 and
+    Σq² ≤ 5e14 at the same envelope, orders inside the budget."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     xu = _units("l_quantity", 0)
-    yu = _units("l_extendedprice", 2)
     m = l.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(xu).alias("x1l"),
         F.sum(xu * xu).alias("x2l"),
-        F.sum(yu).alias("y1l"),
+        exact_units_sum(("l_extendedprice", 2))[0].alias("y1d"),
         exact_units_sum(("l_extendedprice", 2), ("l_extendedprice", 2))[0].alias(
             "y2d"
         ),
-        F.sum(xu * yu).alias("xyl"),
+        exact_units_sum(("l_quantity", 0), ("l_extendedprice", 2))[0].alias("xyd"),
     )
     n = F.col("n")
     x1 = F.col("x1l").cast("double")
     x2 = F.col("x2l").cast("double")
-    y1 = F.col("y1l").cast("double") / F.lit(100)
+    y1 = F.col("y1d").cast("double") / F.lit(100)
     y2 = F.col("y2d").cast("double") / F.lit(10000)
-    xy = F.col("xyl").cast("double") / F.lit(100)
+    xy = F.col("xyd").cast("double") / F.lit(100)
     cnum = n * xy - x1 * y1
     vx = n * x2 - x1 * x1
     vy = n * y2 - y1 * y1
@@ -1871,15 +1894,21 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pt") - F.col("vt")).alias("usec"),
         ((F.col("pt") - F.col("vt")) / 1000000.0).alias("sec"),
     )
-    # mean from the EXACT micros sum (LONG — latencies are integer
-    # micros), divided once in double: avg over the double seconds
-    # would accumulate in partition order
+    # mean from the EXACT micros sum (carry-save limbs: latencies are
+    # integer micros, but a plain LONG sum of multi-hour latencies
+    # over ~1e9 converted users brushes 2^63, where DuckDB's
+    # sum(BIGINT) widens to HUGEINT and Spark would wrap silently),
+    # divided once in double: avg over the double seconds would
+    # accumulate in partition order
     return lat.agg(
         F.count("*").alias("n_converted"),
         F.round(F.percentile("sec", F.lit(0.5)), 2).alias("p50_sec"),
         F.round(F.percentile("sec", F.lit(0.9)), 2).alias("p90_sec"),
         F.round(
-            F.sum("usec").cast("double") / F.count("*") / F.lit(1000000.0), 2
+            exact_units_sum((F.col("usec"), None))[0].cast("double")
+            / F.count("*")
+            / F.lit(1000000.0),
+            2,
         ).alias("mean_sec"),
     )
 

@@ -3100,11 +3100,13 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("du").alias("sul"),
         F.sum("dv").alias("svl"),
-        # decimal acc: edge-ends input, already graph-sized (see
-        # functions/exact.py::exact_units_sum)
-        exact_units_sum((F.col("du"), 0), (F.col("du"), 0), acc="decimal")[0].alias("suud"),
-        exact_units_sum((F.col("dv"), 0), (F.col("dv"), 0), acc="decimal")[0].alias("svvd"),
-        exact_units_sum((F.col("du"), 0), (F.col("dv"), 0), acc="decimal")[0].alias("suvd"),
+        # limb acc: the edge-ends frame is GRAPH-scale (2x edges — not
+        # time-bounded like the hourly-series decimal sites), so the
+        # per-row-cheap carry-save path is the right trade at 100 TB
+        # even though decimal reads ~0.5 s faster at sf0.1
+        exact_units_sum((F.col("du"), None), (F.col("du"), None))[0].alias("suud"),
+        exact_units_sum((F.col("dv"), None), (F.col("dv"), None))[0].alias("svvd"),
+        exact_units_sum((F.col("du"), None), (F.col("dv"), None))[0].alias("suvd"),
     )
     n = F.col("n")
     su, sv = F.col("sul").cast("double"), F.col("svl").cast("double")
@@ -3323,7 +3325,9 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("nh"),
             F.sum("n").alias("d1"),
             # decimal acc: hourly-count input (see functions/exact.py)
-            exact_units_sum((F.col("n"), 0), (F.col("n"), 0), acc="decimal")[0].alias("d2"),
+            exact_units_sum((F.col("n"), None), (F.col("n"), None), acc="decimal")[
+                0
+            ].alias("d2"),
         )
         .select(
             "event_type",
@@ -3434,11 +3438,11 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok = xk.isNotNull()
         aggs += [
             F.count(xk).alias(f"n{k}"),
-            exact_units_sum((xu, 0), where=ok, acc="decimal")[0].alias(f"sx{k}"),
-            exact_units_sum((xu, 0), (xu, 0), where=ok, acc="decimal")[0].alias(f"sxx{k}"),
-            exact_units_sum((xk, 0), where=ok, acc="decimal")[0].alias(f"sy{k}"),
-            exact_units_sum((xk, 0), (xk, 0), where=ok, acc="decimal")[0].alias(f"syy{k}"),
-            exact_units_sum((xu, 0), (xk, 0), where=ok, acc="decimal")[0].alias(f"sxy{k}"),
+            exact_units_sum((xu, None), where=ok, acc="decimal")[0].alias(f"sx{k}"),
+            exact_units_sum((xu, None), (xu, None), where=ok, acc="decimal")[0].alias(f"sxx{k}"),
+            exact_units_sum((xk, None), where=ok, acc="decimal")[0].alias(f"sy{k}"),
+            exact_units_sum((xk, None), (xk, None), where=ok, acc="decimal")[0].alias(f"syy{k}"),
+            exact_units_sum((xu, None), (xk, None), where=ok, acc="decimal")[0].alias(f"sxy{k}"),
         ]
     g = lagd.groupBy("event_type").agg(*aggs)
 

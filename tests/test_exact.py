@@ -90,6 +90,9 @@ def test_exact_sum_matches_rational_reference(spark):
         # the Σv² square shape used by the exact-moment variance sites
         exact_sum((F.col("tax"), 4)).alias("t4"),
         exact_sum("tax", "tax").alias("sq"),
+        # ndp=None: already-LONG integers used as units verbatim
+        exact_sum((F.col("qty"), None), (F.col("qty"), None)).alias("qq"),
+        exact_sum("price", (F.col("qty"), None)).alias("pq"),
     ).collect()[0]
 
     def cents(x: float) -> Fraction:
@@ -102,6 +105,8 @@ def test_exact_sum_matches_rational_reference(spark):
     ew = sum(cents(p) for p, d, t, q in rows if cents(d) > Fraction(5, 100))
     et4 = sum(cents(t) for p, d, t, q in rows)
     esq = sum(cents(t) * cents(t) for p, d, t, q in rows)
+    eqq = sum(Fraction(q * q) for p, d, t, q in rows)
+    epq = sum(cents(p) * q for p, d, t, q in rows)
 
     for name, got_v, exp in (
         ("s1", got["s1"], e1),
@@ -111,6 +116,8 @@ def test_exact_sum_matches_rational_reference(spark):
         ("sw", got["sw"], ew),
         ("t4", got["t4"], et4),
         ("sq", got["sq"], esq),
+        ("qq", got["qq"], eqq),
+        ("pq", got["pq"], epq),
     ):
         assert isinstance(got_v, Decimal)
         assert Fraction(got_v) == exp, (name, got_v, exp)
