@@ -69,8 +69,9 @@ def exact_sum(
     factors); the leading column or any factor may also be a
     ``(col, ndp)`` tuple for other fixed-decimal widths (``ndp=0`` for
     integer-valued DOUBLE columns, ``ndp=6`` for already-6-dp-rounded
-    intermediates, ``ndp=None`` for already-exact integer LONG columns,
-    used verbatim with no double round-trip).  Each row becomes an exact integer product of LONGs
+    intermediates, ``ndp=None`` for INTEGER-TYPED columns only — used
+    verbatim with no double round-trip; a double column must use
+    ``ndp=0``, since the None path truncates rather than rounds).  Each row becomes an exact integer product of LONGs
     (cheap codegen'd arithmetic — no per-row decimal object), and is
     accumulated CARRY-SAVE: the product splits into three 20-bit limbs
     via arithmetic shift + mask (exact for negatives too — `u >> k` is
@@ -85,9 +86,12 @@ def exact_sum(
     rational reference in tests/test_exact.py) — at ~2× less wall
     than the decimal accumulator in interleaved A/B.
 
-    Precision budget: money (12,2) → units < 1e12; each factor must be
-    |f| ≤ ~9 (units ≤ 999 — the 1±discount/tax class is ≤ 1.08) so the
-    per-row product stays < 1e18 < 2^63.  Limb sums: lo/mid < 2^20 per
+    Precision budget — the REAL invariant is the per-row unit product
+    staying < 1e18 < 2^63, budgeted per call site: the common case is
+    money (12,2) → units < 1e12 with |factor| ≤ ~9 (units ≤ 999 — the
+    1±discount/tax class is ≤ 1.08), but e.g. a ≤50-unit leading
+    column may carry a ~1e7-unit money factor (regression_stats'
+    Σqty·cents) — what matters is the product, not either operand.  Limb sums: lo/mid < 2^20 per
     row → a LONG limb accumulator absorbs 2^43 ≈ 8.8e12 rows per
     GROUP; hi < 1.2e4 → ~7.7e14 rows.  The 100 TB global aggregate is
     ~6e11 rows — 15× headroom on the tightest limb.  The recombined
@@ -136,9 +140,13 @@ def exact_units_sum(
         raise ValueError(f"acc must be 'limb' or 'decimal', got {acc!r}")
 
     def units_of(c, ndp):
-        # ndp=None marks an already-exact integer column: skip the
-        # floor(x·10^s + 0.5) double round-trip (and its implicit
-        # |x| < 2^53 exactness budget) and use the value as units.
+        # ndp=None marks an already-exact INTEGER-TYPED column (counts,
+        # ranks, degrees, micros): skip the floor(x·10^s + 0.5) double
+        # round-trip (and its implicit |x| < 2^53 exactness budget) and
+        # use the value as units.  INTEGER-TYPED is a hard requirement,
+        # not a hint — cast("long") on a DOUBLE truncates toward zero,
+        # so an integer-valued double stored as k−ε would land on k−1;
+        # that class must use ndp=0, which rounds to nearest.
         # The LONG cast is load-bearing, not cosmetic: the limb split
         # shifts by 40, and Java shift amounts wrap mod the operand
         # width — shiftright(INT, 40) silently becomes shiftright(x, 8).

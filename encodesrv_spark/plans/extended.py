@@ -946,12 +946,15 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames left-to-right but DuckDB merges them via segment tree, so a
     double windowed sum is order-divergent across engines; the exact
     cent units sum as LONG (frame totals stay far below 2^63 — a
-    1-hour frame at ~1e9 events/hour of ≤6e4-cent values is ~6e13),
-    the /100 rescale happens in DECIMAL, and the only double rounding
-    is the final cast — the identical single rounding the oracle's
-    CAST(sum(DECIMAL) AS DOUBLE) performs (casting to double BEFORE
-    the /100 would round twice and could diverge by 1 ulp once frame
-    cent totals pass 2^53)."""
+    1-hour frame at ~1e9 events/hour of ≤6e4-cent values is ~6e13).
+    The rescale is cast-to-double THEN /100.0 — deliberately the same
+    double-double rounding the oracle performs: DuckDB 1.0's
+    CAST(DECIMAL(38,2) AS DOUBLE) was probed to compute
+    fl(fl(cents)/100), bit-identical to this form even past 2^53
+    (a single-rounded decimal division here would DIVERGE from the
+    oracle by 1 ulp in that regime, not match it — probed at 2^53+1,
+    1e16+1, 1e16+9), and the cusum/backlog windowed sums use the same
+    cast-then-divide convention."""
     prep(spark)
     e = load_table(spark, sf_dir, "events").withColumn(
         "tsec", F.expr("ts_ns DIV 1000000000")
@@ -962,10 +965,8 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "tsec",
         F.round(
-            (
-                F.sum(_units("value")).over(w).cast("decimal(28,0)")
-                / F.lit(100).cast("decimal(7,0)")
-            ).cast("double")
+            F.sum(_units("value")).over(w).cast("double")
+            / F.lit(100.0)
             / F.count("*").over(w),
             6,
         ).alias("avg_1h"),
@@ -1101,7 +1102,15 @@ def regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per flag ≈ 1e20; Σy within 5× of 2^63) — DuckDB's BIGINT sums
     widen to HUGEINT, so the limb sums keep Spark exactly as exact.
     The quantity-only moments stay plain LONG sums: Σq ≤ 1e13 and
-    Σq² ≤ 5e14 at the same envelope, orders inside the budget."""
+    Σq² ≤ 5e14 at the same envelope, orders inside the budget.
+    Known cross-engine boundary ABOVE 2^64: both engines hold the
+    exact integer, but DuckDB 1.0's HUGEINT→DOUBLE cast is not
+    correctly rounded past 2^64 (probed: ~4% of values in 2^64..2^68
+    land 1 ulp off) while Spark's DECIMAL(28,0)→DOUBLE cast is — a
+    1-ulp (≈1e-16 relative) split on the moment double.  Every
+    driver-testable regime sits far below 2^64 where both casts are
+    exact; at 100 TB the oracle engine itself is out of scope and
+    Spark's correctly-rounded cast is the defensible one."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     xu = _units("l_quantity", 0)

@@ -143,6 +143,21 @@ def test_decimal_acc_identical_to_limb(spark):
         ),
         "where": lambda a: exact_sum("price", where=F.col("disc") > 0.05, acc=a),
         "empty": lambda a: exact_sum("price", where=F.col("disc") > 2, acc=a),
+        # the ndp=None (raw integer units) forms production pairs with
+        # acc="decimal": events_dispersion_index's plain square and
+        # events_autocorrelation's where-conditioned cross product
+        "nonesq": lambda a: exact_sum(
+            (F.col("qty"), None), (F.col("qty"), None), acc=a
+        ),
+        "nonewhere": lambda a: exact_sum(
+            (F.col("qty"), None),
+            (F.col("qty"), None),
+            where=F.col("disc") > 0.05,
+            acc=a,
+        ),
+        "noneempty": lambda a: exact_sum(
+            (F.col("qty"), None), where=F.col("disc") > 2, acc=a
+        ),
     }
     row = df.agg(
         *[f(a).alias(f"{n}_{a}") for n, f in forms.items() for a in ("limb", "decimal")]
