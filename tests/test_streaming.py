@@ -271,6 +271,28 @@ def test_click_purchase_attribution_matches_batch(spark, tmp_path, events_dir, s
     assert got == want and len(got) > 0
 
 
+def test_attribution_batch_twin_matches_streaming_semantics(spark, sf_dir):
+    """The oracle-backed registered query `click_attribution_interval`
+    (the banded batch twin the driver gate evidences) must produce
+    exactly the pairs the stream-stream interval join emits — this
+    closes the chain streaming join == batch twin == DuckDB oracle."""
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.events import click_purchase_attribution
+
+    batch = all_queries()["click_attribution_interval"].fn(spark, sf_dir)
+    got = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in click_purchase_attribution(ev, ev).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_incremental_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
     """Streaming twin of incremental_dedup: stream the non-src0 docs
     (with one full redelivery of the first file) against the static
