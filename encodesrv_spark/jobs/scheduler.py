@@ -71,6 +71,11 @@ class SchedulerConfig:
     poll_interval_s: float = 60.0
     backoff_s: float = 300.0
     watchdog: timedelta = timedelta(days=1)
+    # execute each claimed batch as per-ef_priority-band concurrent
+    # actions pinned to weighted FAIR pools (jobs/pools.py) — on a
+    # FAIR-mode cluster high-priority encodes get weighted executor
+    # share; under FIFO it degrades to the unpooled behavior
+    fair_pools: bool = False
 
 
 @dataclass
@@ -115,7 +120,12 @@ class Scheduler:
         with_fmt = claimed.join(
             F.broadcast(self.formats), claimed.format_id == self.formats.id_fmt
         ).repartition(max(free_slots, 1), "id")
-        results = run_claimed_jobs(with_fmt, self.process_cfg).cache()
+        if self.cfg.fair_pools:
+            from encodesrv_spark.jobs.pools import run_claimed_by_pool
+
+            results = run_claimed_by_pool(with_fmt, self.process_cfg).cache()
+        else:
+            results = run_claimed_jobs(with_fmt, self.process_cfg).cache()
         results.count()  # materialize before the store mutates
 
         # terminal status upserts (S8 sink), conflict-retried: another
