@@ -135,9 +135,17 @@ def exact_units_sum(
       where one shallow expression beats three deep ones: the
       events_autocorrelation 15-sum family measured 1.27 s limb vs
       0.77 s decimal at sf0.1, values bit-identical.
+    * ``"long"`` — ONE plain LONG sum of the unit products, cast to
+      the same DECIMAL(28,0).  The cheapest accumulator (one primitive
+      column sum — no limb split, no per-row object), but a LONG sum
+      wraps silently on overflow, so it is reserved for products whose
+      DOCUMENTED budget keeps Σ|units| far inside 2^63 at the 100 TB
+      envelope — e.g. q1's ``l_discount`` units are ≤ 10/row, so even
+      the ~6e11-row global aggregate sums to ~6e12, six orders of
+      headroom.  Each call site must state its budget.
     """
-    if acc not in ("limb", "decimal"):
-        raise ValueError(f"acc must be 'limb' or 'decimal', got {acc!r}")
+    if acc not in ("limb", "decimal", "long"):
+        raise ValueError(f"acc must be 'limb', 'decimal' or 'long', got {acc!r}")
 
     def units_of(c, ndp):
         # ndp=None marks an already-exact INTEGER-TYPED column (counts,
@@ -161,13 +169,17 @@ def exact_units_sum(
         u, ndp = units_of(c, ndp)
         prod = prod * u
         scale += ndp
-    if acc == "decimal":
+    if acc in ("decimal", "long"):
         if where is not None:
             # .otherwise(0), not bare when(): the DuckDB oracles spell
             # this as CASE WHEN ... ELSE 0 END, which yields 0 (not
             # NULL) when no row matches — keep engines identical on
             # empty match sets.
             prod = F.when(where, prod).otherwise(F.lit(0))
+        if acc == "long":
+            # exact while the call site's budget holds (see docstring);
+            # cast to the shared (28,0) output type post-aggregation
+            return F.sum(prod).cast("decimal(28,0)"), scale
         # sum(DECIMAL(20,0)) widens to (30,0); cast back to the limb
         # path's (28,0) so callers see one output type.  Products are
         # < 1e18 (the documented budget), so (20,0) holds every row.

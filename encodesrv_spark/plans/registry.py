@@ -118,11 +118,15 @@ _HOISTED = (
     # registry growth (VERDICT r05 #7): the oracle-backed batch twin of
     # the stream-stream interval join, landing with its first driver row
     "click_attribution_interval",
+    # aggregate-buffer slimming (VERDICT r05 #5): avg_qty derived from
+    # Σqty/COUNT(*) and the discount sum on the plain-LONG accumulator —
+    # values identical, but the registered form changed after its r05 row
+    "q1_pricing_summary",
 )
-# 15 parity + 33 hoisted = 48; slots 49-50 fill from the llm module
-# (dedup_exact, neardup_jaccard — stable forms, green since r01-r03),
-# so the 50-slot window stays 100% oracle-backed.  The composition is
-# pinned by tests/test_plans.py::test_driver_window_composition.
+# 15 parity + 34 hoisted = 49; slot 50 fills from the llm module
+# (dedup_exact — stable form, green since r01), so the 50-slot window
+# stays 100% oracle-backed.  The composition is pinned by
+# tests/test_plans.py::test_driver_window_composition.
 
 
 def all_queries() -> dict[str, Query]:

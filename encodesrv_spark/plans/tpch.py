@@ -61,7 +61,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Money aggregates sum exact DECIMAL (order-independent — see
     functions/exact.py); quantity is integer-valued so its double sum is
-    already exact."""
+    already exact.
+
+    Aggregate-buffer budget (VERDICT r05 #5): Catalyst deduplicates the
+    twice-built ``exact_sum("l_extendedprice")`` (sum_base_price /
+    avg_price share one limb triple — 13 sums in the partial
+    HashAggregate, not 16; plan-verified), so the remaining recoverable
+    cost was buffer count, not duplication: ``avg_qty`` is derived from
+    the already-present Σqty and COUNT(*) instead of a separate Average
+    (its internal sum+count buffers fold away — identical value, Σqty
+    is exact in double and both engines divide the same IEEE doubles),
+    and ``avg_disc`` rides a plain-LONG accumulator (discount units are
+    ≤ 10/row, so even the ~6e11-row 100 TB global group sums to ~6e12 —
+    six orders inside int64; no limb split needed).  16 → 12 aggregate
+    buffers, per-row work for the discount sum down 3× ."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     disc = F.lit(1) - F.col("l_discount")
@@ -78,12 +91,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_round(exact_sum("l_extendedprice", disc, tax)).alias(
                 "sum_charge"
             ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum("l_quantity") / F.count("*"), 4).alias("avg_qty"),
             F.round(
                 exact_sum("l_extendedprice").cast("double") / F.count("*"), 4
             ).alias("avg_price"),
             F.round(
-                exact_sum("l_discount").cast("double") / F.count("*"), 6
+                exact_sum("l_discount", acc="long").cast("double")
+                / F.count("*"),
+                6,
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )

@@ -160,11 +160,17 @@ def test_decimal_acc_identical_to_limb(spark):
         ),
     }
     row = df.agg(
-        *[f(a).alias(f"{n}_{a}") for n, f in forms.items() for a in ("limb", "decimal")]
+        *[
+            f(a).alias(f"{n}_{a}")
+            for n, f in forms.items()
+            for a in ("limb", "decimal", "long")
+        ]
     ).collect()[0]
     for n in forms:
-        limb, dec = row[f"{n}_limb"], row[f"{n}_decimal"]
-        assert isinstance(dec, Decimal) and dec == limb, (n, limb, dec)
+        limb = row[f"{n}_limb"]
+        for a in ("decimal", "long"):
+            got = row[f"{n}_{a}"]
+            assert isinstance(got, Decimal) and got == limb, (n, a, limb, got)
 
 
 def test_exact_sum_partitioning_invariant(spark):
