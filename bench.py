@@ -187,6 +187,8 @@ def main() -> None:
         "events_weekend_effect",
         "doc_numeric_density",
         "part_price_dispersion",
+        # round-6 growth
+        "click_attribution_interval",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
