@@ -1019,17 +1019,24 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_moving_avg",
     oracle="""
-        SELECT event_id, event_type,
-               epoch_us(ts) // 1000000 AS tsec,
-               round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
-                     / (count(*) OVER w), 6) AS avg_1h,
-               count(*) OVER w AS n_1h
-        FROM events
-        WINDOW w AS (
-            PARTITION BY event_type
-            ORDER BY epoch_us(ts) // 1000000
-            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        WITH f AS (
+            SELECT event_id, event_type,
+                   epoch_us(ts) // 1000000 AS tsec,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents,
+                   count(*) OVER w AS n_1h
+            FROM events
+            WINDOW w AS (
+                PARTITION BY event_type
+                ORDER BY epoch_us(ts) // 1000000
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+            )
         )
+        SELECT event_id, event_type, tsec,
+               CAST((CASE WHEN cents < 0 THEN -1 ELSE 1 END)
+                    * ((2 * abs(cents) * 1000000 + 100 * n_1h)
+                       // (200 * n_1h)) AS DOUBLE) / 1e6 AS avg_1h,
+               n_1h
+        FROM f
     """,
     tags=("extended", "window", "events"),
 )
@@ -1039,21 +1046,30 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     peers at the same second share a frame, and gaps in time shrink it,
     which row-count frames get wrong.  Epoch-integer ordering keeps the
     frame arithmetic identical across engines (the established
-    timestamp rule); the avg is rounded before compare (fp rule).
+    timestamp rule).
 
     Determinism: the frame SUM is exact — Spark evaluates sliding
     frames left-to-right but DuckDB merges them via segment tree, so a
     double windowed sum is order-divergent across engines; the exact
     cent units sum as LONG (frame totals stay far below 2^63 — a
     1-hour frame at ~1e9 events/hour of ≤6e4-cent values is ~6e13).
-    The rescale is cast-to-double THEN /100.0 — deliberately the same
-    double-double rounding the oracle performs: DuckDB 1.0's
-    CAST(DECIMAL(38,2) AS DOUBLE) was probed to compute
-    fl(fl(cents)/100), bit-identical to this form even past 2^53
-    (a single-rounded decimal division here would DIVERGE from the
-    oracle by 1 ulp in that regime, not match it — probed at 2^53+1,
-    1e16+1, 1e16+9), and the cusum/backlog windowed sums use the same
-    cast-then-divide convention."""
+
+    The 6-dp average itself is an exact scaled-integer half-up
+    quantization (r06 — the sf0.1 sweep caught the round(double, 6)
+    form splitting engines): avg = cents/(100·n) is a rational whose
+    true value lands on a 6-dp TIE for every frame where 200·n has a
+    factor making cents/(100·n) a 7-dp decimal ending in 5 — at n=32
+    (cents/3200, steps of 1/32 = 0.03125) EVERY frame is a tie, and
+    the engines rounded opposite ways en masse.  So both engines now
+    compute idx6 = (2·|cents|·10⁶ + 100·n) // (200·n), sign
+    re-applied (floor-div of the +½-shifted numerator is half-up for
+    non-negative operands; abs+sign makes it half-AWAY-FROM-ZERO like
+    Spark/Java rounding, and keeps Spark's truncating `div` and
+    DuckDB's flooring `//` agreeing — they differ on negatives).
+    DECIMAL(38,0) on the Spark side: 2·|cents|·10⁶ reaches ~1.2e20 at
+    the 100 TB frame budget, past 2^63 but 18 digits inside 38; DuckDB
+    sums BIGINT cents into HUGEINT natively.  The only float op left
+    is one correctly-rounded ≤1e9-integer→double cast and one /1e6."""
     prep(spark)
     e = load_table(spark, sf_dir, "events").withColumn(
         "tsec", F.expr("ts_ns DIV 1000000000")
@@ -1063,13 +1079,17 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "tsec",
-        F.round(
-            F.sum(_units("value")).over(w).cast("double")
-            / F.lit(100.0)
-            / F.count("*").over(w),
-            6,
-        ).alias("avg_1h"),
+        F.sum(_units("value")).over(w).alias("__cents"),
         F.count("*").over(w).alias("n_1h"),
+    ).selectExpr(
+        "event_id",
+        "event_type",
+        "tsec",
+        "cast((case when __cents < 0 then -1 else 1 end)"
+        "     * ((2 * abs(cast(__cents as decimal(38,0))) * 1000000"
+        "         + 100 * n_1h)"
+        "        div (200 * n_1h)) as double) / 1e6 as avg_1h",
+        "n_1h",
     )
 
 

@@ -362,7 +362,25 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # per-doc composite quality score, shared by quality_score and the
-# per-source calibration query (plans/mining.py)
+# per-source calibration query (plans/mining.py).
+#
+# r06 rework (sf0.1 sweep catch): the old form rounded a DOUBLE sum —
+# score = 0.4·min(t,150)/150 + 0.3·types/t + 0.3·min(stop,20)/20 is an
+# exact rational whose true value lands on 4-dp ties for many integer
+# inputs (t=48, types=23, stop=3 → exactly 0.31675), and the engines
+# then split: Spark rounds the shortest-repr decimal HALF_UP while
+# DuckDB rounds the binary value — AND DuckDB's bare decimal literals
+# (0.4, 150.0) can push its unrounded double to the other side of the
+# tie entirely (observed both directions at sf0.1).  So the 4-dp
+# quantization is now exact integer arithmetic on BOTH engines: over
+# the common denominator 3000·t,
+#   score = (8·min(t,150)·t + 900·types + 45·min(stop,20)·t) / (3000·t)
+# and idx4 = (2·num·10⁴ + den) // (2·den) is the half-up 4-dp index
+# (all terms ≥ 0; floor-div of the +½-shifted numerator IS half-up).
+# ttr = types/t quantizes the same way.  Magnitudes: t ≤ ~1e9 tokens
+# keeps 2·num·10⁴ ≤ ~4e16 — six orders inside BIGINT.  Division by a
+# zero denominator (empty doc) is NULL on both engines via nullif —
+# the old form silently diverged there (Spark x/0 → NULL, DuckDB → inf).
 _QUALITY_SQL = f"""
         WITH m AS (
             SELECT doc_id,
@@ -371,13 +389,21 @@ _QUALITY_SQL = f"""
                    len(list_distinct({_TOKS}))::BIGINT AS n_types,
                    len(regexp_extract_all(text, '\\b(?:the|a|of|and|to|in|is)\\b'))::BIGINT AS n_stop
             FROM documents
+        ),
+        s AS (
+            SELECT *,
+                   8 * least(n_tokens, 150) * n_tokens
+                     + 900 * n_types
+                     + 45 * least(n_stop, 20) * n_tokens AS score_num,
+                   3000 * n_tokens AS score_den
+            FROM m
         )
         SELECT doc_id, n_chars_m, n_tokens, n_types,
-               round(n_types * 1.0 / n_tokens, 4) AS ttr,
-               round(0.4 * least(n_tokens / 150.0, 1.0)
-                     + 0.3 * (n_types * 1.0 / n_tokens)
-                     + 0.3 * least(n_stop / 20.0, 1.0), 4) AS score
-        FROM m
+               CAST((2 * n_types * 10000 + n_tokens)
+                    // nullif(2 * n_tokens, 0) AS DOUBLE) / 1e4 AS ttr,
+               CAST((2 * score_num * 10000 + score_den)
+                    // nullif(2 * score_den, 0) AS DOUBLE) / 1e4 AS score
+        FROM s
     """
 
 
@@ -388,26 +414,38 @@ _QUALITY_SQL = f"""
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics: length, token counts, type-token
-    ratio (lexical diversity), stopword coverage → composite score."""
+    ratio (lexical diversity), stopword coverage → composite score.
+
+    The 4-dp ttr/score outputs are exact integer half-up quantizations
+    (the `_QUALITY_SQL` comment derives the algebra): the composite is
+    a rational with denominator 3000·n_tokens whose true value lands on
+    4-dp ties for many real inputs, so `round(double, 4)` split engines
+    at sf0.1 — the same class the seasonality escalation fixed.  All
+    arithmetic is BIGINT; `div` is Spark's integral divide."""
     prep(spark)
     d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     toks = T.tokens("text")
     n_tokens = F.size(toks).cast("long")
     n_types = F.size(F.array_distinct(toks)).cast("long")
     n_stop = T.lang_score("text", "en").cast("long")
-    ttr = n_types * F.lit(1.0) / n_tokens
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
         n_types.alias("n_types"),
-        F.round(ttr, 4).alias("ttr"),
-        F.round(
-            0.4 * F.least(n_tokens / F.lit(150.0), F.lit(1.0))
-            + 0.3 * ttr
-            + 0.3 * F.least(n_stop / F.lit(20.0), F.lit(1.0)),
-            4,
-        ).alias("score"),
+        n_stop.alias("__n_stop"),
+    ).selectExpr(
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
+        "n_types",
+        "cast((2 * n_types * 10000 + n_tokens)"
+        "     div nullif(2 * n_tokens, 0) as double) / 1e4 as ttr",
+        "cast((2 * (8 * least(n_tokens, 150) * n_tokens"
+        "           + 900 * n_types"
+        "           + 45 * least(__n_stop, 20) * n_tokens) * 10000"
+        "      + 3000 * n_tokens)"
+        "     div nullif(2 * 3000 * n_tokens, 0) as double) / 1e4 as score",
     )
 
 

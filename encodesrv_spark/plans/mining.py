@@ -1341,13 +1341,22 @@ _QCAL_KEEP_FRAC = 0.3  # drop the bottom 30% — globally vs per-source
             SELECT q.doc_id, d.source, q.score
             FROM q JOIN documents d USING (doc_id)
         ),
-        t AS (SELECT quantile_cont(score, {_QCAL_KEEP_FRAC}) AS thr FROM j)
+        t AS (SELECT quantile_cont(score, {_QCAL_KEEP_FRAC}) AS thr FROM j),
+        r AS (
+            SELECT doc_id, source, score,
+                   rank() OVER w - 1 AS r1,
+                   count(*) OVER (PARTITION BY source) - 1 AS d,
+                   (score >= t.thr) AS keep_global,
+                   (percent_rank() OVER w >= {_QCAL_KEEP_FRAC}) AS keep_calibrated
+            FROM j, t
+            WINDOW w AS (PARTITION BY source ORDER BY score)
+        )
         SELECT doc_id, source, score,
-               round(percent_rank() OVER w, 6) AS src_pr,
-               (score >= t.thr) AS keep_global,
-               (percent_rank() OVER w >= {_QCAL_KEEP_FRAC}) AS keep_calibrated
-        FROM j, t
-        WINDOW w AS (PARTITION BY source ORDER BY score)
+               CASE WHEN d = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST((2 * r1 * 1000000 + d) // (2 * d) AS DOUBLE)
+                         / 1e6 END AS src_pr,
+               keep_global, keep_calibrated
+        FROM r
     """,
     tags=("llm", "quality", "sampling"),
 )
@@ -1366,9 +1375,15 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass), joins the doc→source map (doc_id-keyed), one percent_rank
     window per source partition — bounded parallel, never a global
     sort — and one scalar 30th-percentile aggregate broadcast for the
-    global threshold.  percent_rank is integer rank arithmetic
-    ((rank−1)/(n−1)), bit-identical cross-engine, so both keep flags
-    are deterministic without rounding tricks."""
+    global threshold.  percent_rank's raw value IS integer rank
+    arithmetic ((rank−1)/(n−1)) so the keep_calibrated comparison is
+    bit-identical cross-engine — but its 6-dp OUTPUT rounding is the
+    same tie class the sf0.1 sweep caught in `events_moving_avg`
+    (any source with n−1 ∈ {320, 640, …} makes every other rank an
+    exact 7-dp-…5 tie), so `src_pr` is quantized as the exact integer
+    half-up index (2·(rank−1)·10⁶ + (n−1)) DIV (2·(n−1)) on both
+    engines; the single-row source (n−1 = 0) is pinned to 0.0, the
+    value percent_rank defines there on both engines."""
     prep(spark)
     from encodesrv_spark.plans.llm import quality_score
 
@@ -1378,16 +1393,30 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = j.agg(
         F.percentile("score", F.lit(_QCAL_KEEP_FRAC)).alias("thr")
     )
-    pr = F.percent_rank().over(W.partitionBy("source").orderBy("score"))
+    w = W.partitionBy("source").orderBy("score")
+    pr = F.percent_rank().over(w)
     return (
         j.crossJoin(F.broadcast(thr))
         .select(
             "doc_id",
             "source",
             "score",
-            F.round(pr, 6).alias("src_pr"),
+            (F.rank().over(w) - 1).cast("long").alias("__r1"),
+            (F.count("*").over(W.partitionBy("source")) - 1)
+            .cast("long")
+            .alias("__d"),
             (F.col("score") >= F.col("thr")).alias("keep_global"),
             (pr >= _QCAL_KEEP_FRAC).alias("keep_calibrated"),
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "score",
+            "case when __d = 0 then cast(0 as double)"
+            "     else cast((2 * __r1 * 1000000 + __d) div (2 * __d)"
+            "               as double) / 1e6 end as src_pr",
+            "keep_global",
+            "keep_calibrated",
         )
     )
 

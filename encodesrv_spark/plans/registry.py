@@ -112,9 +112,12 @@ _HOISTED = (
     "funnel_latency",
     # k-means argmin/norm-hoist rewrite (r05): output values unchanged
     # (judge-verified) but the physical plan changed — listed for the
-    # changed-form audit
+    # changed-form audit.  Its sibling semdedup_prune (same rewrite,
+    # same unchanged registered output) gave up its slot to the r06
+    # quality-tie fixes below: its r04 driver row still evidences the
+    # unchanged output form, and the r05 judge independently re-ran it
+    # green — the strongest evidence of any changed-plan candidate.
     "embedding_kmeans",
-    "semdedup_prune",
     # registry growth (VERDICT r05 #7): the oracle-backed batch twin of
     # the stream-stream interval join, landing with its first driver row
     "click_attribution_interval",
@@ -122,11 +125,18 @@ _HOISTED = (
     # Σqty/COUNT(*) and the discount sum on the plain-LONG accumulator —
     # values identical, but the registered form changed after its r05 row
     "q1_pricing_summary",
+    # r06 sf0.1-sweep catches: round(double, k) landed ON exact decimal
+    # ties at 10× the driver SF (score rationals / cents-per-32-row
+    # frames), splitting engines — all three re-quantized as exact
+    # scaled-integer half-up divisions (the seasonality escalation).
+    # events_moving_avg was already queued above; these two take the
+    # remaining slots.
+    "quality_score",
+    "quality_percentile_by_source",
 )
-# 15 parity + 34 hoisted = 49; slot 50 fills from the llm module
-# (dedup_exact — stable form, green since r01), so the 50-slot window
-# stays 100% oracle-backed.  The composition is pinned by
-# tests/test_plans.py::test_driver_window_composition.
+# 15 parity + 35 hoisted = the full 50-slot window, 100% oracle-backed
+# (the r05 fill slot went to the sf0.1-sweep fixes).  The composition
+# is pinned by tests/test_plans.py::test_driver_window_composition.
 
 
 def all_queries() -> dict[str, Query]:
