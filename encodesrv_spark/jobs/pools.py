@@ -31,6 +31,7 @@ exactly the per-action isolation the FAIR scheduler expects.
 
 from __future__ import annotations
 
+import logging
 import threading
 from collections.abc import Callable
 
@@ -38,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from encodesrv_spark.jobs.process import ProcessConfig, run_claimed_jobs
+
+log = logging.getLogger(__name__)
 
 # pool name -> (weight, minShare): weights set the steady-state slot
 # ratio between non-empty pools; minShare guarantees the high band a
@@ -50,28 +53,40 @@ POOLS: dict[str, tuple[int, int]] = {
 
 _HIGH_THRESHOLD = 2  # ef_priority >= 2 -> high, 1 -> normal, else low
 
+# The banding rule, stated ONCE: first floor an ef_priority meets wins;
+# NULL / below-every-floor lands in the default pool.  Both the scalar
+# (tests, docs) and the Column (production routing) forms derive from
+# this table, so the rule cannot drift between them.
+_BANDS: tuple[tuple[int, str], ...] = (
+    (_HIGH_THRESHOLD, "ef-high"),
+    (1, "ef-normal"),
+)
+_DEFAULT_POOL = "ef-low"
+
 
 def pool_for(ef_priority: int | None) -> str:
     """Band an ``ef_priority`` value into a scheduler pool name.
     NULL (formats predating the column) lands in the low band, matching
     the reference's behavior of giving unprioritized work no boost."""
-    if ef_priority is None or ef_priority < 1:
-        return "ef-low"
-    return "ef-high" if ef_priority >= _HIGH_THRESHOLD else "ef-normal"
+    if ef_priority is not None:
+        for floor, name in _BANDS:
+            if ef_priority >= floor:
+                return name
+    return _DEFAULT_POOL
 
 
 def pool_column(df: DataFrame) -> DataFrame:
-    """Tag each claimed row with its execution pool (same banding as
-    :func:`pool_for`, as a codegen'd conditional — no UDF)."""
+    """Tag each claimed row with its execution pool (the same
+    :data:`_BANDS` table as :func:`pool_for`, as a codegen'd
+    conditional — no UDF)."""
     if "ef_priority" not in df.columns:
-        return df.withColumn("__pool", F.lit("ef-low"))
+        return df.withColumn("__pool", F.lit(_DEFAULT_POOL))
     p = F.col("ef_priority")
-    return df.withColumn(
-        "__pool",
-        F.when(p >= _HIGH_THRESHOLD, F.lit("ef-high"))
-        .when(p >= 1, F.lit("ef-normal"))
-        .otherwise(F.lit("ef-low")),
-    )
+    col = None
+    for floor, name in _BANDS:
+        cond, lit = p >= floor, F.lit(name)
+        col = F.when(cond, lit) if col is None else col.when(cond, lit)
+    return df.withColumn("__pool", col.otherwise(F.lit(_DEFAULT_POOL)))
 
 
 def allocation_xml() -> str:
@@ -116,15 +131,32 @@ def run_claimed_by_pool(
     ``(pool_name, sc.getLocalProperty("spark.scheduler.pool"))`` right
     before the action, witnessing the thread-local wiring.
 
-    The claimed frame is checkpointed once so the three band filters
-    re-scan a materialized batch (≤ max_concurrent rows), not the
-    claim MERGE lineage."""
+    The claimed frame is checkpointed once so the band filters re-scan
+    a materialized batch (≤ max_concurrent rows), not the claim MERGE
+    lineage; only bands that actually hold rows are dispatched, so the
+    common single-priority micro-batch costs one action, not three.
+
+    Failure semantics match the unpooled path: a band whose ACTION
+    dies (infra failure — per-job ffmpeg errors surface as 'Error'
+    rows, not exceptions) aborts the cycle, and the watchdog /
+    crash-reset path re-queues the in-flight jobs.  Every failed
+    band's error is logged with its pool name before the first is
+    re-raised, so a multi-band failure cannot hide its root cause."""
     spark = claimed_with_format.sparkSession
     src = pool_column(claimed_with_format).localCheckpoint(eager=True)
     sc = spark.sparkContext
 
+    # driver-side scalar over the ≤ max_concurrent-row checkpointed
+    # batch (documented .collect() convention): which bands have work?
+    active = {
+        r["__pool"] for r in src.select("__pool").distinct().collect()
+    }
+    to_run = [pool for pool in POOLS if pool in active]
+    if not to_run:  # empty claim batch: preserve unpooled schema/result
+        return run_claimed_jobs(src.drop("__pool"), cfg)
+
     results: dict[str, DataFrame] = {}
-    errors: list[BaseException] = []
+    errors: dict[str, BaseException] = {}
 
     def run_band(pool: str) -> None:
         sc.setLocalProperty("spark.scheduler.pool", pool)
@@ -137,22 +169,24 @@ def run_claimed_by_pool(
                 eager=True
             )
         except BaseException as exc:  # surfaced to the caller below
-            errors.append(exc)
+            errors[pool] = exc
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
 
     threads = [
         threading.Thread(target=run_band, args=(pool,), name=f"pool-{pool}")
-        for pool in POOLS
+        for pool in to_run
     ]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     if errors:
-        raise errors[0]
+        for pool, exc in errors.items():
+            log.error("band %s failed: %s", pool, exc, exc_info=exc)
+        raise next(iter(errors.values()))
 
     out: DataFrame | None = None
-    for pool in POOLS:
+    for pool in to_run:
         out = results[pool] if out is None else out.unionAll(results[pool])
     return out

@@ -42,7 +42,7 @@ def _rev_sum(where=None):
                               * CAST(1 - l_discount AS DECIMAL(4,2))
                               * CAST(1 + l_tax AS DECIMAL(4,2))), 2)
                     AS DOUBLE) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
+               round(sum(l_quantity) / count(*), 4) AS avg_qty,
                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                      / count(*), 4) AS avg_price,
                round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
@@ -70,7 +70,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost was buffer count, not duplication: ``avg_qty`` is derived from
     the already-present Σqty and COUNT(*) instead of a separate Average
     (its internal sum+count buffers fold away — identical value, Σqty
-    is exact in double and both engines divide the same IEEE doubles),
+    is exact in double and both engines divide the same IEEE doubles;
+    the oracle mirrors the same Σqty/COUNT(*) form so the two engines
+    share NULL semantics by construction, not by the data happening to
+    carry none),
     and ``avg_disc`` rides a plain-LONG accumulator (discount units are
     ≤ 10/row, so even the ~6e11-row 100 TB global group sums to ~6e12 —
     six orders inside int64; no limb split needed).  16 → 12 aggregate
