@@ -109,6 +109,12 @@ def main() -> None:
     # one measured rep each.  Deliberately OUTSIDE `value`/`queries` so
     # the headline metric stays directly comparable across rounds
     # (methodology frozen in round 2: median-of-3 over the same 16).
+    # PROTOCOL NOTE (r06): the three CONTROLS keys carry their
+    # median-of-3 timings from the controls loop (not a fresh 1-rep) —
+    # so their r06+ extras values are spike-suppressed where pre-r06
+    # values were single samples; cross-round comparisons of those
+    # three keys should prefer the headline JSON's `controls` object
+    # (median-vs-median from r06 on).
     EXTRA = [
         "part_label_communities",
         "part_local_clustering",

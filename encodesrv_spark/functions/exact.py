@@ -40,6 +40,77 @@ def money_round(col: Column, scale: int = 2) -> Column:
     return F.round(col, scale).cast("double")
 
 
+def half_up_idx_sql(
+    num: str,
+    den: str,
+    k: int,
+    *,
+    dialect: str,
+    signed: bool = False,
+    wide: bool = False,
+    zero: str | None = "nullif",
+) -> str:
+    """Emit the exact half-up k-dp quantization of ``num/den`` as a SQL
+    expression string, in either engine's dialect — THE building block
+    for tie-prone rational outputs (r06).
+
+    The algebra: for integer ``num``/``den`` with ``den > 0``,
+    ``idx = (2·num·10^k + den) DIV (2·den)`` floors the +½-shifted
+    numerator, which IS round-half-up, with no ``round(double, k)``
+    anywhere — the Spark/DuckDB rounding asymmetry (Spark rounds the
+    shortest-repr decimal HALF_UP, DuckDB rounds the binary value;
+    probed ``round(1.005, 2)`` → 1.01 vs 1.0) cannot participate.  The
+    output is ONE correctly-rounded int→double cast and one division
+    by ``10^k`` — bit-identical by IEEE 754 on any engine.  Small-
+    denominator rationals (score formulas, frame means, percent_rank)
+    land ON k-dp ties with high probability, so they must use this
+    form rather than ``round(double, k)`` (the sf0.1 sweep caught
+    three such splits; ``order_seasonality_index`` is the original
+    worked inline example of the same template).
+
+    ``signed=True`` quantizes ``|num|`` and re-applies the sign —
+    half-AWAY-FROM-ZERO, matching Spark/Java ``round`` — and is
+    REQUIRED whenever ``num`` can be negative: Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, so the
+    unsigned template diverges on negatives.  ``wide=True`` routes the
+    Spark numerator through DECIMAL(38,0) for budgets past 2^63
+    (DuckDB integer sums widen to HUGEINT natively).  ``zero`` picks
+    the zero-denominator behavior: ``"nullif"`` → NULL on both
+    engines, ``"case0"`` → 0.0 on both engines (percent_rank's n=1
+    convention), ``None`` → caller guarantees ``den > 0``.
+    """
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"dialect must be 'spark' or 'duckdb', got {dialect!r}")
+    if zero not in ("nullif", "case0", None):
+        raise ValueError(f"zero must be 'nullif', 'case0' or None, got {zero!r}")
+    intdiv = "div" if dialect == "spark" else "//"
+    pow10 = 10**k
+    mag = f"abs({num})" if signed else f"({num})"
+    if wide:
+        # budgets past 2^63: Spark needs an explicit DECIMAL(38,0)
+        # route; DuckDB integer sums are already HUGEINT (casting one
+        # to BIGINT would overflow), so it stays uncast.
+        if dialect == "spark":
+            mag = f"cast({mag} as decimal(38,0))"
+        den_t = f"({den})"
+    else:
+        # INT-typed operands would overflow 2·num·10^k under Spark's
+        # ANSI arithmetic (and DuckDB errors the same way) — pin BIGINT.
+        # A no-op for the LONG columns every production site feeds.
+        mag = f"cast({mag} as bigint)"
+        den_t = f"cast(({den}) as bigint)"
+    divisor = f"(2 * {den_t})"
+    if zero == "nullif":
+        divisor = f"nullif({divisor}, 0)"
+    quot = f"(2 * {mag} * {pow10} + {den_t}) {intdiv} {divisor}"
+    if signed:
+        quot = f"(case when ({num}) < 0 then -1 else 1 end) * ({quot})"
+    out = f"cast({quot} as double) / 1e{k}"
+    if zero == "case0":
+        out = f"case when ({den}) = 0 then cast(0 as double) else {out} end"
+    return out
+
+
 def _units(col: Column | str, scale: int = 2) -> Column:
     """Exact scaled-integer view of a ``scale``-dp double, as LONG.
 

@@ -15,6 +15,7 @@ from encodesrv_spark.functions.exact import (
     _units,
     exact_sum,
     exact_units_sum,
+    half_up_idx_sql,
     money_round,
 )
 from encodesrv_spark.plans.registry import register
@@ -1018,7 +1019,7 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_moving_avg",
-    oracle="""
+    oracle=f"""
         WITH f AS (
             SELECT event_id, event_type,
                    epoch_us(ts) // 1000000 AS tsec,
@@ -1032,9 +1033,9 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         SELECT event_id, event_type, tsec,
-               CAST((CASE WHEN cents < 0 THEN -1 ELSE 1 END)
-                    * ((2 * abs(cents) * 1000000 + 100 * n_1h)
-                       // (200 * n_1h)) AS DOUBLE) / 1e6 AS avg_1h,
+               {half_up_idx_sql("cents", "100 * n_1h", 6,
+                                dialect="duckdb", signed=True, zero=None)}
+                   AS avg_1h,
                n_1h
         FROM f
     """,
@@ -1085,10 +1086,11 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "tsec",
-        "cast((case when __cents < 0 then -1 else 1 end)"
-        "     * ((2 * abs(cast(__cents as decimal(38,0))) * 1000000"
-        "         + 100 * n_1h)"
-        "        div (200 * n_1h)) as double) / 1e6 as avg_1h",
+        half_up_idx_sql(
+            "__cents", "100 * n_1h", 6,
+            dialect="spark", signed=True, wide=True, zero=None,
+        )
+        + " as avg_1h",
         "n_1h",
     )
 

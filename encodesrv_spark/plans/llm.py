@@ -15,7 +15,11 @@ from pyspark.sql import Window as W
 
 from encodesrv_spark.catalog import load_table
 from encodesrv_spark.functions import text as T
-from encodesrv_spark.functions.exact import exact_sum, money_round
+from encodesrv_spark.functions.exact import (
+    exact_sum,
+    half_up_idx_sql,
+    money_round,
+)
 from encodesrv_spark.functions.hashing import km_hash64_sql, stable_hash64_sql
 from encodesrv_spark.operators import dedup, multimodal, similarity
 from encodesrv_spark.plans.registry import register
@@ -399,10 +403,10 @@ _QUALITY_SQL = f"""
             FROM m
         )
         SELECT doc_id, n_chars_m, n_tokens, n_types,
-               CAST((2 * n_types * 10000 + n_tokens)
-                    // nullif(2 * n_tokens, 0) AS DOUBLE) / 1e4 AS ttr,
-               CAST((2 * score_num * 10000 + score_den)
-                    // nullif(2 * score_den, 0) AS DOUBLE) / 1e4 AS score
+               {half_up_idx_sql("n_types", "n_tokens", 4, dialect="duckdb")}
+                   AS ttr,
+               {half_up_idx_sql("score_num", "score_den", 4, dialect="duckdb")}
+                   AS score
         FROM s
     """
 
@@ -439,13 +443,16 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars_m",
         "n_tokens",
         "n_types",
-        "cast((2 * n_types * 10000 + n_tokens)"
-        "     div nullif(2 * n_tokens, 0) as double) / 1e4 as ttr",
-        "cast((2 * (8 * least(n_tokens, 150) * n_tokens"
-        "           + 900 * n_types"
-        "           + 45 * least(__n_stop, 20) * n_tokens) * 10000"
-        "      + 3000 * n_tokens)"
-        "     div nullif(2 * 3000 * n_tokens, 0) as double) / 1e4 as score",
+        half_up_idx_sql("n_types", "n_tokens", 4, dialect="spark") + " as ttr",
+        half_up_idx_sql(
+            "8 * least(n_tokens, 150) * n_tokens"
+            " + 900 * n_types"
+            " + 45 * least(__n_stop, 20) * n_tokens",
+            "3000 * n_tokens",
+            4,
+            dialect="spark",
+        )
+        + " as score",
     )
 
 

@@ -42,6 +42,7 @@ from encodesrv_spark.functions.exact import (
     _units,
     exact_sum,
     exact_units_sum,
+    half_up_idx_sql,
     money_round,
 )
 from encodesrv_spark.functions.hashing import stable_hash64_sql
@@ -1349,12 +1350,11 @@ _QCAL_KEEP_FRAC = 0.3  # drop the bottom 30% — globally vs per-source
                    (score >= t.thr) AS keep_global,
                    (percent_rank() OVER w >= {_QCAL_KEEP_FRAC}) AS keep_calibrated
             FROM j, t
-            WINDOW w AS (PARTITION BY source ORDER BY score)
+            WINDOW w AS (PARTITION BY source ORDER BY score NULLS LAST)
         )
         SELECT doc_id, source, score,
-               CASE WHEN d = 0 THEN CAST(0 AS DOUBLE)
-                    ELSE CAST((2 * r1 * 1000000 + d) // (2 * d) AS DOUBLE)
-                         / 1e6 END AS src_pr,
+               {half_up_idx_sql("r1", "d", 6, dialect="duckdb", zero="case0")}
+                   AS src_pr,
                keep_global, keep_calibrated
         FROM r
     """,
@@ -1383,7 +1383,11 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 7-dp-…5 tie), so `src_pr` is quantized as the exact integer
     half-up index (2·(rank−1)·10⁶ + (n−1)) DIV (2·(n−1)) on both
     engines; the single-row source (n−1 = 0) is pinned to 0.0, the
-    value percent_rank defines there on both engines."""
+    value percent_rank defines there on both engines.  The window
+    orders NULLS LAST explicitly: scores are nullable since the r06
+    zero-token nullif guard, and the engine DEFAULTS diverge (Spark
+    ASC = NULLS FIRST, DuckDB ASC = NULLS LAST) — an unpinned NULL
+    would shift every rank in its source."""
     prep(spark)
     from encodesrv_spark.plans.llm import quality_score
 
@@ -1393,7 +1397,7 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = j.agg(
         F.percentile("score", F.lit(_QCAL_KEEP_FRAC)).alias("thr")
     )
-    w = W.partitionBy("source").orderBy("score")
+    w = W.partitionBy("source").orderBy(F.asc_nulls_last("score"))
     pr = F.percent_rank().over(w)
     return (
         j.crossJoin(F.broadcast(thr))
@@ -1412,9 +1416,8 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "score",
-            "case when __d = 0 then cast(0 as double)"
-            "     else cast((2 * __r1 * 1000000 + __d) div (2 * __d)"
-            "               as double) / 1e6 end as src_pr",
+            half_up_idx_sql("__r1", "__d", 6, dialect="spark", zero="case0")
+            + " as src_pr",
             "keep_global",
             "keep_calibrated",
         )
@@ -1849,7 +1852,12 @@ def order_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(rev_cents as double) / 100 as revenue",
         # exact half-up 6-dp quantization in DECIMAL(38,0): ~6e23 max at
         # sf0.1 and ~6e31 at SF 1e5 — 6+ digits of headroom; `div` on
-        # decimals is Spark's integral divide (returns LONG, idx6 ≤ ~1e7)
+        # decimals is Spark's integral divide (returns LONG, idx6 ≤ ~1e7).
+        # Same template as functions/exact.py::half_up_idx_sql with
+        # num=rev_cents·tot_n, den=n·tot_rev, k=6 — kept inline (the
+        # product-numerator needs the decimal casts on BOTH operands)
+        # and pinned by the r06 driver row; new tie-prone outputs should
+        # use the helper.
         "cast((cast(rev_cents as decimal(38,0)) * tot_n * 2000000"
         "      + cast(n as decimal(38,0)) * tot_rev)"
         "     div nullif(cast(n as decimal(38,0)) * tot_rev * 2, 0)"
