@@ -59,6 +59,55 @@ def warm(spark, qs, name: str, sf_dir: str) -> None:
     qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
 
+def _scan_control_df(spark, sf_dir: str):
+    """The scan-bound drift control (VERDICT r06 #2): a q6-shaped
+    filtered scan + ungrouped aggregate, defined HERE (not in the
+    registry) so no registry edit can ever touch its form.  The three
+    registered controls are all shuffle/window-dominated; the r06
+    judge run showed them flat while every scan-dominated headline
+    query ran +26-70% — the control family was missing the
+    page-cache/scan-throughput axis this query pins."""
+    from pyspark.sql import functions as F
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("v"))
+    )
+
+
+# Machine-state drift controls (VERDICT r05 #6 + r06 #2): the three
+# registered queries are NEVER-TOUCHED (stable form since r03 or
+# earlier) and shuffle/window-bound; "scan_filtered" is the bench-local
+# scan-bound control above.  Together they span both resource axes this
+# VM drifts on (shuffle/CPU and page-cache/scan throughput).
+CONTROLS = ["events_ewma", "copurchase_degree_dist", "doc_token_entropy"]
+
+
+def measure_controls(spark, qs, sf_dir: str) -> dict[str, float]:
+    """One control snapshot under the frozen discipline (one warm-up
+    already done by the caller's first snapshot; median-of-3)."""
+    import statistics as _st
+
+    out = {}
+    for name in CONTROLS:
+        if name in qs:
+            out[name] = time_query(spark, qs, name, sf_dir)
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        _scan_control_df(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        ts.append(time.time() - t0)
+    out["scan_filtered"] = round(_st.median(ts), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -88,22 +137,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # Machine-state drift controls (VERDICT r05 #6): this VM's
-    # throughput drifts ±30% across hours, which made the r05 driver
-    # headline (+35%) adjudicable only via an uncommitted extras re-run.
-    # These three queries are NEVER-TOUCHED (stable registered form
-    # since r03 or earlier) and ride in the headline JSON itself, so any
-    # future BENCH_r{N} carries its own evidence: if the controls are
-    # elevated in lockstep with the headline, the delta is machine
-    # state, not code.  Same frozen discipline (one warm-up,
-    # median-of-3); kept OUT of `value`/`queries` so the headline metric
-    # stays comparable across rounds.
-    CONTROLS = ["events_ewma", "copurchase_degree_dist", "doc_token_entropy"]
-    controls = {}
+    # Control snapshot 1 of 3, taken right after the headline loop: the
+    # controls ride in the headline JSON itself so any future BENCH_r{N}
+    # carries its own drift evidence (this VM's throughput drifts ±30%
+    # across hours) — if the controls are elevated in lockstep with the
+    # headline, the delta is machine state, not code.  Kept OUT of
+    # `value`/`queries` so the headline metric stays comparable across
+    # rounds.  Two more snapshots bracket the extras loop (VERDICT r06
+    # #2: within-run drift moved the extras +50-70% while a single
+    # once-measured control set stayed flat — three snapshots make the
+    # drift self-adjudicating from the artifact alone).
     for name in CONTROLS:
         if name in qs:
             warm(spark, qs, name, sf_dir)
-            controls[name] = time_query(spark, qs, name, sf_dir)
+    _scan_control_df(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    controls = measure_controls(spark, qs, sf_dir)
 
     # Non-headline tracking (round-3+): newest operators, one warm-up +
     # one measured rep each.  Deliberately OUTSIDE `value`/`queries` so
@@ -195,6 +243,8 @@ def main() -> None:
         "part_price_dispersion",
         # round-6 growth
         "click_attribution_interval",
+        # round-7 growth
+        "bucketed_colocated_join",
     ]
     # The three controls stay listed in EXTRA so BENCH_EXTRAS keeps
     # their keys for cross-round comparison, but they are NOT re-run:
@@ -202,11 +252,16 @@ def main() -> None:
     # median-of-3 discipline, so reuse those timings (~12 redundant
     # query executions saved per run).
     extra: dict[str, float] = dict(controls)
-    for name in EXTRA:
-        if name not in qs or name in extra:
-            continue
+    todo = [n for n in EXTRA if n in qs and n not in extra]
+    segments = {"start": controls}
+    for i, name in enumerate(todo):
+        if i == len(todo) // 2:
+            # Control snapshot 2 of 3, mid-extras (VERDICT r06 #2).
+            segments["middle"] = measure_controls(spark, qs, sf_dir)
         warm(spark, qs, name, sf_dir)
         extra[name] = time_query(spark, qs, name, sf_dir, reps=1)
+    # Control snapshot 3 of 3, after the extras loop.
+    segments["end"] = measure_controls(spark, qs, sf_dir)
 
     # The driver keeps a bounded TAIL of stdout and parses the LAST line as
     # the round's bench artifact.  Round 3 lost its headline number because
@@ -216,7 +271,9 @@ def main() -> None:
     # the compact headline-only JSON (frozen methodology: median-of-3 over
     # the same 16 queries since round 2).
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    extras_payload = json.dumps({"extra": extra, "sf": sf_val})
+    extras_payload = json.dumps(
+        {"extra": extra, "controls_segments": segments, "sf": sf_val}
+    )
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRAS.json"),

@@ -1017,6 +1017,79 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_copy(spark: SparkSession, sf_dir: str, table: str, key: str,
+                   cols: list[str], n_buckets: int = 8) -> DataFrame:
+    """Write-once bucketed+sorted copy of a testdata table, keyed for
+    the zero-exchange join (sources/bucketed.py contract).  The table
+    name embeds sf_dir so SFs never collide; within a session the copy
+    is written once and reused from the catalog."""
+    import re
+
+    from encodesrv_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    name = f"{table}_bkt_{tag}"
+    if not spark.catalog.tableExists(name):
+        path = f"/root/repo/spark-warehouse/{name}"
+        write_bucketed(
+            load_table(spark, sf_dir, table).select(*cols), name, key,
+            n_buckets, path,
+        )
+    return read_bucketed(spark, name)
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+        SELECT o.o_orderstatus,
+               count(*)::BIGINT AS n,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("extended", "scale", "bucketed"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-exchange fact↔fact join, end-to-end: orders and
+    lineitem are written bucketed+sorted by the join key
+    (sources/bucketed.py), then joined WITHOUT any shuffle — each task
+    zips bucket i of one side with bucket i of the other, because the
+    catalog's bucket spec already satisfies the join's distribution
+    requirement.  At 100 TB the dominant cost of a fact↔fact join is
+    shuffling both sides; bucketing pays that shuffle ONCE at write
+    time and amortizes it over every subsequent join on the key — the
+    layout a jobs/lineitem-scale pipeline wants for its hot join.
+
+    The merge hint pins sort-merge (at the gate SFs the orders side
+    would broadcast, which also avoids the exchange but would not
+    exercise the bucketed path being proven; at production SF merge is
+    what AQE picks anyway).  The plan contract — zero Exchange
+    anywhere under the join — is asserted by
+    tests/test_plans.py::test_bucketed_colocated_join_plan.  The
+    oracle is the plain join on the raw parquet: the bucketed copy is
+    a pure re-layout, so results must match exactly; revenue is the
+    exact decimal money sum."""
+    prep(spark)
+    ob = _bucketed_copy(
+        spark, sf_dir, "orders", "o_orderkey", ["o_orderkey", "o_orderstatus"]
+    )
+    lb = _bucketed_copy(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    return (
+        lb.hint("merge")
+        .join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            money_round(_rev_sum()).alias("revenue"),
+        )
+    )
+
+
 @register(
     "events_moving_avg",
     oracle=f"""
@@ -1034,7 +1107,8 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_id, event_type, tsec,
                {half_up_idx_sql("cents", "100 * n_1h", 6,
-                                dialect="duckdb", signed=True, zero=None)}
+                                dialect="duckdb", signed=True, wide=True,
+                                zero=None)}
                    AS avg_1h,
                n_1h
         FROM f
@@ -1069,8 +1143,12 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's flooring `//` agreeing — they differ on negatives).
     DECIMAL(38,0) on the Spark side: 2·|cents|·10⁶ reaches ~1.2e20 at
     the 100 TB frame budget, past 2^63 but 18 digits inside 38; DuckDB
-    sums BIGINT cents into HUGEINT natively.  The only float op left
-    is one correctly-rounded ≤1e9-integer→double cast and one /1e6."""
+    sums BIGINT cents into HUGEINT natively — the oracle passes
+    wide=True too (r07, ADVICE r06) so the HUGEINT frame sum stays
+    uncast: the non-wide template's BIGINT cast silently shrank the
+    oracle's budget to ~4.6e12 frame-cents, asymmetric to the Spark
+    twin's.  The only float op left is one correctly-rounded
+    ≤1e9-integer→double cast and one /1e6."""
     prep(spark)
     e = load_table(spark, sf_dir, "events").withColumn(
         "tsec", F.expr("ts_ns DIV 1000000000")
@@ -2223,8 +2301,8 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # together in >= 2 orders) and its undirected expansion — identical to
 # the part_copurchase_triangles graph.
 _COPURCHASE_EDGE_CTES = """
-        li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e AS (
+        li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS MATERIALIZED (
             SELECT a.l_partkey AS p1, b.l_partkey AS p2
             FROM li a
             JOIN li b ON a.l_orderkey = b.l_orderkey
@@ -2233,6 +2311,12 @@ _COPURCHASE_EDGE_CTES = """
             HAVING count(*) >= 2
         )
 """
+# AS MATERIALIZED (r07, VERDICT r06 #1): DuckDB inlines multiply-referenced
+# CTEs by default, so every oracle that probes `e` more than once re-ran the
+# O(pairs-per-order) basket self-join per reference — 5.3 s → 0.6 s for
+# part_edge_embeddedness at sf0.1, and the difference between 178 s and
+# 0.5 s for the unrolled k-core peel below.  Oracle-side only; the Spark
+# twin's localCheckpoint already pins single evaluation.
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2584,7 +2668,13 @@ def part_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _peel_round_sql(i: int, k: int) -> str:
     """One k-core peel round as unrolled CTEs: degrees over e{i-1},
-    survivors, and the induced edge set e{i}."""
+    survivors, and the induced edge set e{i}.
+
+    Each round's edge set is AS MATERIALIZED: e{i-1} is referenced
+    three times per round (twice in the degree UNION ALL, once as the
+    join base), so the default inlining re-evaluated the whole peel
+    chain multiplicatively — 178 s solo / 829 s under sweep concurrency
+    at sf0.1 vs 0.5 s materialized (VERDICT r06 #1)."""
     return f"""
         d{i} AS (
             SELECT node, count(*) AS deg FROM (
@@ -2593,14 +2683,20 @@ def _peel_round_sql(i: int, k: int) -> str:
             ) GROUP BY node
         ),
         v{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
-        e{i} AS (
+        e{i} AS MATERIALIZED (
             SELECT e.p1, e.p2 FROM e{i - 1} e
             JOIN v{i} a ON a.node = e.p1
             JOIN v{i} b ON b.node = e.p2
         )"""
 
 
-_KCORE_K = 3
+# k=2 (r07): the support>=2 co-purchase graph sparsifies RELATIVE to
+# part count as SF grows (10x parts, near-constant basket sizes), so the
+# 3-core is empty at sf0.1 — a hash-trivially-green all-empty comparison
+# that exercised nothing at the sweep SF (VERDICT r06 #1).  The 2-core
+# (cycle-containing backbone) is non-empty at every gate SF
+# (sf0.01: 1535 rows, sf0.1: 13 rows) so both comparisons are real.
+_KCORE_K = 2
 _KCORE_ROUNDS = 3
 
 
@@ -2608,7 +2704,7 @@ _KCORE_ROUNDS = 3
     "part_kcore_peel",
     oracle=f"""
         WITH {_COPURCHASE_EDGE_CTES},
-        e0 AS (SELECT p1, p2 FROM e),
+        e0 AS MATERIALIZED (SELECT p1, p2 FROM e),
         {",".join(_peel_round_sql(i, _KCORE_K) for i in (1, 2, 3))}
         SELECT node AS part, deg AS core_degree FROM (
             SELECT node, count(*)::BIGINT AS deg FROM (
@@ -2620,12 +2716,15 @@ _KCORE_ROUNDS = 3
     tags=("extended", "graph", "iterative"),
 )
 def part_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{_KCORE_K}-core extraction by bounded peeling: {_KCORE_ROUNDS}
-    synchronous rounds of remove-degree-<{_KCORE_K}-nodes over the
-    co-purchase graph, emitting each survivor with its degree in the
-    peeled subgraph — the dense-backbone extractor (k-cores are where
-    community structure and bundle recommendations live; peeling
-    strips the pendant/chain periphery that drowns them).
+    """k-core extraction (k=2) by bounded peeling: 3 synchronous
+    rounds of remove-degree-<k nodes over the co-purchase graph,
+    emitting each survivor with its degree in the peeled subgraph —
+    the dense-backbone extractor (k-cores are where community
+    structure and bundle recommendations live; peeling strips the
+    pendant/chain periphery that drowns them).  k=2 keeps the
+    registered output non-empty at every gate SF (the support>=2
+    graph's 3-core empties at sf0.1), so the sweep comparison is
+    never vacuous.
 
     Peeling converges monotonically from above, so a bounded round
     count yields a certified SUPERSET of the true k-core (exactly the

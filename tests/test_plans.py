@@ -184,6 +184,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_bucketed_colocated_join_plan(spark, sf_dir):
+    """The REGISTERED bucketed query (r07: the sources/bucketed.py
+    contract promoted from plan-only tests to an oracle-gated query):
+    the fact↔fact join subtree must be exchange-free — both scans read
+    the catalog's bucket spec (`Bucketed: true`), the sort-merge join
+    consumes that distribution directly, and the only Exchange in the
+    whole plan is the tiny post-partial-agg one on o_orderstatus."""
+    plan = plan_of(spark, sf_dir, "bucketed_colocated_join")
+    join_sub = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_sub, join_sub
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
 def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
     """Status-partitioned jobs layout: a poll filter on the partition
     key becomes a PartitionFilter (directory pruning) — the scan reads
