@@ -13,6 +13,11 @@ with typed ValueState/TTL) is the migration target for these operators;
 it needs the Python protobuf runtime for its state-server protocol,
 which this environment lacks, so the operators stay on
 applyInPandasWithState (same state semantics, same tests).
+Re-checked r07: `GroupedData.transformWithStateInPandas` and
+`pyspark.sql.streaming.stateful_processor.StatefulProcessor` both
+import on this runtime (PySpark 4.1.2), but `google.protobuf` is still
+absent, so the state-server handshake cannot run — the migration
+carries over unchanged the moment the dependency appears.
 """
 
 from __future__ import annotations
