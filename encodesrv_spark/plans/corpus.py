@@ -163,7 +163,7 @@ _DOC_SHINGLES5 = """
 @register(
     "decontaminate_overlap",
     oracle=f"""
-        WITH sh AS ({_DOC_SHINGLES5}),
+        WITH sh AS MATERIALIZED ({_DOC_SHINGLES5}),
         bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE source = 'src0'),
         train AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
         SELECT t.doc_id,
@@ -753,7 +753,7 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_novelty",
     oracle="""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
             FROM (
                 SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1500,7 +1500,7 @@ def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "repeated_ngram_audit",
     oracle=f"""
-        WITH sh AS ({_DOC_SHINGLES5}),
+        WITH sh AS MATERIALIZED ({_DOC_SHINGLES5}),
         census AS (
             SELECT s, count(DISTINCT doc_id)::BIGINT AS df
             FROM sh GROUP BY s

@@ -366,13 +366,13 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_containment",
     # same stop-shingle df-cap discipline as neardup_jaccard
     oracle=f"""
-        WITH idx0 AS (SELECT doc_id, s FROM ({_SHINGLES3})),
-        idx AS (
+        WITH idx0 AS MATERIALIZED (SELECT doc_id, s FROM ({_SHINGLES3})),
+        idx AS MATERIALIZED (
             SELECT doc_id, s FROM idx0
             WHERE s IN (SELECT s FROM idx0 GROUP BY s HAVING count(*) <= 10000)
         ),
-        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
-        common AS (
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
             FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -806,8 +806,8 @@ def corpus_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_estimate_error",
     oracle=f"""
-        WITH sig AS ({_SIG8}),
-        bands AS (
+        WITH sig AS MATERIALIZED ({_SIG8}),
+        bands AS MATERIALIZED (
             SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
             UNION ALL
             SELECT doc_id, 1, concat(h2::VARCHAR, '_', h3::VARCHAR) FROM sig
@@ -832,13 +832,13 @@ def corpus_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN sig sa ON sa.doc_id = c.doc_a
             JOIN sig sb ON sb.doc_id = c.doc_b
         ),
-        idx0 AS (SELECT doc_id, s FROM ({_SHINGLES3})),
-        idx AS (
+        idx0 AS MATERIALIZED (SELECT doc_id, s FROM ({_SHINGLES3})),
+        idx AS MATERIALIZED (
             SELECT doc_id, s FROM idx0
             WHERE s IN (SELECT s FROM idx0 GROUP BY s HAVING count(*) <= 10000)
         ),
-        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
-        common AS (
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
             FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -959,29 +959,29 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_density_clusters",
     oracle=f"""
-        WITH RECURSIVE e AS (
+        WITH RECURSIVE e AS MATERIALIZED (
             SELECT vec_id, emb, ((CASE WHEN list_inner_product(emb, [-0.218, -0.59, 0.762, 0.952, -0.728, 0.045, -0.219, -0.014, -0.113, -0.41, -0.854, -0.575, 0.199, -0.354, -0.614, -0.918, 0.975, 0.735, -0.138, -0.229, 0.861, -0.45, 0.43, 0.671, -0.133, -0.601, 0.77, 0.186, 0.049, -0.706, 0.73, 0.309, -0.957, -0.554, 0.817, 0.972, -0.897, -0.535, 0.077, -0.421, -0.4, 0.645, -0.517, -0.079, 0.522, -0.105, -0.102, -0.972, -0.418, -0.259, -0.767, -0.602, 0.034, -0.877, 0.187, -0.074, 0.21, 0.971, 0.737, -0.143, -0.098, 0.441, -0.435, -0.733]) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_inner_product(emb, [0.866, -0.715, 0.661, -0.465, 0.702, -0.645, -0.658, 0.14, -0.932, 0.051, 0.841, 0.638, -0.826, 0.831, -0.452, 0.931, -0.583, 0.758, 0.816, 0.802, 0.704, -0.124, 0.795, 0.343, -0.991, -0.022, 0.792, -0.745, 0.332, 0.338, 0.867, -0.521, 0.364, 0.856, 0.926, -0.769, 0.429, -0.933, 0.283, -0.224, 0.047, 0.678, 0.291, 0.475, -0.368, 0.615, -0.994, -0.405, -0.623, 0.888, -0.639, -0.104, -0.658, -0.963, 0.533, -0.106, -0.413, -0.441, 0.456, -0.742, 0.064, 0.454, 0.477, 0.366]) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_inner_product(emb, [-0.073, -0.481, 0.726, 0.968, -0.294, -0.265, -0.681, -0.462, -0.393, 0.161, 0.634, -0.088, -0.313, 0.911, 0.003, -0.58, 0.29, 0.36, 0.883, 0.197, -0.559, -0.764, 0.027, 0.464, 0.525, -0.256, -0.771, 0.623, 0.883, -0.085, -0.032, 0.937, 0.28, 0.298, 0.208, 0.23, -0.987, -0.757, 0.324, 0.741, 0.113, 0.393, 0.231, -0.196, -0.513, -0.948, -0.024, -0.199, 0.389, 0.384, 0.011, -0.261, -0.62, -0.003, 0.257, -0.763, -0.974, -0.811, -0.916, 0.176, 0.155, 0.287, 0.643, -0.395]) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_inner_product(emb, [0.256, -0.265, 0.314, 0.056, -0.407, 0.061, -0.175, 0.597, 0.907, -0.277, 0.893, -0.735, 0.716, 0.927, -0.96, 0.817, 0.808, 0.911, 0.694, -0.639, 0.789, 0.251, 0.423, 0.929, -0.593, -0.456, 0.601, -0.926, 0.89, -0.01, -0.141, 0.34, 0.286, 0.092, 0.918, 0.404, -0.968, -0.128, -0.895, -0.603, -0.247, 0.685, 0.28, 0.402, 0.411, -0.384, -0.055, -0.235, -0.061, -0.207, -0.34, 0.473, -0.19, -0.191, -0.457, 0.217, 0.368, 0.194, 0.023, -0.614, 0.856, -0.093, 0.381, 0.264]) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_inner_product(emb, [0.624, 0.087, 0.06, -0.731, 0.097, -0.174, 0.221, -0.481, 0.742, -0.18, -0.523, -0.121, -0.008, -0.563, 0.635, 0.164, 0.73, 0.915, -0.998, 0.805, -0.445, 0.667, 0.219, 0.013, 0.264, 0.623, -0.043, 0.974, -0.774, -0.682, 0.91, -0.834, 0.24, 0.058, 0.158, -0.674, -0.698, -0.932, 0.354, -0.143, -0.485, -0.042, -0.634, 0.587, 0.462, -0.69, -0.106, 0.123, -0.489, -0.423, 0.868, 0.414, 0.369, -0.846, -0.045, -0.467, -0.402, 0.228, 0.671, -0.162, -0.937, 0.884, 0.541, 0.953]) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_inner_product(emb, [0.474, 0.926, 0.1, 0.479, -0.319, -0.247, -0.84, 0.848, 0.462, 0.159, 0.92, -0.314, 0.536, -0.342, -0.695, 0.86, -0.88, -0.945, 0.458, -0.603, -0.92, -0.656, -0.617, -0.268, -0.029, -0.861, 0.235, 0.415, -0.297, 0.109, 0.22, -0.873, -0.379, 0.786, -0.601, 0.591, -0.264, -0.955, 0.856, 0.272, 0.734, 0.246, -0.08, 0.775, -0.275, -0.468, -0.405, 0.418, -0.216, -0.702, -0.354, 0.155, 0.044, -0.943, -0.023, -0.783, -0.452, 0.966, 0.024, 0.755, -0.315, -0.46, 0.371, -0.435]) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_inner_product(emb, [0.652, -0.986, -0.798, -0.752, -0.176, 0.568, 0.066, 0.249, -0.168, -0.46, -0.828, -0.391, 0.453, 0.694, 0.207, -0.389, 0.834, -0.46, -0.016, 0.457, -0.512, -0.242, 0.711, -0.985, 0.586, -0.188, -0.39, 0.253, -0.098, -0.194, 0.803, -0.83, 0.044, -0.174, 0.912, -0.633, -0.213, 0.062, 0.926, -0.513, -0.926, -0.484, 0.699, -0.315, 0.458, -0.123, -0.538, 0.337, 0.598, 0.519, 0.873, 0.191, -0.617, -0.829, 0.414, 0.878, -0.822, -0.598, -0.569, -0.008, 0.61, -0.097, -0.347, -0.947]) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_inner_product(emb, [0.558, -0.309, 0.208, -0.205, 0.874, 0.01, -0.424, -0.465, 0.514, -0.997, -0.623, 0.181, 0.175, -0.533, 0.978, -0.145, 0.929, 0.674, -0.171, 0.247, 0.984, -0.933, -0.953, 0.995, 0.889, 0.87, 0.063, 0.79, 0.543, 0.558, -0.658, -0.819, -0.782, -0.479, -0.767, -0.501, -0.693, -0.187, -0.377, 0.571, -0.925, 0.014, 0.483, -0.765, 0.541, 0.923, 0.82, -0.245, -0.131, -0.739, 0.986, -0.586, -0.495, 0.291, -0.502, -0.804, 0.901, -0.484, 0.808, -0.619, 0.196, 0.828, -0.921, 0.716]) > 0 THEN 128 ELSE 0 END))::BIGINT AS bucket,
                    list_inner_product(emb, emb) AS nrm
             FROM ({_EMB})
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round(list_inner_product(a.emb, b.emb)
                         / sqrt(a.nrm * b.nrm), 4) >= 0.25
         ),
-        sym AS (
+        sym AS MATERIALIZED (
             SELECT vec_a AS node, vec_b AS nbr FROM pairs
             UNION ALL SELECT vec_b, vec_a FROM pairs
         ),
         deg AS (SELECT node, count(*) AS degree FROM sym GROUP BY node),
-        cores AS (SELECT node FROM deg WHERE degree >= 2),
-        core_edges AS (
+        cores AS MATERIALIZED (SELECT node FROM deg WHERE degree >= 2),
+        core_edges AS MATERIALIZED (
             SELECT vec_a AS doc_a, vec_b AS doc_b FROM pairs
             WHERE vec_a IN (SELECT node FROM cores)
               AND vec_b IN (SELECT node FROM cores)
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM core_edges
             UNION SELECT doc_b, doc_a FROM core_edges
         ),
@@ -990,12 +990,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION
             SELECT e2.src, w.comp FROM edges e2 JOIN walk w ON w.node = e2.dst
         ),
-        comp AS (SELECT node, min(comp) AS cluster FROM walk GROUP BY node),
-        core_clusters AS (
+        comp AS MATERIALIZED (SELECT node, min(comp) AS cluster FROM walk GROUP BY node),
+        core_clusters AS MATERIALIZED (
             SELECT c.node, coalesce(p.cluster, c.node) AS cluster
             FROM cores c LEFT JOIN comp p ON p.node = c.node
         ),
-        border AS (
+        border AS MATERIALIZED (
             SELECT s.node, min(cc.cluster) AS cluster
             FROM sym s
             JOIN core_clusters cc ON cc.node = s.nbr

@@ -83,15 +83,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join AND before the per-doc sizes (no-op at test SFs, the
     # scale guard at 100 TB)
     oracle=f"""
-        WITH idx0 AS (
+        WITH idx0 AS MATERIALIZED (
             SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
         ),
-        idx AS (
+        idx AS MATERIALIZED (
             SELECT doc_id, h FROM idx0
             WHERE h IN (SELECT h FROM idx0 GROUP BY h HAVING count(*) <= 10000)
         ),
-        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
-        common AS (
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
             FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -1076,8 +1076,8 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # components, as recursive CTEs.  Shared by dedup_clusters and the
 # cluster-size histogram (plans/mining.py); embed as
 # f"WITH RECURSIVE {_CLUSTERS_CTES} SELECT ... FROM walk ...".
-_CLUSTERS_CTES = f"""sig AS ({_SIG8}),
-        bands AS (
+_CLUSTERS_CTES = f"""sig AS MATERIALIZED ({_SIG8}),
+        bands AS MATERIALIZED (
             SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
             UNION ALL
             SELECT doc_id, 1, concat(h2::VARCHAR, '_', h3::VARCHAR) FROM sig
@@ -1086,12 +1086,12 @@ _CLUSTERS_CTES = f"""sig AS ({_SIG8}),
             UNION ALL
             SELECT doc_id, 3, concat(h6::VARCHAR, '_', h7::VARCHAR) FROM sig
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a
             JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION
             SELECT doc_b, doc_a FROM pairs
@@ -1305,8 +1305,8 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_removals",
     oracle=f"""
-        WITH RECURSIVE sig AS ({_SIG8}),
-        bands AS (
+        WITH RECURSIVE sig AS MATERIALIZED ({_SIG8}),
+        bands AS MATERIALIZED (
             SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
             UNION ALL
             SELECT doc_id, 1, concat(h2::VARCHAR, '_', h3::VARCHAR) FROM sig
@@ -1315,12 +1315,12 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT doc_id, 3, concat(h6::VARCHAR, '_', h7::VARCHAR) FROM sig
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a
             JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION
             SELECT doc_b, doc_a FROM pairs
@@ -1354,11 +1354,11 @@ def neardup_removals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LEAK_ORACLE = f"""
-    WITH idx AS (
+    WITH idx AS MATERIALIZED (
         SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
     ),
-    sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
-    common AS (
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+    common AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
@@ -1371,7 +1371,7 @@ _LEAK_ORACLE = f"""
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(common * 1.0 / (sa.c + sb.c - common), 4) >= 0.5
     ),
-    assigned AS (
+    assigned AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN {_SPLIT_H} < 80 THEN 'train'
                     WHEN {_SPLIT_H} < 90 THEN 'val'
@@ -1436,8 +1436,8 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keep_best",
     oracle=f"""
-        WITH RECURSIVE sig AS ({_SIG8}),
-        bands AS (
+        WITH RECURSIVE sig AS MATERIALIZED ({_SIG8}),
+        bands AS MATERIALIZED (
             SELECT doc_id, 0 AS band, concat(h0::VARCHAR, '_', h1::VARCHAR) AS key FROM sig
             UNION ALL
             SELECT doc_id, 1, concat(h2::VARCHAR, '_', h3::VARCHAR) FROM sig
@@ -1446,12 +1446,12 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT doc_id, 3, concat(h6::VARCHAR, '_', h7::VARCHAR) FROM sig
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a
             JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION
             SELECT doc_b, doc_a FROM pairs
@@ -1461,7 +1461,7 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION
             SELECT e.src, w.comp FROM edges e JOIN walk w ON w.node = e.dst
         ),
-        comp AS (
+        comp AS MATERIALIZED (
             SELECT node AS doc_id, min(comp)::BIGINT AS component
             FROM walk GROUP BY node
         )

@@ -634,16 +634,16 @@ _CURVE_DF_CAP = 10000
     # pair core mirrors neardup_jaccard's oracle (same shingle SQL, same
     # stop-shingle cap) with the threshold sweep joined on top
     oracle=f"""
-        WITH idx0 AS (
+        WITH idx0 AS MATERIALIZED (
             SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
         ),
-        idx AS (
+        idx AS MATERIALIZED (
             SELECT doc_id, h FROM idx0
             WHERE h IN (SELECT h FROM idx0 GROUP BY h
                         HAVING count(*) <= {_CURVE_DF_CAP})
         ),
-        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
-        common AS (
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
             FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -655,13 +655,13 @@ _CURVE_DF_CAP = 10000
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
         ),
-        thr AS (SELECT unnest({list(_CURVE_THRESHOLDS)!r}::DOUBLE[]) AS threshold),
-        hits AS (
+        thr AS MATERIALIZED (SELECT unnest({list(_CURVE_THRESHOLDS)!r}::DOUBLE[]) AS threshold),
+        hits AS MATERIALIZED (
             SELECT threshold, doc_a, doc_b FROM pairs JOIN thr
             ON jaccard >= threshold
         ),
-        np AS (SELECT threshold, count(*) AS n_pairs FROM hits GROUP BY 1),
-        nd AS (
+        np AS MATERIALIZED (SELECT threshold, count(*) AS n_pairs FROM hits GROUP BY 1),
+        nd AS MATERIALIZED (
             SELECT threshold, count(DISTINCT d) AS n_docs
             FROM (SELECT threshold, doc_a AS d FROM hits
                   UNION ALL SELECT threshold, doc_b FROM hits)
@@ -1435,7 +1435,7 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_size_hist",
     oracle=f"""
         WITH RECURSIVE {_CLUSTERS_CTES},
-        comp AS (
+        comp AS MATERIALIZED (
             SELECT node AS doc_id, min(comp)::BIGINT AS component
             FROM walk GROUP BY node
         ),
@@ -1686,21 +1686,21 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_nearest_neighbor",
     oracle=f"""
-        WITH idx0 AS (
+        WITH idx0 AS MATERIALIZED (
             SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
         ),
-        idx AS (
+        idx AS MATERIALIZED (
             SELECT doc_id, h FROM idx0
             WHERE h IN (SELECT h FROM idx0 GROUP BY h
                         HAVING count(*) <= {_CURVE_DF_CAP})
         ),
-        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
-        common AS (
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
             FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT doc_a, doc_b,
                    round(common * 1.0 / (sa.c + sb.c - common), 4) AS jaccard
             FROM common
@@ -2660,16 +2660,16 @@ def multimodal_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_dup_crosstab",
     oracle=f"""
-        WITH idx0 AS (
+        WITH idx0 AS MATERIALIZED (
             SELECT doc_id, {stable_hash64_sql('s')} AS h FROM ({_SHINGLES3})
         ),
-        idx AS (
+        idx AS MATERIALIZED (
             SELECT doc_id, h FROM idx0
             WHERE h IN (SELECT h FROM idx0 GROUP BY h
                         HAVING count(*) <= {_CURVE_DF_CAP})
         ),
-        sizes AS (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
-        common AS (
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS c FROM idx GROUP BY 1),
+        common AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
             FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2
@@ -3851,7 +3851,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT node AS doc_id FROM walk
             GROUP BY node HAVING min(comp) <> node
         ),
-        q AS ({_QUALITY_SQL}),
+        q AS MATERIALIZED ({_QUALITY_SQL}),
         agg AS (
             SELECT count(*)::BIGINT AS n_docs_pre,
                    sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT

@@ -96,8 +96,33 @@ _HOISTED = (
     # catalog-spec'd scan → exchange-free sort-merge join), landing
     # with its first driver row.
     "bucketed_colocated_join",
+    # the r07 oracle-materialization batch: the systematic audit the
+    # k-core fix prompted found the same DuckDB CTE-inlining pathology
+    # across the dedup/ngram families (sig referenced 4-6x, the bands
+    # self-join re-expanding it to 8 evaluations) — every oracle with
+    # a multi-referenced CTE costing >1.5 s at sf0.1 was A/B'd and the
+    # clear wins (>1.3x, results verified identical) adopted, cutting
+    # ~200 s of oracle-side sweep wall (dedup family 23-31 s → ~4 s
+    # each).  Spark twins untouched; the registered ORACLE text
+    # changed, so each needs a fresh driver row.
+    "dedup_clusters",
+    "dedup_keep_best",
+    "neardup_removals",
+    "neardup_jaccard",
+    "split_leakage",
+    "dedup_cluster_size_hist",
+    "dedup_quality_gain",
+    "neardup_threshold_curve",
+    "doc_nearest_neighbor",
+    "source_dup_crosstab",
+    "minhash_estimate_error",
+    "neardup_containment",
+    "embedding_density_clusters",
+    "ngram_novelty",
+    "repeated_ngram_audit",
+    "decontaminate_overlap",
 )
-# 15 parity + 7 hoisted; the remaining 28 window slots fill in module
+# 15 parity + 23 hoisted; the remaining 12 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
 # composition is pinned by
 # tests/test_plans.py::test_driver_window_composition.

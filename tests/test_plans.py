@@ -514,6 +514,15 @@ def test_no_forced_broadcast_of_sf_scaled_relations(spark, sf_dir):
     for name, q in QUERIES.items():
         df = q.fn(spark, sf_dir)
         for hint in _resolved_hints(df):
+            strategy = hint.hints().strategy()
+            if strategy.isDefined() and "broadcast" not in strategy.get().toString():
+                # non-broadcast strategy hints (merge/shuffle_hash) pick
+                # a SHUFFLE-based plan — the scale-safe direction; only
+                # a broadcast hint can OOM at 100x (r07: the bucketed
+                # join's merge hint pins sort-merge so the catalog
+                # bucket spec is exercised instead of a small-SF
+                # broadcast)
+                continue
             child = hint.child()
             if child.maxRows().isDefined():
                 continue  # bounded by construction: global agg / limit
