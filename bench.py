@@ -245,6 +245,7 @@ def main() -> None:
         "click_attribution_interval",
         # round-7 growth
         "bucketed_colocated_join",
+        "part_scd2_price_history",
     ]
     # The three controls stay listed in EXTRA so BENCH_EXTRAS keeps
     # their keys for cross-round comparison, but they are NOT re-run:

@@ -43,32 +43,63 @@ def scd2_apply(
     and append the new one.  Unchanged keys and non-current history rows
     pass through untouched.  Deterministic — no generated ids, so the
     result is stable for the differential tests.
+
+    Shape: ONE full-outer join of the current slice against the change
+    batch, then a per-row explode emitting each row's output versions
+    ({unchanged} | {closed, new} | {new}).  A semi/anti-join formulation
+    would re-derive the change-detect subtree once per output class
+    (Catalyst has no cross-branch common-subexpression reuse under a
+    Union), i.e. 4 joins and repeated dimension scans; this is 1 join +
+    1 narrow generator — the plan that survives a 100 TB dimension.
+    No broadcast hint anywhere: a full-outer join cannot build a
+    broadcast side, and a MANDATORY hint would be the wrong 100 TB
+    posture — the change batch is usually tiny but can be a
+    full-dimension resend, where a forced broadcast OOMs.
+
+    Change rows must carry every dimension column, with `tracked[0]`
+    non-null (it doubles as the change-side presence marker under the
+    full-outer join, exactly as a MERGE's WHEN MATCHED needs a
+    non-null source column).
     """
     ts = F.lit(batch_ts).cast("timestamp")
     cur = hist.filter(F.col("is_current"))
     old = hist.filter(~F.col("is_current"))
+    dim_cols = [c for c in cur.columns if c not in ("valid_from", "valid_to", "is_current")]
 
+    # Prefix-rename the change side instead of alias-qualifying: alias
+    # scoping breaks on RE-apply (the history's lineage already carries
+    # same-named attributes from the previous apply's structs, and a
+    # USING-join's coalesced key makes qualified access ambiguous);
+    # distinct physical names can never collide, whatever the lineage.
+    npref = changes.select([F.col(c).alias(f"__n_{c}") for c in changes.columns])
+    joined = cur.join(npref, F.col(key) == F.col(f"__n_{key}"), "full_outer")
     # A real change = key exists with any tracked column differing, or a
     # brand-new key. Null-safe compare so NULL -> value counts as a change.
-    joined = cur.alias("c").join(F.broadcast(changes.alias("n")), key, "full_outer")
     diff = F.lit(False)
     for t in tracked:
-        diff = diff | ~F.col(f"c.{t}").eqNullSafe(F.col(f"n.{t}"))
-    is_new_key = F.col("c.is_current").isNull()
-    changed_keys = joined.filter(
-        F.col(f"n.{tracked[0]}").isNotNull() & (is_new_key | diff)
-    ).select(key)
+        diff = diff | ~F.col(t).eqNullSafe(F.col(f"__n_{t}"))
+    has_cur = F.col("is_current").isNotNull()
+    has_chg = F.col(f"__n_{tracked[0]}").isNotNull()
 
-    closed = (
-        cur.join(F.broadcast(changed_keys), key, "left_semi")
-        .withColumn("valid_to", ts)
-        .withColumn("is_current", F.lit(False))
+    def _ver(pref: str, vfrom, vto, is_cur) -> F.Column:
+        return F.struct(
+            *[F.col(f"{pref}{c}").alias(c) for c in dim_cols],
+            vfrom.alias("valid_from"),
+            vto.alias("valid_to"),
+            is_cur.alias("is_current"),
+        )
+
+    unchanged = _ver("", F.col("valid_from"), F.col("valid_to"), F.lit(True))
+    closed = _ver("", F.col("valid_from"), ts, F.lit(False))
+    new_ver = _ver("__n_", ts, F.lit(None).cast("timestamp"), F.lit(True))
+
+    emitted = (
+        F.when(~has_cur, F.array(new_ver))  # brand-new key
+        .when(has_chg & diff, F.array(closed, new_ver))  # real change
+        .otherwise(F.array(unchanged))  # no change row, or a no-op resend
     )
-    untouched = cur.join(F.broadcast(changed_keys), key, "left_anti")
-    new_rows = scd2_init(
-        changes.join(F.broadcast(changed_keys), key, "left_semi"), batch_ts
-    )
-    return old.unionByName(untouched).unionByName(closed).unionByName(new_rows)
+    applied = joined.select(F.explode(emitted).alias("v")).select("v.*")
+    return old.unionByName(applied)
 
 
 def scd2_asof(hist: DataFrame, ts: str) -> DataFrame:

@@ -1090,6 +1090,128 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCD2 batch timestamps — fixed literals so both engines emit
+# byte-identical rendered strings (the established timestamp rule).
+_SCD_T0 = "2024-01-01 00:00:00"
+_SCD_T1 = "2024-07-01 00:00:00"
+
+
+@register(
+    "part_scd2_price_history",
+    oracle=f"""
+        WITH cur AS MATERIALIZED (
+            SELECT p_partkey, p_brand, p_retailprice FROM part
+        ),
+        chg AS MATERIALIZED (
+            SELECT p_partkey, p_brand,
+                   CASE WHEN p_partkey % 7 = 0
+                        THEN p_retailprice + CAST(10.0 AS DOUBLE)
+                        ELSE p_retailprice END AS p_retailprice
+            FROM part
+            WHERE p_partkey % 7 = 0 OR p_partkey % 11 = 0
+            UNION ALL
+            SELECT -(p_partkey + 1) AS p_partkey,
+                   'BRAND#NEW' AS p_brand, p_retailprice
+            FROM part WHERE p_partkey % 97 = 0
+        ),
+        ck AS MATERIALIZED (
+            SELECT c.p_partkey
+            FROM chg c LEFT JOIN cur d USING (p_partkey)
+            WHERE d.p_partkey IS NULL
+               OR d.p_brand IS DISTINCT FROM c.p_brand
+               OR d.p_retailprice IS DISTINCT FROM c.p_retailprice
+        )
+        SELECT d.p_partkey, d.p_brand, d.p_retailprice,
+               '{_SCD_T0}' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to,
+               true AS is_current
+        FROM cur d
+        WHERE d.p_partkey NOT IN (SELECT p_partkey FROM ck)
+        UNION ALL
+        SELECT d.p_partkey, d.p_brand, d.p_retailprice,
+               '{_SCD_T0}' AS valid_from,
+               '{_SCD_T1}' AS valid_to,
+               false AS is_current
+        FROM cur d
+        WHERE d.p_partkey IN (SELECT p_partkey FROM ck)
+        UNION ALL
+        SELECT c.p_partkey, c.p_brand, c.p_retailprice,
+               '{_SCD_T1}' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to,
+               true AS is_current
+        FROM chg c
+        WHERE c.p_partkey IN (SELECT p_partkey FROM ck)
+    """,
+    tags=("extended", "scd", "dimension"),
+)
+def part_scd2_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance, end-to-end oracle-gated: the
+    part dimension is bootstrapped into versioned history
+    (operators/scd.py::scd2_init) and one deterministic change batch is
+    applied (scd2_apply) — price changes (key ≡ 0 mod 7, +10.00),
+    no-op updates (key ≡ 0 mod 11, values unchanged — must NOT churn
+    history), and brand-new keys (-(key+1) for key ≡ 0 mod 97 — the
+    +1 matters: testdata part keys include 0, so a plain negation
+    would collide and hand the MERGE two change rows for one key).
+    The reference mutates its formats dimension in place
+    (schema.sql:29-52), losing history; SCD2 is the standard
+    pipeline-scale fix, and this promotes the operator from unit-tested
+    (tests/test_state_machine.py) to driver-gated.
+
+    Scale shape: change detection is ONE join of the change batch
+    against the current slice — broadcast when the batch is small (the
+    common case: dimension edits are rare), shuffle-on-key otherwise;
+    closed/untouched/new rows are unions with no extra exchange.  The
+    no-op drop is the scale property that matters at 100 TB: an
+    upstream that re-sends the full dimension nightly must not rewrite
+    (or version-churn) the unchanged 99.9%.
+
+    Determinism: fixed batch timestamps rendered as strings; the +10.00
+    price bump is IEEE double addition, bit-identical across engines;
+    change detection is null-safe equality on both sides."""
+    from encodesrv_spark.operators.scd import scd2_apply, scd2_init
+
+    prep(spark)
+    dim = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    changes = (
+        dim.filter((F.col("p_partkey") % 7 == 0) | (F.col("p_partkey") % 11 == 0))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.when(
+                F.col("p_partkey") % 7 == 0,
+                F.col("p_retailprice") + F.lit(10.0),
+            )
+            .otherwise(F.col("p_retailprice"))
+            .alias("p_retailprice"),
+        )
+        .unionByName(
+            dim.filter(F.col("p_partkey") % 97 == 0).select(
+                (-(F.col("p_partkey") + F.lit(1))).alias("p_partkey"),
+                F.lit("BRAND#NEW").alias("p_brand"),
+                "p_retailprice",
+            )
+        )
+    )
+    hist = scd2_apply(
+        scd2_init(dim, _SCD_T0),
+        changes,
+        "p_partkey",
+        ["p_brand", "p_retailprice"],
+        _SCD_T1,
+    )
+    return hist.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
 @register(
     "events_moving_avg",
     oracle=f"""

@@ -121,6 +121,15 @@ _HOISTED = (
     "ngram_novelty",
     "repeated_ngram_audit",
     "decontaminate_overlap",
+    # registry growth, continuation of the round: SCD Type-2 dimension
+    # maintenance (operators/scd.py) promoted from unit-tested to
+    # oracle-gated — the reference mutates its formats dimension in
+    # place, losing history (schema.sql:29-52); the engine's versioned
+    # twin was the last real operator with no driver row.  Lands with
+    # the one-join+explode rewrite (the semi/anti formulation
+    # re-evaluated the change-detect subtree per output class: 91
+    # physical-plan nodes → 17).
+    "part_scd2_price_history",
 )
 # 15 parity + 23 hoisted; the remaining 12 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The

@@ -199,6 +199,21 @@ def test_bucketed_colocated_join_plan(spark, sf_dir):
     assert "SelectedBucketsCount: 8 out of 8" in plan
 
 
+def test_scd2_single_join_plan(spark, sf_dir):
+    """SCD2 apply must be ONE join + ONE generator (r07): the
+    semi/anti-join formulation re-evaluated the change-detect subtree
+    once per output class (Catalyst has no cross-branch CSE under a
+    Union) — 91 physical nodes, 4 joins, repeated dimension scans.
+    The explode form is the plan that survives a 100 TB dimension:
+    a single full-outer join and a narrow Generate."""
+    plan = plan_of(spark, sf_dir, "part_scd2_price_history")
+    assert plan.count("Join") == 1, plan
+    assert "FullOuter" in plan
+    assert plan.count("Generate") == 1, plan
+    # both part scans are column-pruned to the 3 needed columns
+    assert "p_name" not in plan and "p_type" not in plan, plan
+
+
 def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
     """Status-partitioned jobs layout: a poll filter on the partition
     key becomes a PartitionFilter (directory pruning) — the scan reads
