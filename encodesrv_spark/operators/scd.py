@@ -56,10 +56,10 @@ def scd2_apply(
     posture — the change batch is usually tiny but can be a
     full-dimension resend, where a forced broadcast OOMs.
 
-    Change rows must carry every dimension column, with `tracked[0]`
-    non-null (it doubles as the change-side presence marker under the
-    full-outer join, exactly as a MERGE's WHEN MATCHED needs a
-    non-null source column).
+    Change rows must carry every dimension column; the key is the
+    change-side presence marker under the full-outer join (non-null by
+    definition in a keyed MERGE), so tracked columns may be set to
+    NULL and still version correctly.
     """
     ts = F.lit(batch_ts).cast("timestamp")
     cur = hist.filter(F.col("is_current"))
@@ -79,7 +79,11 @@ def scd2_apply(
     for t in tracked:
         diff = diff | ~F.col(t).eqNullSafe(F.col(f"__n_{t}"))
     has_cur = F.col("is_current").isNotNull()
-    has_chg = F.col(f"__n_{tracked[0]}").isNotNull()
+    # Presence marker = the change side's KEY (non-null by definition in
+    # a keyed MERGE) — NOT a tracked column: a change row legitimately
+    # setting tracked[0] to NULL must still count as present, or the
+    # NULL-ward half of the null-safe compare silently drops.
+    has_chg = F.col(f"__n_{key}").isNotNull()
 
     def _ver(pref: str, vfrom, vto, is_cur) -> F.Column:
         return F.struct(

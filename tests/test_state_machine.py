@@ -211,6 +211,41 @@ def test_scd2_versions_formats_dimension(spark):
     assert now[1] == 8000
 
 
+def test_scd2_resend_idempotent_and_null_tracked(spark):
+    """The 100 TB property that matters: an upstream re-sending the FULL
+    dimension unchanged must not churn history — re-applying the same
+    batch is a byte-identical no-op.  Also pins the null-safe compare:
+    NULL -> value and value -> NULL in a tracked column are both real
+    changes (a plain `=` would silently drop them)."""
+    from encodesrv_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = spark.createDataFrame(
+        [(1, "mp4", 2000), (2, None, 1000)],
+        "id int, format_name string, video_bitrate int",
+    )
+    hist = scd2_init(dim, "2026-01-01 00:00:00")
+    full_resend = dim  # every row again, values unchanged (incl. the NULL)
+    h1 = scd2_apply(hist, full_resend, "id",
+                    ["format_name", "video_bitrate"], "2026-02-01 00:00:00")
+    before = sorted(map(tuple, hist.collect()))
+    after = sorted(map(tuple, h1.collect()))
+    assert before == after  # zero churn, including the NULL-valued row
+
+    # NULL -> value and value -> NULL are both detected as changes
+    b = spark.createDataFrame(
+        [(1, None, 2000), (2, "webm", 1000)],
+        "id int, format_name string, video_bitrate int",
+    )
+    h2 = scd2_apply(h1, b, "id", ["format_name", "video_bitrate"],
+                    "2026-03-01 00:00:00")
+    rows = {(r["id"], r["is_current"]): r for r in h2.collect()}
+    assert rows[(1, True)]["format_name"] is None
+    assert rows[(1, False)]["format_name"] == "mp4"
+    assert rows[(2, True)]["format_name"] == "webm"
+    assert rows[(2, False)]["format_name"] is None
+    assert h2.count() == 4  # both originals closed + both new versions
+
+
 def test_jobstore_time_travel(spark, tmp_path):
     """read_version reconstructs each retained snapshot exactly;
     history lists the retention window; GC'd versions raise."""
