@@ -131,7 +131,7 @@ _HOISTED = (
     # physical-plan nodes → 17).
     "part_scd2_price_history",
 )
-# 15 parity + 23 hoisted; the remaining 12 window slots fill in module
+# 15 parity + 24 hoisted; the remaining 11 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
 # composition is pinned by
 # tests/test_plans.py::test_driver_window_composition.
