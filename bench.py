@@ -246,6 +246,7 @@ def main() -> None:
         # round-7 growth
         "bucketed_colocated_join",
         "part_scd2_price_history",
+        "events_zorder_box_scan",
     ]
     # The three controls stay listed in EXTRA so BENCH_EXTRAS keeps
     # their keys for cross-round comparison, but they are NOT re-run:

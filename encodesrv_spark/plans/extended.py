@@ -1090,6 +1090,88 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import threading
+
+# Session-scoped write-once registry for the z-ordered events copy
+# (same contract as _bucketed_copy's catalog check: the copy is
+# rewritten once per PROCESS, so a regenerated testdata directory can
+# never serve a stale layout across driver rounds).  The lock matters
+# because the oracle harness runs queries from 4 threads.
+_ZORDER_DONE: set[str] = set()
+_ZORDER_LOCK = threading.Lock()
+
+
+def _zorder_events_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once Z-order-clustered copy of events on (user_id, value):
+    each output file owns a bounded range of BOTH columns, so a 2-D box
+    predicate prunes files/row-groups on either dimension (linear
+    clustering gives locality on one column only)."""
+    import re
+
+    from encodesrv_spark.sources.compaction import write_zorder_clustered
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    path = f"/root/repo/spark-warehouse/events_z_{tag}"
+    with _ZORDER_LOCK:
+        if path not in _ZORDER_DONE:
+            write_zorder_clustered(
+                load_table(spark, sf_dir, "events").select(
+                    "event_id", "user_id", "event_type", "value"
+                ),
+                path, 16, "user_id", "value",
+            )
+            _ZORDER_DONE.add(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "events_zorder_box_scan",
+    oracle="""
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_value
+        FROM events
+        WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50 AND 200
+        GROUP BY event_type
+    """,
+    tags=("extended", "scale", "layout"),
+)
+def events_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box scan over the Z-order-clustered layout, end-to-end:
+    events are written ONCE clustered on the Morton curve of
+    (user_id, value) (`sources/compaction.py::write_zorder_clustered` —
+    approxQuantile buckets + JVM bit-interleave, no global sort), then
+    a box predicate on BOTH dimensions (a user cohort × a value band)
+    reads the copy.  Completes the layout-contract family beside the
+    bucketed join: partitioning prunes on one coarse key, bucketing
+    co-locates a join key, Z-order gives file-level locality on TWO
+    range dimensions at once — at 100 TB the cohort box touches the
+    few files whose (user, value) ranges intersect it instead of the
+    whole fact table (file-subset property asserted in
+    tests/test_plans.py::test_zorder_box_touches_file_subset).
+
+    The box is deliberately ABSOLUTE-sized (7 users × a value band):
+    as the corpus grows the matching rows stay ~constant, which is
+    exactly when layout pruning pays — selectivity rises with SF.
+
+    The oracle runs the same box on the RAW table: the clustered copy
+    is a pure re-layout, so results must match exactly; the money sum
+    is the exact cents path."""
+    prep(spark)
+    z = _zorder_events_copy(spark, sf_dir)
+    return (
+        z.filter(
+            F.col("user_id").between(3, 9) & F.col("value").between(50, 200)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            money_round(exact_sum("value")).alias("total_value"),
+        )
+    )
+
+
 # SCD2 batch timestamps — fixed literals so both engines emit
 # byte-identical rendered strings (the established timestamp rule).
 _SCD_T0 = "2024-01-01 00:00:00"

@@ -130,8 +130,13 @@ _HOISTED = (
     # re-evaluated the change-detect subtree per output class: 91
     # physical-plan nodes → 17).
     "part_scd2_price_history",
+    # Z-order layout promoted the same way (the last behavior-asserted-
+    # only scale contract): a 2-D box scan over the Morton-clustered
+    # events copy, oracle = the same box on the raw table (pure
+    # re-layout ⇒ exact match); file-subset pruning plan-asserted.
+    "events_zorder_box_scan",
 )
-# 15 parity + 24 hoisted; the remaining 11 window slots fill in module
+# 15 parity + 25 hoisted; the remaining 10 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
 # composition is pinned by
 # tests/test_plans.py::test_driver_window_composition.

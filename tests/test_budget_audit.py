@@ -206,6 +206,12 @@ MANIFEST: dict[tuple[str, str], list[dict]] = {
         site("limb", U_USEC, R_FACT, "Σ conversion latency micros",
              beyond_hugeint_double=True),
     ],
+    ("encodesrv_spark/plans/extended.py", "events_zorder_box_scan"): [
+        # the box is absolute-sized (7 users × a value band), so the
+        # group totals do NOT grow with SF; R_FACT is still the
+        # conservative cap and fits limbs with 2^20 to spare
+        site("limb", U_EV, R_FACT, "Σ value cents in the 2-D box, per type"),
+    ],
     # -- llm / streaming event rollups
     ("encodesrv_spark/plans/llm.py", "events_hourly"): [
         site("limb", U_EV, U_HOUR_N, "Σ value cents per (type, hour)"),

@@ -214,6 +214,30 @@ def test_scd2_single_join_plan(spark, sf_dir):
     assert "p_name" not in plan and "p_type" not in plan, plan
 
 
+def test_zorder_box_touches_file_subset(spark, sf_dir):
+    """The registered z-order query's 2-D box must land in a strict
+    minority of the clustered files — the whole point of the Morton
+    layout is that BOTH dimensions get bounded per-file ranges, so the
+    parquet min/max stats can skip most of the table for a box
+    predicate (a linearly-clustered layout prunes on one dimension
+    only).  Asserted at the data level: rows matching the box live in
+    < half of the 16 files."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.plans.extended import _zorder_events_copy
+
+    z = _zorder_events_copy(spark, sf_dir).withColumn(
+        "_file", F.input_file_name()
+    )
+    total = z.select("_file").distinct().count()
+    touched = (
+        z.filter(F.col("user_id").between(3, 9) & F.col("value").between(50, 200))
+        .select("_file").distinct().count()
+    )
+    assert total >= 8, f"expected a multi-file layout, got {total}"
+    assert touched <= total // 2, (touched, total)
+
+
 def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
     """Status-partitioned jobs layout: a poll filter on the partition
     key becomes a PartitionFilter (directory pruning) — the scan reads
