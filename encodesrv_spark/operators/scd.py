@@ -9,11 +9,12 @@ the current version row (`valid_to`, `is_current=false`) and APPENDS a
 new one, so any historical job joins to the version that was current
 at its run time.
 
-Spark-first shape: one broadcast-able join of the change batch against
-the current slice detects real changes (no-op updates are dropped, so
-history doesn't churn), and the result is a union of untouched rows,
-closed rows, and new versions — a pure-DataFrame MERGE whose only
-shuffle is the key join when the change batch is too big to broadcast.
+Spark-first shape: ONE full-outer key join of the current slice
+against the change batch, then a per-row explode emitting each row's
+output versions — a pure-DataFrame MERGE whose only exchange is that
+key join's shuffle (a full-outer join has no broadcastable build side
+in Spark, so the shuffle is the honest cost at every batch size;
+no-op updates are dropped, so history doesn't churn).
 """
 
 from __future__ import annotations
@@ -51,15 +52,22 @@ def scd2_apply(
     (Catalyst has no cross-branch common-subexpression reuse under a
     Union), i.e. 4 joins and repeated dimension scans; this is 1 join +
     1 narrow generator — the plan that survives a 100 TB dimension.
-    No broadcast hint anywhere: a full-outer join cannot build a
-    broadcast side, and a MANDATORY hint would be the wrong 100 TB
-    posture — the change batch is usually tiny but can be a
-    full-dimension resend, where a forced broadcast OOMs.
+    The join shuffles both sides on the key at every batch size: a
+    full-outer join has no broadcastable build side in Spark (and a
+    broadcast hint would be silently ignored), so one key shuffle is
+    the honest, stated cost of an apply — the explode itself is narrow.
 
     Change rows must carry every dimension column; the key is the
     change-side presence marker under the full-outer join (non-null by
     definition in a keyed MERGE), so tracked columns may be set to
     NULL and still version correctly.
+
+    Precondition (ANSI MERGE parity): the change batch must have at
+    most ONE row per key — SQL MERGE raises on a source that matches
+    the same target row twice, and this operator likewise gives no
+    meaningful history for duplicate keys (each duplicate would
+    re-close the same current version).  Fold CDC batches to
+    last-write-wins per key upstream before applying.
     """
     ts = F.lit(batch_ts).cast("timestamp")
     cur = hist.filter(F.col("is_current"))

@@ -1017,23 +1017,33 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Derived write-once layout copies (bucketed / z-ordered) live here,
+# named {layout}_{sf-tag} so scale factors never collide.  The copies
+# are keyed by SESSION-scoped state (catalog / module set), never by
+# path existence, so a regenerated testdata directory is always
+# re-derived by a fresh process.
+_WAREHOUSE = "/root/repo/spark-warehouse"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    import re
+
+    return re.sub(r"\W+", "_", sf_dir.strip("/"))
+
+
 def _bucketed_copy(spark: SparkSession, sf_dir: str, table: str, key: str,
                    cols: list[str], n_buckets: int = 8) -> DataFrame:
     """Write-once bucketed+sorted copy of a testdata table, keyed for
     the zero-exchange join (sources/bucketed.py contract).  The table
     name embeds sf_dir so SFs never collide; within a session the copy
     is written once and reused from the catalog."""
-    import re
-
     from encodesrv_spark.sources.bucketed import read_bucketed, write_bucketed
 
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    name = f"{table}_bkt_{tag}"
+    name = f"{table}_bkt_{_sf_tag(sf_dir)}"
     if not spark.catalog.tableExists(name):
-        path = f"/root/repo/spark-warehouse/{name}"
         write_bucketed(
             load_table(spark, sf_dir, table).select(*cols), name, key,
-            n_buckets, path,
+            n_buckets, f"{_WAREHOUSE}/{name}",
         )
     return read_bucketed(spark, name)
 
@@ -1095,10 +1105,13 @@ import threading
 # Session-scoped write-once registry for the z-ordered events copy
 # (same contract as _bucketed_copy's catalog check: the copy is
 # rewritten once per PROCESS, so a regenerated testdata directory can
-# never serve a stale layout across driver rounds).  The lock matters
-# because the oracle harness runs queries from 4 threads.
+# never serve a stale layout across driver rounds).  Locking is
+# PER-PATH — the oracle harness runs queries from 4 threads, and a
+# thread building sf A's copy must not block one reading sf B's —
+# with a tiny meta-lock guarding only the lock-map itself.
 _ZORDER_DONE: set[str] = set()
-_ZORDER_LOCK = threading.Lock()
+_ZORDER_LOCKS: dict[str, threading.Lock] = {}
+_ZORDER_META = threading.Lock()
 
 
 def _zorder_events_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,13 +1119,12 @@ def _zorder_events_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     each output file owns a bounded range of BOTH columns, so a 2-D box
     predicate prunes files/row-groups on either dimension (linear
     clustering gives locality on one column only)."""
-    import re
-
     from encodesrv_spark.sources.compaction import write_zorder_clustered
 
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    path = f"/root/repo/spark-warehouse/events_z_{tag}"
-    with _ZORDER_LOCK:
+    path = f"{_WAREHOUSE}/events_z_{_sf_tag(sf_dir)}"
+    with _ZORDER_META:
+        lock = _ZORDER_LOCKS.setdefault(path, threading.Lock())
+    with lock:
         if path not in _ZORDER_DONE:
             write_zorder_clustered(
                 load_table(spark, sf_dir, "events").select(
@@ -1240,13 +1252,14 @@ def part_scd2_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline-scale fix, and this promotes the operator from unit-tested
     (tests/test_state_machine.py) to driver-gated.
 
-    Scale shape: change detection is ONE join of the change batch
-    against the current slice — broadcast when the batch is small (the
-    common case: dimension edits are rare), shuffle-on-key otherwise;
-    closed/untouched/new rows are unions with no extra exchange.  The
-    no-op drop is the scale property that matters at 100 TB: an
-    upstream that re-sends the full dimension nightly must not rewrite
-    (or version-churn) the unchanged 99.9%.
+    Scale shape: ONE full-outer key join of the current slice against
+    the change batch plus a narrow per-row explode — one shuffle total.
+    The shuffle is unavoidable at every batch size (a full-outer join
+    has no broadcastable build side in Spark), and that is the right
+    posture anyway: the batch can be a full-dimension resend, where a
+    broadcast would OOM.  The no-op drop is the scale property that
+    matters at 100 TB: an upstream that re-sends the full dimension
+    nightly must not rewrite (or version-churn) the unchanged 99.9%.
 
     Determinism: fixed batch timestamps rendered as strings; the +10.00
     price bump is IEEE double addition, bit-identical across engines;
