@@ -66,8 +66,8 @@ def scd2_apply(
     most ONE row per key — SQL MERGE raises on a source that matches
     the same target row twice, and this operator likewise gives no
     meaningful history for duplicate keys (each duplicate would
-    re-close the same current version).  Fold CDC batches to
-    last-write-wins per key upstream before applying.
+    re-close the same current version).  Fold CDC batches with
+    ``fold_last_write_wins`` (below) before applying.
     """
     ts = F.lit(batch_ts).cast("timestamp")
     cur = hist.filter(F.col("is_current"))
@@ -112,6 +112,24 @@ def scd2_apply(
     )
     applied = joined.select(F.explode(emitted).alias("v")).select("v.*")
     return old.unionByName(applied)
+
+
+def fold_last_write_wins(changes: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Fold a CDC batch to one row per key — the one-call way to satisfy
+    ``scd2_apply``'s ≤1-row-per-key precondition: for each key, keep the
+    row with the greatest `order_col` (a CDC sequence number / commit
+    LSN / event timestamp, which must be UNIQUE per key — ties would be
+    nondeterministic, exactly as SQL MERGE leaves them undefined).
+
+    Scale shape: one ``max_by(struct, order)`` aggregate — map-side
+    combinable (partial max per partition, one row per key crosses the
+    wire), unlike the row_number-window formulation, which shuffles the
+    whole batch and sorts each key group."""
+    others = [c for c in changes.columns if c != key]
+    folded = changes.groupBy(key).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col(order_col)).alias("__v")
+    )
+    return folded.select(key, *[F.col(f"__v.{c}").alias(c) for c in others])
 
 
 def scd2_asof(hist: DataFrame, ts: str) -> DataFrame:

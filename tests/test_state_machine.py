@@ -246,6 +246,40 @@ def test_scd2_resend_idempotent_and_null_tracked(spark):
     assert h2.count() == 4  # both originals closed + both new versions
 
 
+def test_scd2_fold_last_write_wins(spark):
+    """A CDC batch with several edits to one key folds to the latest
+    edit per key (the documented pre-step for scd2_apply's
+    one-row-per-key precondition), and the folded batch then applies
+    cleanly — exactly one closed + one new version per changed key."""
+    from encodesrv_spark.operators.scd import (
+        fold_last_write_wins,
+        scd2_apply,
+        scd2_init,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "mp4", 2000)], "id int, format_name string, video_bitrate int"
+    )
+    cdc = spark.createDataFrame(
+        [(1, "mp4", 3000, 10), (1, "mp4", 4000, 30), (1, "mp4", 3500, 20),
+         (2, "av1", 9000, 5)],
+        "id int, format_name string, video_bitrate int, seq int",
+    )
+    folded = fold_last_write_wins(cdc, "id", "seq")
+    got = {r["id"]: r["video_bitrate"] for r in folded.collect()}
+    assert got == {1: 4000, 2: 9000}
+
+    hist = scd2_apply(
+        scd2_init(dim, "2026-01-01 00:00:00"),
+        folded.drop("seq"), "id", ["format_name", "video_bitrate"],
+        "2026-02-01 00:00:00",
+    )
+    rows = {(r["id"], r["is_current"]): r for r in hist.collect()}
+    assert hist.count() == 3  # closed v1 + current v2 for id=1, new id=2
+    assert rows[(1, True)]["video_bitrate"] == 4000
+    assert rows[(2, True)]["video_bitrate"] == 9000
+
+
 def test_jobstore_time_travel(spark, tmp_path):
     """read_version reconstructs each retained snapshot exactly;
     history lists the retention window; GC'd versions raise."""
