@@ -68,6 +68,15 @@ def scd2_apply(
     meaningful history for duplicate keys (each duplicate would
     re-close the same current version).  Fold CDC batches with
     ``fold_last_write_wins`` (below) before applying.
+
+    The non-null-key half of the precondition is ENFORCED, not just
+    documented: a NULL change key can never match the full-outer
+    equality join, so it would silently append a second 'current'
+    version beside any existing NULL-key row — corrupted history with
+    no error.  The key column therefore carries a per-row
+    ``raise_error`` guard (zero cost on valid data: the branch only
+    evaluates when the key IS null), so a violating batch fails the
+    apply job loudly instead.
     """
     ts = F.lit(batch_ts).cast("timestamp")
     cur = hist.filter(F.col("is_current"))
@@ -79,7 +88,22 @@ def scd2_apply(
     # same-named attributes from the previous apply's structs, and a
     # USING-join's coalesced key makes qualified access ambiguous);
     # distinct physical names can never collide, whatever the lineage.
-    npref = changes.select([F.col(c).alias(f"__n_{c}") for c in changes.columns])
+    guarded_key = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(
+                f"scd2_apply: NULL {key!r} in change batch — a keyed MERGE "
+                "requires non-null keys (a NULL never matches the key join "
+                "and would silently duplicate the current version)"
+            )
+        ).cast(changes.schema[key].dataType),
+    ).otherwise(F.col(key))
+    npref = changes.select(
+        [
+            (guarded_key if c == key else F.col(c)).alias(f"__n_{c}")
+            for c in changes.columns
+        ]
+    )
     joined = cur.join(npref, F.col(key) == F.col(f"__n_{key}"), "full_outer")
     # A real change = key exists with any tracked column differing, or a
     # brand-new key. Null-safe compare so NULL -> value counts as a change.

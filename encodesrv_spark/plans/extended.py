@@ -1018,32 +1018,59 @@ def bloom_prune_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Derived write-once layout copies (bucketed / z-ordered) live here,
-# named {layout}_{sf-tag} so scale factors never collide.  The copies
-# are keyed by SESSION-scoped state (catalog / module set), never by
-# path existence, so a regenerated testdata directory is always
-# re-derived by a fresh process.
+# named {layout}_{sf-tag}_p{pid} so scale factors never collide AND two
+# CONCURRENT PROCESSES never share a path (ADVICE r07: the per-path
+# locks below only serialize threads within one process — pytest and
+# check_oracle running at once could otherwise overwrite the path the
+# other is mid-read on).  The pid suffix makes every process's copies
+# private; an atexit hook removes them on normal exit (a crashed
+# process leaves garbage under spark-warehouse, which the next write
+# neither reads nor trips over — names can't collide).  The copies are
+# keyed by SESSION-scoped state (catalog / module set), never by path
+# existence, so a regenerated testdata directory is always re-derived
+# by a fresh process.
 _WAREHOUSE = "/root/repo/spark-warehouse"
+_LAYOUT_PATHS: set[str] = set()
+
+
+def _layout_path(name: str) -> str:
+    import atexit
+    import os
+
+    path = f"{_WAREHOUSE}/{name}"
+    if not _LAYOUT_PATHS:
+        def _cleanup(paths=_LAYOUT_PATHS):
+            import shutil
+
+            for p in paths:
+                shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_cleanup)
+    _LAYOUT_PATHS.add(path)
+    return path
 
 
 def _sf_tag(sf_dir: str) -> str:
+    import os
     import re
 
-    return re.sub(r"\W+", "_", sf_dir.strip("/"))
+    return re.sub(r"\W+", "_", sf_dir.strip("/")) + f"_p{os.getpid()}"
 
 
 def _bucketed_copy(spark: SparkSession, sf_dir: str, table: str, key: str,
                    cols: list[str], n_buckets: int = 8) -> DataFrame:
     """Write-once bucketed+sorted copy of a testdata table, keyed for
     the zero-exchange join (sources/bucketed.py contract).  The table
-    name embeds sf_dir so SFs never collide; within a session the copy
-    is written once and reused from the catalog."""
+    name embeds sf_dir and the pid so SFs and concurrent processes
+    never collide; within a session the copy is written once and
+    reused from the catalog."""
     from encodesrv_spark.sources.bucketed import read_bucketed, write_bucketed
 
     name = f"{table}_bkt_{_sf_tag(sf_dir)}"
     if not spark.catalog.tableExists(name):
         write_bucketed(
             load_table(spark, sf_dir, table).select(*cols), name, key,
-            n_buckets, f"{_WAREHOUSE}/{name}",
+            n_buckets, _layout_path(name),
         )
     return read_bucketed(spark, name)
 
@@ -1105,10 +1132,13 @@ import threading
 # Session-scoped write-once registry for the z-ordered events copy
 # (same contract as _bucketed_copy's catalog check: the copy is
 # rewritten once per PROCESS, so a regenerated testdata directory can
-# never serve a stale layout across driver rounds).  Locking is
-# PER-PATH — the oracle harness runs queries from 4 threads, and a
-# thread building sf A's copy must not block one reading sf B's —
-# with a tiny meta-lock guarding only the lock-map itself.
+# never serve a stale layout across driver rounds; the _sf_tag pid
+# suffix makes the path per-process, so OTHER processes can neither
+# read a half-written copy nor overwrite one mid-read — ADVICE r07).
+# Locking is PER-PATH — the oracle harness runs queries from 4
+# threads, and a thread building sf A's copy must not block one
+# reading sf B's — with a tiny meta-lock guarding only the lock-map
+# itself.
 _ZORDER_DONE: set[str] = set()
 _ZORDER_LOCKS: dict[str, threading.Lock] = {}
 _ZORDER_META = threading.Lock()
@@ -1121,7 +1151,7 @@ def _zorder_events_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering gives locality on one column only)."""
     from encodesrv_spark.sources.compaction import write_zorder_clustered
 
-    path = f"{_WAREHOUSE}/events_z_{_sf_tag(sf_dir)}"
+    path = _layout_path(f"events_z_{_sf_tag(sf_dir)}")
     with _ZORDER_META:
         lock = _ZORDER_LOCKS.setdefault(path, threading.Lock())
     with lock:

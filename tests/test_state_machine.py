@@ -280,6 +280,28 @@ def test_scd2_fold_last_write_wins(spark):
     assert rows[(2, True)]["video_bitrate"] == 9000
 
 
+def test_scd2_null_change_key_fails_loudly(spark):
+    """ADVICE r07: a NULL change key can never match the full-outer key
+    join, so unguarded it would silently append a second 'current'
+    version — the guard must fail the apply job instead, and cost
+    nothing on valid batches (covered by every other SCD2 test)."""
+    import pytest
+
+    from encodesrv_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = spark.createDataFrame(
+        [(1, "mp4", 2000)], "id int, format_name string, video_bitrate int"
+    )
+    hist = scd2_init(dim, "2026-01-01 00:00:00")
+    bad = spark.createDataFrame(
+        [(None, "webm", 1000)], "id int, format_name string, video_bitrate int"
+    )
+    out = scd2_apply(hist, bad, "id", ["format_name", "video_bitrate"],
+                     "2026-02-01 00:00:00")
+    with pytest.raises(Exception, match="NULL 'id' in change batch"):
+        out.collect()
+
+
 def test_jobstore_time_travel(spark, tmp_path):
     """read_version reconstructs each retained snapshot exactly;
     history lists the retention window; GC'd versions raise."""
