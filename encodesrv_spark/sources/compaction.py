@@ -114,31 +114,17 @@ def file_ranges(df_with_file: DataFrame, key: str) -> DataFrame:
     )
 
 
-def write_zorder_clustered(
-    df: DataFrame, path: str, n_files: int, col_a: str, col_b: str, bits: int = 8
-) -> None:
-    """Write `df` clustered on the Z-ORDER (Morton) curve of two
-    columns: each value maps to a `bits`-bit QUANTILE bucket, the
-    bucket ids' bits interleave into one z-value, and files are
-    range-partitioned + sorted on it.
-
-    Why: linear clustering (`write_range_clustered`) gives ONE column
-    file-level locality — predicates on the other column scan every
-    file.  The space-filling curve gives BOTH columns bounded per-file
-    ranges, so 2-D box predicates (customer AND price band, time AND
-    key, ...) prune files on either dimension.
-
-    Scale posture: bucket boundaries come from ONE `approxQuantile`
-    pass (driver holds 2^bits+1 doubles, nothing else), bucketization
-    is a JVM `Bucketizer`, and the interleave is a fold of shift/or
-    Column expressions — no global-order window, no rank shuffle, so
-    the layout job is sample + one write, same as repartitionByRange."""
+def _zorder_with_z(
+    df: DataFrame, col_a: str, col_b: str, bits: int,
+    splits_a: list, splits_b: list,
+) -> DataFrame:
+    """`df` plus a `__z` Morton-curve column computed against FIXED
+    bucket boundaries (the reusable core of the z-order writer — a
+    later incremental-maintenance pass must cluster appended rows on
+    the SAME curve as the base layout, or the per-file z-ranges stop
+    meaning anything)."""
     from pyspark.ml.feature import Bucketizer
 
-    nb = 1 << bits
-    probs = [i / nb for i in range(nb + 1)]
-    splits_a = _monotone(df.approxQuantile(col_a, probs, 0.001))
-    splits_b = _monotone(df.approxQuantile(col_b, probs, 0.001))
     tmp = df.withColumn("__a", F.col(col_a).cast("double")).withColumn(
         "__b", F.col(col_b).cast("double")
     )
@@ -163,14 +149,165 @@ def write_zorder_clustered(
     for i in range(bits - 1, -1, -1):
         z = F.shiftleft(z, 1).bitwiseOR(F.shiftright(a_bkt, i).bitwiseAND(one))
         z = F.shiftleft(z, 1).bitwiseOR(F.shiftright(b_bkt, i).bitwiseAND(one))
+    return bucketed.withColumn("__z", z).drop("__a", "__b", "__ab", "__bb")
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, n_files: int, col_a: str, col_b: str, bits: int = 8
+) -> None:
+    """Write `df` clustered on the Z-ORDER (Morton) curve of two
+    columns: each value maps to a `bits`-bit QUANTILE bucket, the
+    bucket ids' bits interleave into one z-value, and files are
+    range-partitioned + sorted on it.
+
+    Why: linear clustering (`write_range_clustered`) gives ONE column
+    file-level locality — predicates on the other column scan every
+    file.  The space-filling curve gives BOTH columns bounded per-file
+    ranges, so 2-D box predicates (customer AND price band, time AND
+    key, ...) prune files on either dimension.
+
+    Scale posture: bucket boundaries come from ONE `approxQuantile`
+    pass (driver holds 2^bits+1 doubles, nothing else), bucketization
+    is a JVM `Bucketizer`, and the interleave is a fold of shift/or
+    Column expressions — no global-order window, no rank shuffle, so
+    the layout job is sample + one write, same as repartitionByRange.
+
+    Alongside the data the writer drops a `_zorder_meta.json` sidecar
+    recording the curve (columns, bits, bucket boundaries) and the set
+    of CURVE-CLUSTERED file names — the layout manifest that later
+    appends and `zorder_maintain` work against.  (In a deployment this
+    manifest lives in the table format's transaction log — Delta /
+    Iceberg; the sidecar is the single-writer stand-in with the same
+    information content.)"""
+    nb = 1 << bits
+    probs = [i / nb for i in range(nb + 1)]
+    splits_a = _monotone(df.approxQuantile(col_a, probs, 0.001))
+    splits_b = _monotone(df.approxQuantile(col_b, probs, 0.001))
     (
-        bucketed.withColumn("__z", z)
+        _zorder_with_z(df, col_a, col_b, bits, splits_a, splits_b)
         .repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")
-        .drop("__z", "__a", "__b", "__ab", "__bb")
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
     )
+    _write_zmeta(path, {
+        "col_a": col_a, "col_b": col_b, "bits": bits,
+        "splits_a": splits_a, "splits_b": splits_b,
+        "clustered_files": _data_files(path),
+    })
+
+
+def _zmeta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_zorder_meta.json")
+
+
+def _write_zmeta(path: str, meta: dict) -> None:
+    import json
+
+    with open(_zmeta_path(path), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_zmeta(path: str) -> dict:
+    import json
+
+    with open(_zmeta_path(path)) as fh:
+        return json.load(fh)
+
+
+def _data_files(path: str) -> list[str]:
+    """Data file NAMES under `path` (same underscore/dot convention as
+    `dir_stats` — `_zorder_meta.json`, `_SUCCESS` etc. are metadata)."""
+    import os
+
+    return sorted(
+        f for f in os.listdir(path)
+        if not f.startswith("_") and not f.startswith(".")
+        and os.path.isfile(os.path.join(path, f))
+    )
+
+
+def zorder_append(df: DataFrame, path: str, n_files: int = 1) -> None:
+    """Micro-batch append to a z-ordered table — the 60 s ingest loop's
+    write: land the batch FAST (no sample, no clustering, `n_files`
+    round-robin files), deliberately leaving the layout debt to the
+    asynchronous `zorder_maintain` pass.  Clustering inline would put
+    an approxQuantile sample plus a range shuffle on the ingest latency
+    path of every tiny batch; the whole point of the manifest is that
+    ingest and layout maintenance are separate rates."""
+    df.repartition(n_files).write.mode("append").parquet(path)
+
+
+def zorder_maintain(
+    spark: SparkSession, path: str, min_delta_files: int = 4,
+    n_files: int | None = None, target_bytes: int = 256 * 1024 * 1024,
+) -> dict:
+    """Incremental z-order maintenance: compact the files APPENDED
+    since the last clustering pass into new curve-clustered files,
+    leaving the already-clustered base files UNTOUCHED.
+
+    Mechanics: the manifest (`_zorder_meta.json`) knows exactly which
+    files are curve-clustered, so delta files = directory listing minus
+    manifest — a size heuristic would be SF-relative and misclassify.
+    If fewer than `min_delta_files` deltas accumulated, this is a no-op
+    (layout debt below threshold).  Otherwise ONLY the delta rows are
+    read, z-valued against the manifest's FIXED bucket boundaries (the
+    same curve as the base — no re-sample, so base and delta z-ranges
+    are commensurable), range-partitioned into ~`target_bytes` files,
+    staged into a temp dir, and moved in; the old delta files are then
+    removed and the manifest updated.
+
+    Scale contract: cost is proportional to the DELTA, never the
+    table — a nightly maintenance pass over a 100 TB table with 200 GB
+    of appends reads and writes 200 GB.  The result is one extra
+    sorted run per maintenance pass (base files and each pass's output
+    cover overlapping z-ranges), which is exactly the LSM trade: box
+    scans still prune file-by-file on min/max stats across every run;
+    a periodic FULL rewrite (plain `write_zorder_clustered`) merges
+    runs when their count grows.  Staging-then-move keeps readers of
+    the old file set consistent on local/HDFS semantics; a real
+    multi-writer deployment gets this from the table format's commit
+    protocol instead (same stage-then-publish contract as the
+    reference's temp-dir encode, `encodesrv/job.py:282-309`)."""
+    import os
+    import shutil
+
+    meta = read_zmeta(path)
+    clustered = set(meta["clustered_files"])
+    delta = [f for f in _data_files(path) if f not in clustered]
+    if len(delta) < min_delta_files:
+        return {"compacted_files": 0, "new_files": [], "skipped": True}
+
+    delta_paths = [os.path.join(path, f) for f in delta]
+    n = n_files or target_partitions(
+        sum(os.path.getsize(p) for p in delta_paths), target_bytes
+    )
+    zdf = _zorder_with_z(
+        spark.read.parquet(*delta_paths),
+        meta["col_a"], meta["col_b"], meta["bits"],
+        meta["splits_a"], meta["splits_b"],
+    )
+    staging = f"{path.rstrip('/')}__maintain_p{os.getpid()}"
+    (
+        zdf.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    new_files = _data_files(staging)
+    for f in new_files:
+        os.rename(os.path.join(staging, f), os.path.join(path, f))
+    shutil.rmtree(staging, ignore_errors=True)
+    for p in delta_paths:
+        os.remove(p)
+    meta["clustered_files"] = sorted((clustered | set(new_files)))
+    _write_zmeta(path, meta)
+    return {"compacted_files": len(delta), "new_files": new_files,
+            "skipped": False}
 
 
 def _monotone(splits: list) -> list:

@@ -102,6 +102,7 @@ U_QTY = 50          # l_quantity (integer-valued)
 U_ORD = 1e8         # o_totalprice cents
 U_BAL = 2e6         # c_acctbal / s_acctbal cents
 U_EV = 1e5          # events.value cents
+U_RP = 2e5          # p_retailprice cents (probed ≤ 1e5 + the SCD bump; 2x)
 U_EV4 = 1e7         # events.value at scale 4 (winsorize's clipped col)
 U_DISC = 10         # l_discount scale-2 units (≤ 0.10)
 U_MEAN6 = 1e9       # 6-dp units of an hourly mean of events.value
@@ -211,6 +212,17 @@ MANIFEST: dict[tuple[str, str], list[dict]] = {
         # group totals do NOT grow with SF; R_FACT is still the
         # conservative cap and fits limbs with 2^20 to spare
         site("limb", U_EV, R_FACT, "Σ value cents in the 2-D box, per type"),
+    ],
+    ("encodesrv_spark/plans/extended.py", "events_zorder_append_maintain"): [
+        # same absolute-sized-box posture as events_zorder_box_scan
+        site("limb", U_EV, R_FACT, "Σ value cents in the 2-D box, per type"),
+    ],
+    ("encodesrv_spark/plans/extended.py", "part_scd2_asof_join"): [
+        # Σ routed p_retailprice over lineitem, grouped by
+        # (brand, before/after, version): ≤ 2.4e10 rows/group at SF 1e5
+        # (lineitem/25 brands); R_FACT is the conservative cap and
+        # 2e5 · 1e12 = 2e17 stays inside both the limbs and 2^64
+        site("limb", U_RP, R_FACT, "Σ as-of-routed retailprice cents"),
     ],
     # -- llm / streaming event rollups
     ("encodesrv_spark/plans/llm.py", "events_hourly"): [

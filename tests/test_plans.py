@@ -214,6 +214,40 @@ def test_scd2_single_join_plan(spark, sf_dir):
     assert "p_name" not in plan and "p_type" not in plan, plan
 
 
+def test_scd2_asof_join_plan(spark, sf_dir):
+    """The as-of dimension join must broadcast the version history and
+    carry the interval predicate as the hash join's RESIDUAL condition:
+    an equi-join on the key plus a filter over the ≤2 candidate
+    versions.  The failure modes at scale are (a) a range/nested-loop
+    join (explosion) or (b) shuffling the fact side on the key — both
+    banned here."""
+    plan = plan_of(spark, sf_dir, "part_scd2_asof_join")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the fact side must not shuffle on the join key: the only hash
+    # exchanges are the SCD2 apply's dimension-sized full-outer join
+    # (both sides) and the final group-by
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Exchange hashpartitioning(l_partkey" not in plan, (
+        "fact side shuffled on the join key"
+    )
+
+
+def test_scd2_asof_routing_semantics(spark, sf_dir):
+    """Version routing, at the data level: every fact row shipped
+    BEFORE the change boundary must land on v1 (v2 did not exist yet);
+    v2 rows appear only after the boundary — and both versions are
+    actually exercised (non-vacuous)."""
+    out = QUERIES["part_scd2_asof_join"].fn(spark, sf_dir).collect()
+    assert any(r["version"] == "v2" for r in out)
+    assert any(r["version"] == "v1" and not r["after_change"] for r in out)
+    assert not [r for r in out if r["version"] == "v2" and not r["after_change"]]
+    # after the boundary both versions coexist: changed keys route to
+    # v2, unchanged keys stay on their still-current v1
+    assert any(r["version"] == "v1" and r["after_change"] for r in out)
+
+
 def test_zorder_box_touches_file_subset(spark, sf_dir):
     """The registered z-order query's 2-D box must land in a strict
     minority of the clustered files — the whole point of the Morton
@@ -235,6 +269,91 @@ def test_zorder_box_touches_file_subset(spark, sf_dir):
         .select("_file").distinct().count()
     )
     assert total >= 8, f"expected a multi-file layout, got {total}"
+    assert touched <= total // 2, (touched, total)
+
+
+def test_zorder_maintain_incremental(spark, sf_dir, tmp_path):
+    """The maintenance pass must be incremental, never a table rewrite:
+    base files stay byte-untouched, ONLY the appended delta files are
+    compacted (onto the SAME curve via the manifest's boundaries), a
+    below-threshold delta is a no-op, and the maintained table is
+    row-identical to base ∪ deltas."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources.compaction import (
+        read_zmeta,
+        write_zorder_clustered,
+        zorder_append,
+        zorder_maintain,
+    )
+
+    path = str(tmp_path / "zm")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_zorder_clustered(ev.filter(F.col("event_id") % 5 != 0), path, 6,
+                           "user_id", "value")
+    base_files = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in read_zmeta(path)["clustered_files"]
+    }
+
+    # below-threshold debt: one 2-file append -> maintenance no-ops
+    zorder_append(ev.filter(F.col("event_id") % 20 == 0), path, n_files=2)
+    assert zorder_maintain(spark, path, min_delta_files=4)["skipped"]
+
+    for b in range(1, 4):
+        zorder_append(ev.filter(F.col("event_id") % 20 == 5 * b), path,
+                      n_files=2)
+    res = zorder_maintain(spark, path, min_delta_files=4, n_files=2)
+    assert res["compacted_files"] == 8 and len(res["new_files"]) == 2
+
+    # base files byte-untouched (same names, same mtimes); deltas gone;
+    # the manifest now covers every data file
+    meta = read_zmeta(path)
+    names = sorted(
+        f for f in os.listdir(path)
+        if not f.startswith("_") and not f.startswith(".")
+        and os.path.isfile(os.path.join(path, f))
+    )
+    assert set(base_files) < set(names)
+    for f, mt in base_files.items():
+        assert os.path.getmtime(os.path.join(path, f)) == mt, f
+    assert names == meta["clustered_files"]
+    assert len(names) == 6 + 2
+
+    # pure re-layout: maintained table == full events row partition
+    got = spark.read.parquet(path)
+    assert got.count() == ev.count()
+    assert got.agg(F.sum("event_id")).first()[0] == \
+        ev.agg(F.sum("event_id")).first()[0]
+
+    # idempotent: nothing left to maintain
+    assert zorder_maintain(spark, path, min_delta_files=1)["skipped"]
+
+
+def test_zorder_maintained_box_still_prunes(spark, sf_dir):
+    """After N appends + maintenance, the 2-D box must still land in a
+    strict minority of the files — the delta run was clustered on the
+    SAME curve, so min/max pruning survives ingest (the whole point of
+    incremental maintenance)."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.plans.extended import _zorder_maintained_events
+
+    z = _zorder_maintained_events(spark, sf_dir).withColumn(
+        "_file", F.input_file_name()
+    )
+    total = z.select("_file").distinct().count()
+    touched = (
+        z.filter(F.col("user_id").between(10, 16)
+                 & F.col("value").between(100, 300))
+        .select("_file").distinct().count()
+    )
+    assert total >= 10, f"expected base+delta runs, got {total}"
     assert touched <= total // 2, (touched, total)
 
 
