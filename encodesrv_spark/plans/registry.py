@@ -60,86 +60,45 @@ _MODULE_ORDER = ("parity", "llm", "tpch", "tpch_deep", "corpus", "extended")
 # module: the newest operators that do not yet have a driver-green
 # CORRECTNESS row get priority slots right after the parity block.
 _HOISTED = (
-    # Round-7 rotation.  The r06 window cleared the entire backlog
-    # (50/50 green, cumulative 205/205), so this queue is exactly the
-    # forms that changed THIS round plus the one piece of named debt:
+    # Round-8 rotation.  The r07 window cleared the entire queue
+    # (50/50 green; the judge's form-diff certified every row evidences
+    # the shipped form), so this queue is exactly the round's registry
+    # growth — the provenance manifest (PROVENANCE.json +
+    # tests/test_provenance.py) now REQUIRES every pending entry to
+    # appear here, so this list can no longer drift from the debt.
     #
-    # semdedup_prune — the single registry entry whose driver row (r04)
-    # predates its current physical plan (the r05 k-means argmin
-    # rewrite; registered output unchanged, judge re-ran it green
-    # twice).  VERDICT r06 #2: one hoist slot closes it for good.
-    "semdedup_prune",
-    # part_kcore_peel — VERDICT r06 #1: oracle peel CTEs now
-    # AS MATERIALIZED (178 s → 0.5 s at sf0.1; DuckDB inlined the
-    # thrice-referenced edge sets multiplicatively) and k=2 so the
-    # registered output is non-empty at every gate SF (the support>=2
-    # graph's 3-core empties at sf0.1 — a vacuous all-empty compare).
-    # Both sides' forms changed ⇒ fresh row required.
-    "part_kcore_peel",
-    # the three other consumers of the shared co-purchase edge CTE:
-    # Spark twins untouched, but AS MATERIALIZED changed their
-    # registered ORACLE text (and cut part_edge_embeddedness's sweep
-    # cost 5.3 s → 0.6 s), so their r0N rows no longer evidence the
-    # shipped form verbatim.
-    "part_label_communities",
-    "part_local_clustering",
-    "part_edge_embeddedness",
-    # events_moving_avg — ADVICE r06 (medium): the DuckDB-dialect
-    # quantizer call now passes wide=True so the HUGEINT frame sum
-    # stays uncast; the non-wide template's BIGINT cast silently
-    # shrank the oracle's overflow budget to ~4.6e12 frame-cents,
-    # asymmetric to the Spark twin's DECIMAL(38,0) sizing.
-    "events_moving_avg",
-    # registry growth (VERDICT r06 #6): the sources/bucketed.py
-    # zero-exchange fact↔fact join contract, promoted from plan-only
-    # tests to an end-to-end oracle-gated query (write bucketed →
-    # catalog-spec'd scan → exchange-free sort-merge join), landing
-    # with its first driver row.
-    "bucketed_colocated_join",
-    # the r07 oracle-materialization batch: the systematic audit the
-    # k-core fix prompted found the same DuckDB CTE-inlining pathology
-    # across the dedup/ngram families (sig referenced 4-6x, the bands
-    # self-join re-expanding it to 8 evaluations) — every oracle with
-    # a multi-referenced CTE costing >1.5 s at sf0.1 was A/B'd and the
-    # clear wins (>1.3x, results verified identical) adopted, cutting
-    # ~200 s of oracle-side sweep wall (dedup family 23-31 s → ~4 s
-    # each).  Spark twins untouched; the registered ORACLE text
-    # changed, so each needs a fresh driver row.
-    "dedup_clusters",
-    "dedup_keep_best",
-    "neardup_removals",
-    "neardup_jaccard",
-    "split_leakage",
-    "dedup_cluster_size_hist",
-    "dedup_quality_gain",
-    "neardup_threshold_curve",
-    "doc_nearest_neighbor",
-    "source_dup_crosstab",
-    "minhash_estimate_error",
-    "neardup_containment",
-    "embedding_density_clusters",
-    "ngram_novelty",
-    "repeated_ngram_audit",
-    "decontaminate_overlap",
-    # registry growth, continuation of the round: SCD Type-2 dimension
-    # maintenance (operators/scd.py) promoted from unit-tested to
-    # oracle-gated — the reference mutates its formats dimension in
-    # place, losing history (schema.sql:29-52); the engine's versioned
-    # twin was the last real operator with no driver row.  Lands with
-    # the one-join+explode rewrite (the semi/anti formulation
-    # re-evaluated the change-detect subtree per output class: 91
-    # physical-plan nodes → 17).
-    "part_scd2_price_history",
-    # Z-order layout promoted the same way (the last behavior-asserted-
-    # only scale contract): a 2-D box scan over the Morton-clustered
-    # events copy, oracle = the same box on the raw table (pure
-    # re-layout ⇒ exact match); file-subset pruning plan-asserted.
-    "events_zorder_box_scan",
+    # VERDICT r07 #2: the as-of dimension join over SCD2 history — the
+    # question versioning exists to answer ("what price was this part
+    # when this line shipped?"), per-row fact-time routing with the
+    # history broadcast and the interval predicate as the hash join's
+    # residual.
+    "part_scd2_asof_join",
+    # VERDICT r07 #4: incremental layout maintenance — micro-batch
+    # appends land unclustered, the manifest-triggered maintain pass
+    # compacts ONLY the delta files onto the base Morton curve (base
+    # files byte-untouched, cost ∝ delta), box scan still prunes.
+    "events_zorder_append_maintain",
 )
-# 15 parity + 25 hoisted; the remaining 10 window slots fill in module
+# 15 parity + 2 hoisted; the remaining 33 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
 # composition is pinned by
 # tests/test_plans.py::test_driver_window_composition.
+
+
+def form_hash(q: Query) -> str:
+    """Content hash of a query's REGISTERED FORM — the function's source
+    (decorator included, so the oracle template is covered too) plus the
+    expanded oracle text.  This is exactly what a driver CORRECTNESS row
+    evidences: if this hash changes, any prior driver row is stale for
+    the query and a fresh row is owed (PROVENANCE.json +
+    tests/test_provenance.py pin that debt mechanically)."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(q.fn)
+    return hashlib.md5(
+        (src + "\x00" + (q.oracle or "")).encode()
+    ).hexdigest()
 
 
 def all_queries() -> dict[str, Query]:
