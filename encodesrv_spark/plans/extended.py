@@ -1035,10 +1035,11 @@ _LAYOUT_PATHS: set[str] = set()
 
 def _layout_path(name: str) -> str:
     import atexit
-    import os
 
     path = f"{_WAREHOUSE}/{name}"
     if not _LAYOUT_PATHS:
+        _sweep_dead_layouts()
+
         def _cleanup(paths=_LAYOUT_PATHS):
             import shutil
 
@@ -1048,6 +1049,35 @@ def _layout_path(name: str) -> str:
         atexit.register(_cleanup)
     _LAYOUT_PATHS.add(path)
     return path
+
+
+def _sweep_dead_layouts() -> None:
+    """Once per process (first layout write): remove warehouse entries
+    whose `_p{pid}` suffix names a DEAD process — the garbage a crashed
+    run leaves behind (normal exits clean up after themselves via the
+    atexit hook; a LIVE pid's copies are never touched, so concurrent
+    processes stay isolated).  Covers maintenance staging dirs too
+    (`*__maintain_p{pid}`).  Best-effort: the sweep is hygiene, never
+    correctness — nothing ever reads another process's paths."""
+    import os
+    import re
+    import shutil
+
+    try:
+        entries = os.listdir(_WAREHOUSE)
+    except OSError:
+        return
+    for entry in entries:
+        m = re.search(r"_p(\d+)$", entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_WAREHOUSE, entry),
+                          ignore_errors=True)
+        except (PermissionError, OSError):
+            pass  # live (or unknowable) pid — leave its copies alone
 
 
 def _sf_tag(sf_dir: str) -> str:

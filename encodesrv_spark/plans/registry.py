@@ -78,8 +78,19 @@ _HOISTED = (
     # compacts ONLY the delta files onto the base Morton curve (base
     # files byte-untouched, cost ∝ delta), box scan still prunes.
     "events_zorder_append_maintain",
+    # Helper-driven plan/behavior changes this round (registered fn
+    # sources and oracles UNCHANGED, so form_hash can't see them —
+    # hand-bumped via gen_provenance --bump, the r07 semdedup_prune
+    # precedent): scd2_apply gained the NULL-key raise_error guard
+    # (ADVICE r07 — an extra guarded projection in the apply plan), and
+    # the layout copies moved to pid-suffixed paths + the z-order
+    # writer now emits the layout manifest sidecar (ADVICE r07 /
+    # VERDICT #4 plumbing).
+    "part_scd2_price_history",
+    "events_zorder_box_scan",
+    "bucketed_colocated_join",
 )
-# 15 parity + 2 hoisted; the remaining 33 window slots fill in module
+# 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
 # composition is pinned by
 # tests/test_plans.py::test_driver_window_composition.
@@ -91,7 +102,16 @@ def form_hash(q: Query) -> str:
     expanded oracle text.  This is exactly what a driver CORRECTNESS row
     evidences: if this hash changes, any prior driver row is stale for
     the query and a fresh row is owed (PROVENANCE.json +
-    tests/test_provenance.py pin that debt mechanically)."""
+    tests/test_provenance.py pin that debt mechanically).
+
+    Scope limit, deliberate: the hash sees ONLY the registered fn's own
+    source — an edit to a shared helper/operator the fn calls changes
+    the shipped plan invisibly to it (and to the judge's worktree form
+    diff, which compares the same thing).  Whoever edits a helper that
+    alters a query's physical plan or execution behavior must hand-bump
+    the affected queries (``tools/gen_provenance.py --bump``), after
+    which the provenance test forces them into the next driver window —
+    the r07 semdedup_prune precedent, mechanized."""
     import hashlib
     import inspect
 

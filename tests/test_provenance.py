@@ -83,6 +83,15 @@ def test_every_driver_row_evidences_the_shipped_form():
                 problems.append(
                     f"{name}: the claimed round-{r} row is not green"
                 )
+        elif r <= latest:
+            # a PAST round with no committed artifact is missing
+            # evidence, not a pending window (self-review r08: the old
+            # branch silently greenlit a deleted CORRECTNESS file
+            # whenever the query happened to sit in the window)
+            problems.append(
+                f"{name}: claims round {r} but no CORRECTNESS_r{r:02d}"
+                ".json artifact exists"
+            )
         else:
             # the upcoming window — the owed row must actually be sampled
             if name not in window:

@@ -12,15 +12,24 @@ be hoisted into that window).
 
 Usage:
     python tools/gen_provenance.py          # update after form changes
+    python tools/gen_provenance.py --bump name [name ...]
+        # force the named queries to owe a fresh row even though their
+        # registered form hash is unchanged — REQUIRED whenever a shared
+        # helper/operator a query calls changes its physical plan or
+        # execution behavior (the hash covers only the registered fn's
+        # own source + oracle text; helper edits are invisible to it,
+        # exactly as they were to the judge's r06→r07 form diff — the
+        # repo precedent is semdedup_prune, hoisted in r07 for a
+        # helper-only plan change with unchanged output)
     python tools/gen_provenance.py --init-from-history
         # first-time build: seed evidenced_round from the committed
         # CORRECTNESS_r*.json files (latest green row per query) —
         # valid exactly when every row is known to evidence the shipped
         # form (judge-certified at the r07 HEAD)
 
-Unchanged forms keep their evidenced_round; changed or new forms get
-`max(committed rounds) + 1` (the upcoming window). Removed queries are
-dropped.
+Unchanged forms keep their evidenced_round; changed, new, or --bump'd
+forms get `max(committed rounds) + 1` (the upcoming window). Removed
+queries are dropped.
 """
 
 from __future__ import annotations
@@ -56,6 +65,12 @@ def is_green(row: dict) -> bool:
 
 def main() -> None:
     init = "--init-from-history" in sys.argv
+    bump: set[str] = set()
+    if "--bump" in sys.argv:
+        bump = set(sys.argv[sys.argv.index("--bump") + 1:])
+        unknown = bump - set(all_queries())
+        if unknown:
+            raise SystemExit(f"--bump: unknown queries {sorted(unknown)}")
     qs = all_queries()
     rounds = correctness_rounds()
     pending = max(rounds) + 1 if rounds else 1
@@ -69,7 +84,9 @@ def main() -> None:
     for name, q in qs.items():
         h = form_hash(q)
         ent = old.get(name)
-        if ent and ent["form"] == h:
+        if name in bump:
+            out[name] = {"form": h, "evidenced_round": pending}
+        elif ent and ent["form"] == h:
             out[name] = ent
         elif init:
             greens = [n for n in sorted(rounds)
