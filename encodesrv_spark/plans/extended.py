@@ -1524,17 +1524,19 @@ def part_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed keys (and the exact retail sum catches a wrong-version
     price, since v2 = v1 + 10.00).
 
-    Scale shape: the FACT SIDE NEVER SHUFFLES — the history is
-    dimension-sized (≤ 2 versions/key here), so it broadcasts and the
-    as-of predicate rides as the hash join's residual condition (an
-    equi-join on the key + an interval filter over the ≤ 2 candidate
-    versions — NOT a range join, so no explosion and no
-    BroadcastNestedLoop; asserted by
-    tests/test_plans.py::test_scd2_asof_join_plan).  The only exchanges
-    in the plan are dimension-sized (the SCD2 apply's full-outer key
-    join) plus the final group-by — at 100 TB that is one broadcast of
-    a small dimension against the fact scan, the same posture as every
-    other dim join in the engine.
+    Scale shape: an EQUI-join on the key with the validity interval as
+    a residual filter over the ≤ 2 candidate versions — NOT a range
+    join, so no explosion and no BroadcastNestedLoop at any size
+    (asserted by tests/test_plans.py::test_scd2_asof_join_plan).  The
+    history side carries NO broadcast hint, deliberately: part is an
+    sf-SCALED relation, so a mandatory hint (AQE cannot demote it)
+    would OOM at 100× — the suite's forced-broadcast guard bans
+    exactly that.  Unhinted, Catalyst/AQE broadcasts the history
+    whenever it actually fits: at every gate SF the static plan is
+    already a BroadcastHashJoin with ZERO fact-side shuffle
+    (plan-asserted), and for a genuinely fact-scaled dimension the
+    equi-key shuffle join is the honest cost — the same posture the
+    SCD2 apply states for its full-outer join.
 
     Determinism: fixed version timestamps; the +10.00 bump is IEEE
     double addition, bit-identical across engines; the money sum is the
@@ -1566,7 +1568,7 @@ def part_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = F.lit(_ASOF_T1).cast("timestamp")
     l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
     j = l.join(
-        F.broadcast(hist),
+        hist,
         (F.col("l_partkey") == F.col("p_partkey"))
         & (F.col("valid_from") <= F.col("l_shipdate"))
         & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
