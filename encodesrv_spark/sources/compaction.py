@@ -195,6 +195,11 @@ def write_zorder_clustered(
         "col_a": col_a, "col_b": col_b, "bits": bits,
         "splits_a": splits_a, "splits_b": splits_b,
         "clustered_files": _data_files(path),
+        # sorted-run count: the base write is run 1; each incremental
+        # zorder_maintain pass adds one (its output overlaps the other
+        # runs' z-ranges) — the LSM read-amplification meter that
+        # decides when a full re-cluster pays
+        "runs": 1,
     })
 
 
@@ -244,6 +249,7 @@ def zorder_append(df: DataFrame, path: str, n_files: int = 1) -> None:
 def zorder_maintain(
     spark: SparkSession, path: str, min_delta_files: int = 4,
     n_files: int | None = None, target_bytes: int = 256 * 1024 * 1024,
+    max_runs: int = 8,
 ) -> dict:
     """Incremental z-order maintenance: compact the files APPENDED
     since the last clustering pass into new curve-clustered files,
@@ -265,9 +271,15 @@ def zorder_maintain(
     of appends reads and writes 200 GB.  The result is one extra
     sorted run per maintenance pass (base files and each pass's output
     cover overlapping z-ranges), which is exactly the LSM trade: box
-    scans still prune file-by-file on min/max stats across every run;
-    a periodic FULL rewrite (plain `write_zorder_clustered`) merges
-    runs when their count grows.  Staging-then-move keeps readers of
+    scans still prune file-by-file on min/max stats across every run.
+    The manifest counts runs, and when a pass would push the count
+    past `max_runs` the operator MERGES instead: a full re-cluster via
+    `write_zorder_clustered` (fresh quantile sample too — after many
+    appends the base boundaries may no longer equidistribute) resets
+    the table to one run.  That is the amortization knob: read
+    amplification is bounded by `max_runs`, and the full-rewrite cost
+    is paid once per `max_runs − 1` delta-sized passes, not per batch.
+    Staging-then-move keeps readers of
     the old file set consistent on local/HDFS semantics; a real
     multi-writer deployment gets this from the table format's commit
     protocol instead (same stage-then-publish contract as the
@@ -280,6 +292,36 @@ def zorder_maintain(
     delta = [f for f in _data_files(path) if f not in clustered]
     if len(delta) < min_delta_files:
         return {"compacted_files": 0, "new_files": [], "skipped": True}
+
+    runs = meta.get("runs", 1)
+    if runs + 1 > max_runs:
+        # run-merge: full re-cluster (reads the whole table — the
+        # amortized cost paid once per max_runs−1 incremental passes)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(path, f)) for f in _data_files(path)
+        )
+        n_full = n_files or target_partitions(total_bytes, target_bytes)
+        staging = f"{path.rstrip('/')}__merge_p{os.getpid()}"
+        write_zorder_clustered(
+            spark.read.parquet(path), staging, n_full,
+            meta["col_a"], meta["col_b"], meta["bits"],
+        )
+        old_files = _data_files(path)
+        new_files = _data_files(staging)
+        # Spark part-file names embed a per-job UUID, so a collision
+        # cannot happen; guard anyway — a rename-over would make the
+        # removal loop delete merged data
+        assert not set(new_files) & set(old_files)
+        for f in new_files:
+            os.rename(os.path.join(staging, f), os.path.join(path, f))
+        for f in old_files:
+            os.remove(os.path.join(path, f))
+        merged_meta = read_zmeta(staging)
+        merged_meta["clustered_files"] = sorted(new_files)
+        _write_zmeta(path, merged_meta)
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"compacted_files": len(old_files), "new_files": new_files,
+                "skipped": False, "merged": True}
 
     delta_paths = [os.path.join(path, f) for f in delta]
     n = n_files or target_partitions(
@@ -305,9 +347,10 @@ def zorder_maintain(
     for p in delta_paths:
         os.remove(p)
     meta["clustered_files"] = sorted((clustered | set(new_files)))
+    meta["runs"] = runs + 1
     _write_zmeta(path, meta)
     return {"compacted_files": len(delta), "new_files": new_files,
-            "skipped": False}
+            "skipped": False, "merged": False}
 
 
 def _monotone(splits: list) -> list:

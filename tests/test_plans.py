@@ -335,6 +335,61 @@ def test_zorder_maintain_incremental(spark, sf_dir, tmp_path):
     assert zorder_maintain(spark, path, min_delta_files=1)["skipped"]
 
 
+def test_zorder_run_merge_bounds_read_amplification(spark, sf_dir, tmp_path):
+    """The LSM knob: each incremental maintain adds one sorted run;
+    when a pass would exceed max_runs the operator MERGES — a full
+    re-cluster (fresh quantile sample) that resets the table to one
+    run.  Read amplification is thereby bounded by max_runs while the
+    full-rewrite cost amortizes over max_runs−1 delta-sized passes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources.compaction import (
+        read_zmeta,
+        write_zorder_clustered,
+        zorder_append,
+        zorder_maintain,
+    )
+
+    path = str(tmp_path / "zmr")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_zorder_clustered(ev.filter(F.col("event_id") % 4 != 0), path, 4,
+                           "user_id", "value")
+    assert read_zmeta(path)["runs"] == 1
+
+    # two incremental passes -> runs 2 and 3 (max_runs=3 not exceeded);
+    # the two delta batches partition the %4==0 complement of the base
+    for b in (0, 4):
+        zorder_append(ev.filter(F.col("event_id") % 8 == b), path, n_files=1)
+        res = zorder_maintain(spark, path, min_delta_files=1, n_files=1,
+                              max_runs=3)
+        assert not res["merged"]
+    assert read_zmeta(path)["runs"] == 3
+
+    # third pass would make run 4 > max_runs -> full merge instead
+    zorder_append(ev.limit(0), path, n_files=1)  # empty batch, 1 file
+    res = zorder_maintain(spark, path, min_delta_files=1, n_files=2,
+                          max_runs=3)
+    assert res["merged"]
+    meta = read_zmeta(path)
+    assert meta["runs"] == 1
+    names = sorted(
+        f for f in os.listdir(path)
+        if not f.startswith("_") and not f.startswith(".")
+        and os.path.isfile(os.path.join(path, f))
+    )
+    assert names == meta["clustered_files"]
+    # pure re-layout through appends, maintains, and the merge
+    got = spark.read.parquet(path)
+    assert got.count() == ev.count()
+    assert got.agg(F.sum("event_id")).first()[0] == \
+        ev.agg(F.sum("event_id")).first()[0]
+
+
 def test_zorder_maintained_box_still_prunes(spark, sf_dir):
     """After N appends + maintenance, the 2-D box must still land in a
     strict minority of the files — the delta run was clustered on the
