@@ -235,6 +235,80 @@ def _data_files(path: str) -> list[str]:
     )
 
 
+def _complete_pending(path: str) -> bool:
+    """Idempotent redo of a publish intent left in the manifest by a
+    crashed `zorder_maintain` pass.  The intent (`pending`) records the
+    staging dir, the staged file names, the files to delete, and the
+    FINAL manifest — written BEFORE any rename, so at every crash point
+    replaying it converges: a staged file already moved in is skipped,
+    a delete already applied is skipped.  Returns True if an intent was
+    completed."""
+    import os
+    import shutil
+
+    meta = read_zmeta(path)
+    pending = meta.get("pending")
+    if not pending:
+        return False
+    base = os.path.dirname(os.path.abspath(path.rstrip("/"))) or "."
+    staging = os.path.join(base, pending["staging"])
+    for f in pending["new_files"]:
+        dst = os.path.join(path, f)
+        if os.path.exists(dst):
+            continue  # moved before the crash
+        src = os.path.join(staging, f)
+        if not os.path.exists(src):
+            raise RuntimeError(
+                f"zorder publish intent references {f!r} present in "
+                f"neither {path} nor {staging} — manual repair needed"
+            )
+        os.rename(src, dst)
+    for f in pending["delete"]:
+        p = os.path.join(path, f)
+        if os.path.exists(p):
+            os.remove(p)
+    shutil.rmtree(staging, ignore_errors=True)
+    _write_zmeta(path, pending["final"])
+    return True
+
+
+def _publish(
+    path: str, staging: str, delete_files: list[str], final_meta: dict
+) -> list[str]:
+    """Crash-safe stage-then-publish for `zorder_maintain` (ADVICE r08):
+    record the full intent in the manifest FIRST, then execute it via
+    the same idempotent redo a recovery uses.  A crash at any point
+    after the intent write is completed by the next maintain pass
+    instead of leaving both the deltas and their compacted copies
+    classified as un-clustered (which the old rename-then-delete order
+    silently double-counted).  A crash BEFORE the intent write loses
+    only the staging dir (deltas untouched, manifest unchanged).
+
+    Raises RuntimeError (not a bare assert — this must survive
+    `python -O`) on a staged-name collision with ANY live file: Spark's
+    per-job-UUID part names make that effectively impossible, but a
+    rename-over would silently drop the target file's rows."""
+    import os
+
+    new_files = _data_files(staging)
+    clash = set(new_files) & set(_data_files(path))
+    if clash:
+        raise RuntimeError(
+            f"part-file name collision publishing {staging} into "
+            f"{path}: {sorted(clash)}"
+        )
+    meta = read_zmeta(path)
+    meta["pending"] = {
+        "staging": os.path.basename(staging.rstrip("/")),
+        "new_files": sorted(new_files),
+        "delete": sorted(delete_files),
+        "final": final_meta,
+    }
+    _write_zmeta(path, meta)
+    _complete_pending(path)
+    return new_files
+
+
 def zorder_append(df: DataFrame, path: str, n_files: int = 1) -> None:
     """Micro-batch append to a z-ordered table — the 60 s ingest loop's
     write: land the batch FAST (no sample, no clustering, `n_files`
@@ -279,14 +353,26 @@ def zorder_maintain(
     the table to one run.  That is the amortization knob: read
     amplification is bounded by `max_runs`, and the full-rewrite cost
     is paid once per `max_runs − 1` delta-sized passes, not per batch.
-    Staging-then-move keeps readers of
-    the old file set consistent on local/HDFS semantics; a real
-    multi-writer deployment gets this from the table format's commit
-    protocol instead (same stage-then-publish contract as the
-    reference's temp-dir encode, `encodesrv/job.py:282-309`)."""
-    import os
-    import shutil
 
+    Publish protocol (crash-safe, single-writer): the manifest is a
+    WRITE-AHEAD intent — before any rename it records the staged file
+    names, the files to delete, and the final manifest, and every
+    maintain pass first replays any intent a crashed predecessor left
+    (`_complete_pending`), so a crash at any point between staging and
+    the final manifest write can never double-count delta rows (ADVICE
+    r08 — the old rename-then-delete order had exactly that window).
+    SINGLE-WRITER, and reader visibility is directory-listing-based:
+    a concurrent reader that lists between the rename-in and the
+    delta-delete sees both a delta file and its compacted copy and
+    double-counts those rows — on local/HDFS semantics the only
+    airtight answer is the table format's atomic commit log (Delta /
+    Iceberg snapshot isolation); this sidecar is the single-writer
+    stand-in (same stage-then-publish contract as the reference's
+    temp-dir encode, `encodesrv/job.py:282-309`, which has the same
+    single-consumer assumption)."""
+    import os
+
+    _complete_pending(path)
     meta = read_zmeta(path)
     clustered = set(meta["clustered_files"])
     delta = [f for f in _data_files(path) if f not in clustered]
@@ -307,19 +393,9 @@ def zorder_maintain(
             meta["col_a"], meta["col_b"], meta["bits"],
         )
         old_files = _data_files(path)
-        new_files = _data_files(staging)
-        # Spark part-file names embed a per-job UUID, so a collision
-        # cannot happen; guard anyway — a rename-over would make the
-        # removal loop delete merged data
-        assert not set(new_files) & set(old_files)
-        for f in new_files:
-            os.rename(os.path.join(staging, f), os.path.join(path, f))
-        for f in old_files:
-            os.remove(os.path.join(path, f))
         merged_meta = read_zmeta(staging)
-        merged_meta["clustered_files"] = sorted(new_files)
-        _write_zmeta(path, merged_meta)
-        shutil.rmtree(staging, ignore_errors=True)
+        merged_meta["clustered_files"] = sorted(_data_files(staging))
+        new_files = _publish(path, staging, old_files, merged_meta)
         return {"compacted_files": len(old_files), "new_files": new_files,
                 "skipped": False, "merged": True}
 
@@ -340,15 +416,11 @@ def zorder_maintain(
         .write.mode("overwrite")
         .parquet(staging)
     )
-    new_files = _data_files(staging)
-    for f in new_files:
-        os.rename(os.path.join(staging, f), os.path.join(path, f))
-    shutil.rmtree(staging, ignore_errors=True)
-    for p in delta_paths:
-        os.remove(p)
-    meta["clustered_files"] = sorted((clustered | set(new_files)))
-    meta["runs"] = runs + 1
-    _write_zmeta(path, meta)
+    final_meta = dict(meta)
+    final_meta.pop("pending", None)
+    final_meta["clustered_files"] = sorted(clustered | set(_data_files(staging)))
+    final_meta["runs"] = runs + 1
+    new_files = _publish(path, staging, delta, final_meta)
     return {"compacted_files": len(delta), "new_files": new_files,
             "skipped": False, "merged": False}
 

@@ -20,6 +20,9 @@ absent, so the state-server handshake cannot run — the migration
 carries over unchanged the moment the dependency appears.
 Re-probed r08: `import google.protobuf` still ModuleNotFoundError;
 blocked, unchanged.
+Re-probed r09: `import google.protobuf` still ModuleNotFoundError;
+blocked, unchanged (applyInPandasWithState operators and tests carry
+over as-is).
 """
 
 from __future__ import annotations

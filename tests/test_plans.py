@@ -335,6 +335,94 @@ def test_zorder_maintain_incremental(spark, sf_dir, tmp_path):
     assert zorder_maintain(spark, path, min_delta_files=1)["skipped"]
 
 
+def test_zorder_maintain_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r08: the maintain publish is a manifest write-ahead
+    intent.  Kill the pass in the exact window the old rename-then-
+    delete order double-counted (compacted copies renamed in, delta
+    files not yet deleted) and the NEXT maintain pass must complete the
+    intent idempotently — final table row-identical, no delta row
+    compacted twice, no pending record left."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources.compaction import (
+        _data_files,
+        read_zmeta,
+        write_zorder_clustered,
+        zorder_append,
+        zorder_maintain,
+    )
+
+    path = str(tmp_path / "zcrash")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    write_zorder_clustered(ev.filter(F.col("event_id") % 3 == 0), path, 4,
+                           "user_id", "value")
+    zorder_append(ev.filter(F.col("event_id") % 3 == 1), path, n_files=4)
+    kept = ev.filter(F.col("event_id") % 3 != 2)
+    total = kept.count()
+
+    real_remove = os.remove
+
+    def boom(p):
+        raise OSError(f"simulated crash before delta delete: {p}")
+
+    monkeypatch.setattr(os, "remove", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        zorder_maintain(spark, path, min_delta_files=1, n_files=2)
+    monkeypatch.setattr(os, "remove", real_remove)
+
+    # the crash window is real: copies in, deltas still present, intent
+    # recorded — a listing-based concurrent reader double-counts here
+    # (the documented single-writer caveat)
+    assert "pending" in read_zmeta(path)
+    assert spark.read.parquet(path).count() > total
+
+    # recovery: the next pass replays the intent, then finds no debt
+    res = zorder_maintain(spark, path, min_delta_files=1)
+    assert res["skipped"]
+    meta = read_zmeta(path)
+    assert "pending" not in meta
+    got = spark.read.parquet(path)
+    assert got.count() == total
+    assert got.agg(F.sum("event_id")).first()[0] == \
+        kept.agg(F.sum("event_id")).first()[0]
+    assert _data_files(path) == meta["clustered_files"]
+
+
+def test_zorder_publish_rejects_name_collision(tmp_path):
+    """The collision guard must be a real exception (ADVICE r08: a bare
+    assert is stripped under `python -O`), on BOTH publish paths — a
+    rename-over would silently drop the target file's rows."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from encodesrv_spark.sources.compaction import _publish
+
+    path = tmp_path / "ztab"
+    staging = tmp_path / "ztab__maintain_p1"
+    path.mkdir()
+    staging.mkdir()
+    (path / "_zorder_meta.json").write_text(json.dumps(
+        {"clustered_files": ["part-00000.parquet"], "runs": 1}
+    ))
+    (path / "part-00000.parquet").write_text("base")
+    (staging / "part-00000.parquet").write_text("staged")
+    with _pytest.raises(RuntimeError, match="collision"):
+        _publish(str(path), str(staging), [], {"runs": 1})
+    # nothing was renamed, deleted, or recorded
+    assert (path / "part-00000.parquet").read_text() == "base"
+    assert "pending" not in json.loads(
+        (path / "_zorder_meta.json").read_text()
+    )
+    assert os.listdir(staging) == ["part-00000.parquet"]
+
+
 def test_zorder_run_merge_bounds_read_amplification(spark, sf_dir, tmp_path):
     """The LSM knob: each incremental maintain adds one sorted run;
     when a pass would exceed max_runs the operator MERGES — a full

@@ -120,6 +120,35 @@ def _check_one(
     return (f"ok    {name}: rows={len(srows)} ({dt:.1f}s)", [])
 
 
+# Fixed DuckDB load-control query (registry-independent, lineitem-only
+# so it survives per-round documents/embeddings schema regeneration).
+# Its wall under the SAME machine conditions as the sweep converts the
+# oracle-wall budget from an absolute number into a ratio — the r08
+# judge session showed absolute walls inflate up to 25x when pytest +
+# two sweeps share the box, which made tests/test_oracle_wall.py the
+# session's only failure on timing alone.  Three independent sorts so
+# the control is CPU-bound long enough (~0.3 s idle at sf0.1) to read
+# contention reliably.
+CONTROL_SQL = """
+    SELECT count(*) FROM (SELECT * FROM lineitem
+        ORDER BY l_extendedprice, l_orderkey, l_linenumber LIMIT 100000)
+    UNION ALL SELECT count(*) FROM (SELECT * FROM lineitem
+        ORDER BY l_quantity, l_orderkey LIMIT 100000)
+    UNION ALL SELECT count(*) FROM (SELECT * FROM lineitem
+        ORDER BY l_shipdate, l_orderkey LIMIT 100000)
+"""
+
+
+def _control_wall(con) -> float:
+    """Median of 3 control runs on a fresh cursor."""
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(CONTROL_SQL).fetchall()
+        walls.append(time.time() - t0)
+    return round(sorted(walls)[1], 3)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -137,6 +166,8 @@ def main() -> int:
 
     failures: list[str] = []
     oracle_wall: dict[str, float] = {}
+    control_start = _control_wall(con.cursor()) if not only else None
+    load_start = os.getloadavg()[0]
     t_sweep = time.time()
     if jobs <= 1:
         for name, q in todo:
@@ -162,10 +193,25 @@ def main() -> int:
     # #6: the ~380 s/sweep DuckDB-side saving of the CTE audit was
     # recorded only in prose — with this artifact the next oracle-side
     # regression is a git diff, not a judge discovery).  Keyed by SF so
-    # both gate SFs coexist; partial (filtered) runs don't overwrite.
-    if not only:
+    # both gate SFs coexist; partial (filtered) runs don't overwrite,
+    # and — ADVICE r08 — neither do FAILED sweeps: a failed query never
+    # records an oracle wall, so persisting would clobber the last good
+    # record with an incomplete map and trip test_oracle_wall's
+    # full-registry assertion misleadingly.
+    #
+    # The record carries its own machine conditions (VERDICT r08 #2):
+    # the load-control wall measured at sweep start AND end (a sweep
+    # sharing the box with pytest + another sweep keeps the box loaded
+    # for its whole duration, so the max of the two reads the
+    # contention that inflated the per-query walls) plus raw loadavg
+    # for the human reading the artifact.  tests/test_oracle_wall.py
+    # budgets RELATIVE to the control, so a concurrent certification
+    # run can no longer fail the suite on timing alone.
+    if not only and not failures:
         import json
 
+        sweep_wall = round(time.time() - t_sweep, 3)
+        control_end = _control_wall(con.cursor())
         wall_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "ORACLE_WALL.json",
@@ -178,7 +224,12 @@ def main() -> int:
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         record[tag] = {
             "jobs": jobs,
-            "sweep_wall_sec": round(time.time() - t_sweep, 3),
+            "sweep_wall_sec": sweep_wall,
+            "control_sec": max(control_start, control_end),
+            "control_start_sec": control_start,
+            "control_end_sec": control_end,
+            "loadavg_start": round(load_start, 2),
+            "loadavg_end": round(os.getloadavg()[0], 2),
             "oracle_sec": dict(sorted(oracle_wall.items())),
         }
         with open(wall_path, "w") as fh:
@@ -187,6 +238,8 @@ def main() -> int:
         slow = {n: s for n, s in oracle_wall.items() if s > 10}
         if slow:
             print(f"oracle-side >10s: {slow}")
+    elif not only and failures:
+        print("sweep had failures — ORACLE_WALL.json left untouched")
 
     print()
     if failures:

@@ -64,10 +64,20 @@ def is_green(row: dict) -> bool:
 
 
 def main() -> None:
-    init = "--init-from-history" in sys.argv
-    bump: set[str] = set()
-    if "--bump" in sys.argv:
-        bump = set(sys.argv[sys.argv.index("--bump") + 1:])
+    # argparse so --bump stops at the next flag instead of swallowing it
+    # as a query name (ADVICE r08: `--bump q1 --init-from-history`
+    # previously died with a misleading 'unknown queries' error)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--bump", nargs="+", default=[], metavar="QUERY",
+                    help="force fresh driver rows for helper-driven "
+                         "plan/behavior changes the form hash can't see")
+    ap.add_argument("--init-from-history", action="store_true")
+    args = ap.parse_args()
+    init = args.init_from_history
+    bump = set(args.bump)
+    if bump:
         unknown = bump - set(all_queries())
         if unknown:
             raise SystemExit(f"--bump: unknown queries {sorted(unknown)}")
