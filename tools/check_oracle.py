@@ -232,9 +232,13 @@ def main() -> int:
             "loadavg_end": round(os.getloadavg()[0], 2),
             "oracle_sec": dict(sorted(oracle_wall.items())),
         }
-        with open(wall_path, "w") as fh:
+        # atomic publish: a suite running concurrently (the exact r08
+        # failure mode) must never read a half-written artifact
+        tmp = wall_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
             json.dump(record, fh, indent=1)
             fh.write("\n")
+        os.replace(tmp, wall_path)
         slow = {n: s for n, s in oracle_wall.items() if s > 10}
         if slow:
             print(f"oracle-side >10s: {slow}")
