@@ -236,15 +236,26 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFr
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = 3, n_hashes: int = 8, band_size: int = 2
+    docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: signatures split
     into bands of `band_size` hashes; documents agreeing on ANY full
     band become a candidate pair.  The join key is (band_id, band_hash)
-    so only same-band-value documents shuffle together."""
+    so only same-band-value documents shuffle together.
+
+    Pass `sig` (an already-MATERIALIZED frame from
+    ``minhash_signatures`` with matching k/n_hashes) when the caller
+    also consumes the signatures itself — estimator harnesses join the
+    banding candidates back to the signature columns, and without
+    sharing, the shingle+hash pass runs once per consumer."""
     # constant-size signatures: cheap to materialize, reused by both
     # self-join sides (same rationale as jaccard_pairs' checkpoint)
-    sig = minhash_signatures(docs, k, n_hashes).localCheckpoint(eager=True)
+    if sig is None:
+        sig = minhash_signatures(docs, k, n_hashes).localCheckpoint(eager=True)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[

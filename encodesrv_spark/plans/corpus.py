@@ -498,11 +498,25 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams are built array-side (no window, no per-doc sort shuffle)
     and follow the same two-level aggregation.  Every shuffle key is
     doc_id-prefixed, so skew is bounded by document length, not corpus
-    frequency.  Generalizes EncodeSrv's scalar text functions
-    (reference encodesrv/job.py:204-205 regex analysis) to corpus QA."""
+    frequency.
+
+    The token-array frame is MATERIALIZED (eager localCheckpoint, the
+    `_sq8_coded_frame` precedent) because two consumers read it and
+    tokenization dominates: left lazy, each branch re-splits every
+    document, AND explode's implicit `size(t) > 0 && isnotnull(t)`
+    filter gets pushed below the projection with the whole split/
+    filter/transform chain SUBSTITUTED into both conjuncts — ~6
+    tokenization passes per document per run (r09 profile: 3.4–6.7 s
+    at sf0.1 lazy vs 0.8–1.6 s materialized, checkpoint included).  At
+    100 TB the checkpoint is one corpus-sized write that replaces five
+    corpus-sized recomputes.  Generalizes EncodeSrv's scalar text
+    functions (reference encodesrv/job.py:204-205 regex analysis) to
+    corpus QA."""
     prep(spark)
     d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", _tokens_ne().alias("t"))
+    toks = d.select("doc_id", _tokens_ne().alias("t")).localCheckpoint(
+        eager=True
+    )
     tf = (
         toks.select("doc_id", F.explode("t").alias("tok"))
         .groupBy("doc_id", "tok")

@@ -83,6 +83,19 @@ _HOISTED = (
     # with crash recovery and a hard collision check (VERDICT r08 #3 +
     # ADVICE r08) — same rows, different publish/restart behavior.
     "events_zorder_append_maintain",
+    # Same plan pathology as approx_stats, found by the round's profile
+    # pass over the top bench extras: explode's pushed-down size/notnull
+    # filter re-evaluated the full tokenization chain in both of the
+    # query's two branches (~6 splits per doc).  Token frame now
+    # materialized once (3.4–6.7 s → 0.8–1.6 s at sf0.1); form change,
+    # fresh row owed.
+    "doc_repetition_stats",
+    # Same profile pass: the signature frame now computed once and
+    # shared by the banding join and both est-side probes (was 3
+    # shingle+KM-hash passes; ~3.1 → ~2.6 s — the remaining cost is the
+    # exact-Jaccard audit arm the query exists to compare against).
+    # Form change, fresh row owed.
+    "minhash_estimate_error",
 )
 # 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
