@@ -43,8 +43,11 @@ BUDGET_IDLE_SEC = 10.0
 ALLOWED_SLOW = {
     "fuzzy_pairs_levenshtein": (
         "the cost IS the blocked Levenshtein join itself (length-band "
-        "+ first-char blocking already applied); materialization A/B "
-        "was neutral in the r07 audit"
+        "+ first-char blocking already applied): ~100k candidate pairs "
+        "x ~300x300-char DP at sf0.1. Materialization A/B was neutral "
+        "in the r07 audit; r09 re-test: a single-evaluation rewrite "
+        "(edit_dist computed in a subquery instead of SELECT+WHERE) is "
+        "also neutral — DuckDB already CSEs the duplicated call"
     ),
 }
 
