@@ -35,7 +35,12 @@ def scd2_init(dim: DataFrame, batch_ts: str) -> DataFrame:
 
 
 def scd2_apply(
-    hist: DataFrame, changes: DataFrame, key: str, tracked: list[str], batch_ts: str
+    hist: DataFrame,
+    changes: DataFrame,
+    key: str,
+    tracked: list[str],
+    batch_ts: str,
+    on_real_change: str = "apply",
 ) -> DataFrame:
     """Apply a change batch to an SCD2 history table.
 
@@ -77,7 +82,22 @@ def scd2_apply(
     ``raise_error`` guard (zero cost on valid data: the branch only
     evaluates when the key IS null), so a violating batch fails the
     apply job loudly instead.
+
+    ``on_real_change="error"`` turns the apply into a NO-OP-ONLY
+    verification pass: unchanged keys and exact resends flow through
+    untouched, but any row that would actually version (a differing
+    tracked value, or a brand-new key) raises per-row instead.  This
+    is the at-least-once CDC guard: a RE-DELIVERED commit folds to the
+    values already current and passes, while a LATE commit carrying
+    real changes (one whose batch timestamp precedes an already-applied
+    commit) would silently write anachronistic history — a version
+    stamped ``valid_from`` in the past of the current version — so it
+    must fail loudly.  Same lazy-branch mechanics as the NULL-key
+    guard: the poisoned column lives inside the new-version struct that
+    only the versioning branches evaluate, zero cost on no-op rows.
     """
+    if on_real_change not in ("apply", "error"):
+        raise ValueError(f"on_real_change: {on_real_change!r}")
     ts = F.lit(batch_ts).cast("timestamp")
     cur = hist.filter(F.col("is_current"))
     old = hist.filter(~F.col("is_current"))
@@ -127,7 +147,20 @@ def scd2_apply(
 
     unchanged = _ver("", F.col("valid_from"), F.col("valid_to"), F.lit(True))
     closed = _ver("", F.col("valid_from"), ts, F.lit(False))
-    new_ver = _ver("__n_", ts, F.lit(None).cast("timestamp"), F.lit(True))
+    ts_new = ts
+    if on_real_change == "error":
+        # evaluated ONLY inside the versioning branches (lazy CASE), so
+        # no-op resends pass for free and real changes fail per-row
+        ts_new = F.raise_error(
+            F.concat(
+                F.lit(
+                    "scd2_apply: real change in a no-op-only apply (late or "
+                    f"re-delivered CDC commit at {batch_ts}) for {key}="
+                ),
+                F.col(f"__n_{key}").cast("string"),
+            )
+        ).cast("timestamp")
+    new_ver = _ver("__n_", ts_new, F.lit(None).cast("timestamp"), F.lit(True))
 
     emitted = (
         F.when(~has_cur, F.array(new_ver))  # brand-new key

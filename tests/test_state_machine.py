@@ -302,6 +302,102 @@ def test_scd2_null_change_key_fails_loudly(spark):
         out.collect()
 
 
+def test_scd2_noop_only_apply_guards_late_changes(spark):
+    """The at-least-once CDC guard (r09): `on_real_change="error"` must
+    let a whole-commit redelivery (values already current) pass with
+    byte-identical history, and fail loudly on a late REAL change or a
+    late brand-new key — either would silently write a version into
+    the past of current history."""
+    import pytest
+
+    from encodesrv_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = spark.createDataFrame(
+        [(1, "mp4", 2000), (2, "webm", 900)],
+        "id int, format_name string, video_bitrate int",
+    )
+    chg = spark.createDataFrame(
+        [(1, "mp4", 2500)], "id int, format_name string, video_bitrate int"
+    )
+    hist = scd2_apply(
+        scd2_init(dim, "2026-01-01 00:00:00"), chg, "id",
+        ["format_name", "video_bitrate"], "2026-02-01 00:00:00",
+    )
+    want = {tuple(r) for r in hist.collect()}
+
+    # whole-commit redelivery: same values, no-op-only mode -> identical
+    redelivered = scd2_apply(
+        hist, chg, "id", ["format_name", "video_bitrate"],
+        "2026-02-01 00:00:00", on_real_change="error",
+    )
+    assert {tuple(r) for r in redelivered.collect()} == want
+
+    # late REAL change -> per-row loud failure
+    late = spark.createDataFrame(
+        [(1, "mp4", 3000)], "id int, format_name string, video_bitrate int"
+    )
+    out = scd2_apply(hist, late, "id", ["format_name", "video_bitrate"],
+                     "2026-01-15 00:00:00", on_real_change="error")
+    with pytest.raises(Exception, match="no-op-only"):
+        out.collect()
+
+    # late brand-new key -> same failure (an anachronistic insert)
+    new_key = spark.createDataFrame(
+        [(9, "avi", 500)], "id int, format_name string, video_bitrate int"
+    )
+    out2 = scd2_apply(hist, new_key, "id", ["format_name", "video_bitrate"],
+                      "2026-01-15 00:00:00", on_real_change="error")
+    with pytest.raises(Exception, match="no-op-only"):
+        out2.collect()
+
+    with pytest.raises(ValueError, match="on_real_change"):
+        scd2_apply(hist, late, "id", ["format_name"], "2026-01-15 00:00:00",
+                   on_real_change="maybe")
+
+
+def test_scd2_apply_cdc_late_guard_and_high_water_mark(spark):
+    """streaming/scd.py::scd2_apply_cdc arms the guard from the
+    caller's high-water mark: groups above it apply normally and raise
+    the mark; a group at/below it with real changes fails on action."""
+    import datetime
+
+    import pytest
+
+    from encodesrv_spark.operators.scd import scd2_init
+    from encodesrv_spark.streaming.scd import scd2_apply_cdc
+
+    dim = spark.createDataFrame(
+        [(1, "mp4", 2000)], "id int, format_name string, video_bitrate int"
+    )
+    hist = scd2_init(dim, "2026-01-01 00:00:00")
+    t2 = datetime.datetime(2026, 2, 1)
+    cdc = spark.createDataFrame(
+        [(1, "mp4", 2500, 1, t2)],
+        "id int, format_name string, video_bitrate int, seq int, "
+        "change_ts timestamp",
+    )
+    hist, mark = scd2_apply_cdc(
+        hist, cdc, "id", ["format_name", "video_bitrate"],
+        "change_ts", "seq",
+    )
+    assert mark == t2
+    assert hist.filter("is_current AND video_bitrate = 2500").count() == 1
+
+    # a LATE slice (ts before the mark) with a real change fails loudly
+    late = spark.createDataFrame(
+        [(1, "mp4", 2100, 1, datetime.datetime(2026, 1, 15))],
+        "id int, format_name string, video_bitrate int, seq int, "
+        "change_ts timestamp",
+    )
+    out, mark2 = scd2_apply_cdc(
+        hist, late, "id", ["format_name", "video_bitrate"],
+        "change_ts", "seq", max_applied_ts=mark,
+    )
+    assert mark2 == mark  # the mark never goes backwards
+    with pytest.raises(Exception, match="no-op-only"):
+        out.collect()
+
+
 def test_jobstore_time_travel(spark, tmp_path):
     """read_version reconstructs each retained snapshot exactly;
     history lists the retention window; GC'd versions raise."""
