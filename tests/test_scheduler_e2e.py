@@ -225,7 +225,7 @@ def test_streaming_poll_loop_runs_scheduler_cycles(spark, tmp_path):
 
     writer = poll_loop_stream(spark, on_batch=on_batch, interval=None)
     q = writer.option("checkpointLocation", str(tmp_path / "ckpt_sched")).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     statuses = {r["id"]: r["status"] for r in jobs.read().collect()}
     assert all(s == "Done" for s in statuses.values()), statuses

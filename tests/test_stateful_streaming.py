@@ -31,7 +31,7 @@ def test_running_user_totals(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     # last update per user must equal the batch aggregate
     got = {
@@ -86,7 +86,7 @@ def test_funnel_progress_matches_batch(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     # last update per user is the final state
     got = (
@@ -140,7 +140,7 @@ def test_transition_increments_match_batch(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     got = {
         (r.from_type, r.to_type): r.total
@@ -195,7 +195,7 @@ def test_state_survives_stop_and_restart(spark, tmp_path, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     run()
     second.write.mode("overwrite").parquet(str(src / "batch2"))
@@ -269,7 +269,7 @@ def test_ewma_stream_matches_batch_within_truncation_tail(spark, tmp_path, sf_di
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow)
 
     exact = {
@@ -347,7 +347,7 @@ def test_change_points_stream_flags_planted_shift_and_matches_batch_means(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     out = spark.sql("SELECT * FROM chg_points").collect()
     # 48 hours, last one never closes (no later event), first closed
@@ -433,7 +433,7 @@ def test_cusum_stream_matches_batch_chart(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     out = spark.sql("SELECT * FROM cusum_chart").collect()
     assert len(out) == 63  # 64 hours, last never closes
@@ -530,7 +530,11 @@ def test_scd2_stream_matches_batch_replay(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination returns False on timeout WITHOUT error — asserting
+    # it makes a slow run fail loudly instead of comparing partial state
+    # (r09 full-suite run #3: 180 s expired mid-stream inside a 70-minute
+    # suite JVM and the equality check saw commit 3 missing)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
     assert sink.batches_applied >= 2  # genuinely incremental, not one gulp
 
     fmt = lambda df: {  # noqa: E731

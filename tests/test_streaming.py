@@ -39,7 +39,7 @@ def _run_available_now(df, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
     return q
 
 
@@ -81,7 +81,7 @@ def test_poll_loop_stream_drives_batches(spark, tmp_path):
         spark, on_batch=lambda df, epoch: seen.append(epoch), interval=None
     )
     q = writer.option("checkpointLocation", str(tmp_path / "ckpt_poll")).start()
-    q.awaitTermination(60)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
     assert len(seen) >= 1  # at least one claim cycle fired
 
 
@@ -135,7 +135,7 @@ def test_streaming_dedup_drops_redelivered(spark, tmp_path, events_dir, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
     assert got["n"] == got["d"] == base.count()
 
@@ -156,7 +156,7 @@ def test_enriched_events_matches_batch_join(spark, tmp_path, events_dir, sf_dir)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
     got = {
         (r["event_id"], r["segment"], r["nationkey"])
         for r in spark.sql("SELECT event_id, segment, nationkey FROM enriched").collect()
@@ -256,7 +256,7 @@ def test_click_purchase_attribution_matches_batch(spark, tmp_path, events_dir, s
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
     got = {
         (r["purchase_id"], r["click_id"])
         for r in spark.sql("SELECT purchase_id, click_id FROM attrib").collect()
@@ -326,7 +326,7 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     got = {r["text_hash"] for r in spark.sql("SELECT text_hash FROM inc_dedup").collect()}
     want = {
@@ -381,7 +381,7 @@ def test_incremental_dedup_stream_watermark_state_bound(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     # run 1: docA at 10:00, in-horizon redelivery at 10:10 (dropped),
     # and a 15:00 row that advances the watermark to 14:00 — past
@@ -468,7 +468,7 @@ def test_value_anomalies_stream_matches_batch(spark, tmp_path, events_dir, sf_di
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     got = {r["event_id"] for r in spark.sql("SELECT event_id FROM anomalies").collect()}
     want = {
@@ -515,7 +515,7 @@ def test_chunked_docs_stream_matches_batch(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
     got = {
         (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["chunk_hash"])
         for r in spark.sql("SELECT * FROM chunks_stream").collect()
@@ -563,7 +563,7 @@ def test_watermark_drops_late_event_from_closed_window(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     batch1 = spark.createDataFrame(
         [
@@ -631,7 +631,7 @@ def test_session_window_ignores_late_event_after_close(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     batch1 = spark.createDataFrame(
         [
@@ -688,7 +688,7 @@ def test_jsonl_corpus_stream_ingests_and_quarantines(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
 
     out = spark.sql("SELECT * FROM jsonl_ingest")
     clean = out.filter("raw_line IS NULL")
