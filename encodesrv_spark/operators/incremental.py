@@ -87,6 +87,77 @@ def hll_merge_estimate(base: DataFrame, delta: DataFrame, keys: list[str]) -> Da
     )
 
 
+def join_view_delta(
+    left: DataFrame,
+    delta_left: DataFrame,
+    right: DataFrame,
+    delta_right: DataFrame,
+    on,
+) -> DataFrame:
+    """Delta rows of the inner-join view ``V = L ⋈ R`` under
+    insert-only deltas on both inputs:
+
+        ΔV = (ΔL ⋈ R) ∪ ((L ∪ ΔL) ⋈ ΔR)
+
+    The asymmetric decomposition counts the cross term ΔL ⋈ ΔR exactly
+    once — the classic IVM double-count trap is joining the POST-image
+    on both terms ((L∪ΔL) ⋈ ΔR ∪ ΔL ⋈ (R∪ΔR) contains ΔL ⋈ ΔR twice).
+    The maintained view is ``V_old ∪ ΔV``; per-cycle work is two joins,
+    each delta-sized on one side, never a recompute of \\|L ⋈ R\\| — the
+    join-view analogue of ``merge`` for decomposable aggregates.
+
+    Deliberately NO broadcast hint on the delta sides: they are
+    micro-batch-sized in the maintenance loop this models, so AQE
+    broadcasts them at runtime, while a backfill-sized delta degrades
+    to an honest shuffle join instead of a forced-broadcast OOM (the
+    100 TB posture rule).
+
+    Deletion-bearing feeds need the counting algebra — that is
+    ``join_view_delta_signed``."""
+    return delta_left.join(right, on).unionByName(
+        left.unionByName(delta_left).join(delta_right, on)
+    )
+
+
+def join_view_delta_signed(
+    left: DataFrame,
+    delta_left: DataFrame,
+    right: DataFrame,
+    delta_right: DataFrame,
+    on,
+    mult: str = "_mult",
+) -> DataFrame:
+    """``join_view_delta`` lifted to DELETION-BEARING feeds: every
+    input carries a signed multiplicity column ``mult`` (+k insert k
+    copies, −k delete k copies — the z-set/DBSP representation, public
+    algebra), and because the join is BILINEAR in multiplicities the
+    same two-term decomposition maintains the view exactly:
+
+        ΔV = (ΔL ⋈ R) ∪ ((L ⊎ ΔL) ⋈ ΔR),   mult(v) = mult(l)·mult(r)
+
+    The sign products do the bookkeeping no row-level algebra could:
+    a row deleted on BOTH sides enters the two single-side terms at −1
+    each and the cross term at (−1)·(−1) = +1, netting the correct −1.
+    Inputs need not be consolidated (``L ⊎ ΔL`` is just unionByName —
+    multiset sum); downstream LINEAR aggregates (count → Σmult, sums →
+    Σmult·x) read the signed view directly, so the view-wide
+    group-by-all-columns consolidation is never on the maintenance
+    path — it is a lazy, amortized compaction for point-lookup
+    consumers, exactly the z-order-maintain trade."""
+    lm, rm = f"_l{mult}", f"_r{mult}"
+    lL = left.withColumnRenamed(mult, lm)
+    dL = delta_left.withColumnRenamed(mult, lm)
+    rR = right.withColumnRenamed(mult, rm)
+    dR = delta_right.withColumnRenamed(mult, rm)
+
+    def _prod(df: DataFrame) -> DataFrame:
+        return df.withColumn(mult, F.col(lm) * F.col(rm)).drop(lm, rm)
+
+    return _prod(dL.join(rR, on)).unionByName(
+        _prod(lL.unionByName(dL).join(dR, on))
+    )
+
+
 def apply_feed(
     partial: DataFrame, feed: DataFrame, keys: list[str], value: str
 ) -> DataFrame:

@@ -2164,6 +2164,155 @@ def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_join_view",
+    oracle="""
+        SELECT o.o_orderpriority, l.l_returnflag,
+               count(*)::BIGINT AS n,
+               CAST(round(sum(CAST(l.l_quantity AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS qty,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    """,
+    tags=("extended", "incremental", "join"),
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view
+    (operators/incremental.py::join_view_delta) — the join-side
+    completion of the IVM family: `incremental_hourly_merge` maintains
+    a decomposable AGGREGATE, `incremental_dedup` an anti-join; this
+    maintains `orders ⋈ lineitem` itself under insert-only deltas on
+    BOTH inputs, via ΔV = (ΔO ⋈ L) ∪ ((O ∪ ΔO) ⋈ ΔL) — the asymmetric
+    form that counts the ΔO ⋈ ΔL cross term exactly once.
+
+    The fixture splits each table deterministically (orders by orderkey
+    mod 10 ≥ 8, lineitem by linenumber ≥ 5 — INDEPENDENT criteria, so
+    delta lineitems join base orders, base lineitems join delta orders,
+    and the ΔO ⋈ ΔL cross term is non-empty: every algebra term carries
+    rows).  The maintained view (stored base-join ∪ ΔV) is then
+    group-aggregated; the oracle IS the from-scratch join — same
+    contract as `incremental_hourly_merge`: maintain(V, Δ) must equal
+    recompute(post-image).  At 100 TB the base join is a stored table;
+    each cycle's work is two joins each micro-batch-sized on one side
+    (AQE broadcasts that side at runtime — deliberately no hint, the
+    posture-guard rule), never the |O ⋈ L| recompute.  Exact decimal
+    sums per functions/exact.py; the reference's closest shape is the
+    poll loop re-reading only changed rows (encodesrv/__init__.py:
+    97-141) rather than re-scanning the queue."""
+    from encodesrv_spark.operators.incremental import join_view_delta
+
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+    )
+    base_o = o.filter(F.col("o_orderkey") % 10 < 8)
+    delta_o = o.filter(F.col("o_orderkey") % 10 >= 8)
+    base_l = li.filter(F.col("l_linenumber") <= 4)
+    delta_l = li.filter(F.col("l_linenumber") >= 5)
+    key = F.col("o_orderkey") == F.col("l_orderkey")
+    stored = base_o.join(base_l, key)  # the previously-materialized view
+    view = stored.unionByName(
+        join_view_delta(base_o, delta_o, base_l, delta_l, key)
+    )
+    return view.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("qty"), 2).cast("double").alias("qty"),
+        F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "incremental_join_view_cdc",
+    oracle="""
+        WITH o_post AS (
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderkey % 13 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 = 0
+        ),
+        l_post AS (
+            SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_linenumber <> 1
+        )
+        SELECT o.o_orderpriority, l.l_returnflag,
+               count(*)::BIGINT AS n,
+               CAST(round(sum(CAST(l.l_quantity AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS qty,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM o_post o JOIN l_post l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    """,
+    tags=("extended", "incremental", "join", "cdc"),
+)
+def incremental_join_view_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance under a DELETION-BEARING CDC feed
+    (operators/incremental.py::join_view_delta_signed): inserts AND
+    deletes on both join inputs, carried as signed multiplicities
+    (z-sets) — the insert-only `incremental_join_view` cannot express a
+    retraction; this is the feed shape `JobStore.changes` actually
+    emits (insert / delete / update pre+postimage).
+
+    Fixture: the feed DELETES every order with orderkey % 13 = 0
+    (mult −1), re-INSERTS a duplicate of surviving orders with
+    orderkey % 17 = 0 (mult +1 on top of the base copy — the view
+    becomes a true bag, multiplicity 2), and deletes every
+    linenumber-1 lineitem (mult −1).  Deleted orders DO own
+    linenumber-1 lineitems, so the ΔO ⋈ ΔL cross term is non-empty and
+    the (−1)·(−1) = +1 sign product must fire to net those rows to
+    exactly −1 — the bilinear bookkeeping the oracle (a from-scratch
+    join of the post-image multisets; the UNION ALL branch is the
+    duplicate) verifies end-to-end.  Downstream aggregates are LINEAR
+    (n = Σmult, sums = Σmult·x), so the signed view aggregates without
+    ever consolidating — at 100 TB the maintenance path is two
+    delta-sized joins plus this delta-sized aggregate update; the
+    group-by-all-columns compaction is lazy and amortized, never
+    per-batch.  Exact decimal sums per functions/exact.py."""
+    from encodesrv_spark.operators.incremental import join_view_delta_signed
+
+    prep(spark)
+    one = F.lit(1).cast("long")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+    )
+    ok = F.col("o_orderkey")
+    base_o = o.withColumn("_mult", one)
+    feed_o = (
+        o.filter(ok % 13 == 0).withColumn("_mult", -one)  # retractions
+        .unionByName(  # duplicate re-insert of surviving 17-mod orders
+            o.filter((ok % 13 != 0) & (ok % 17 == 0)).withColumn("_mult", one)
+        )
+    )
+    base_l = li.withColumn("_mult", one)
+    feed_l = li.filter(F.col("l_linenumber") == 1).withColumn("_mult", -one)
+    key = ok == F.col("l_orderkey")
+    stored = base_o.drop("_mult").join(base_l.drop("_mult"), key).withColumn(
+        "_mult", one
+    )  # the previously-materialized view (all multiplicities 1)
+    view = stored.unionByName(
+        join_view_delta_signed(base_o, feed_o, base_l, feed_l, key)
+    )
+    m = F.col("_mult")
+    return view.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.sum(m).alias("n"),
+        F.round(F.sum(m * F.col("qty")), 2).cast("double").alias("qty"),
+        F.round(F.sum(m * F.col("price")), 2).cast("double").alias("revenue"),
+    )
+
+
+@register(
     "trending_types",
     oracle="""
         WITH c AS (

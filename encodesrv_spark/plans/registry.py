@@ -60,42 +60,29 @@ _MODULE_ORDER = ("parity", "llm", "tpch", "tpch_deep", "corpus", "extended")
 # module: the newest operators that do not yet have a driver-green
 # CORRECTNESS row get priority slots right after the parity block.
 _HOISTED = (
-    # Round-9 rotation.  The r08 window cleared the whole queue (50/50
-    # green, provenance-verified by the judge), so this queue is exactly
-    # the round's debt — PROVENANCE.json + tests/test_provenance.py
-    # force every pending entry to appear here.
+    # Round-10 rotation.  The r09 window cleared the whole queue (50/50
+    # green, all five r09-hoisted rows in-window), so this queue is
+    # exactly the round's debt — PROVENANCE.json +
+    # tests/test_provenance.py force every pending entry to appear here.
     #
-    # VERDICT r08 #4: the streaming side of SCD2 — the batch twin of
-    # foreachBatch(Scd2Stream): three CDC commits folded last-write-wins
-    # and applied in sequence (same-commit double-update, no-op resend,
-    # second change ⇒ three versions).  The stream-equals-batch e2e is
-    # tests/test_stateful_streaming.py::test_scd2_stream_matches_batch_replay.
-    "part_scd2_cdc_replay",
-    # VERDICT r08 #1: approx_stats re-planned — the exact COUNT(DISTINCT)
-    # audit arm split out of the sketch aggregate (Catalyst's Expand was
-    # multiplying every sketch update 3×), quantiles share one sketch at
-    # accuracy 1000.  Form change, so provenance hoists it automatically;
-    # oracle booleans unchanged.
-    "approx_stats",
-    # Helper-driven behavior change this round (registered fn source and
-    # oracle UNCHANGED, hand-bumped via gen_provenance --bump):
-    # zorder_maintain's publish became a manifest write-ahead intent
-    # with crash recovery and a hard collision check (VERDICT r08 #3 +
-    # ADVICE r08) — same rows, different publish/restart behavior.
+    # NEW this round: join-view incremental maintenance — the join-side
+    # completion of the IVM family (aggregate: incremental_hourly_merge,
+    # anti-join: incremental_dedup).  ΔV = (ΔO ⋈ L) ∪ ((O∪ΔO) ⋈ ΔL),
+    # cross term counted exactly once; algebra pinned by
+    # tests/test_incremental.py::test_join_view_delta_equals_recompute_no_double_count.
+    "incremental_join_view",
+    # Its deletion-bearing twin: signed multiplicities (z-sets), the
+    # bilinear mult-product algebra — retractions, duplicate inserts,
+    # and the (−1)·(−1)=+1 cross term verified against a post-image
+    # multiset oracle; linear aggregates read the signed view without
+    # consolidation.
+    "incremental_join_view_cdc",
+    # Helper-driven behavior change (registered fn source and oracle
+    # UNCHANGED, hand-bumped via gen_provenance --bump): zorder_maintain
+    # now reclaims pre-intent crash orphans (pid-suffixed staging dirs
+    # referenced by no manifest intent) at the start of every pass
+    # (ADVICE r09) — same rows, extended maintenance protocol.
     "events_zorder_append_maintain",
-    # Same plan pathology as approx_stats, found by the round's profile
-    # pass over the top bench extras: explode's pushed-down size/notnull
-    # filter re-evaluated the full tokenization chain in both of the
-    # query's two branches (~6 splits per doc).  Token frame now
-    # materialized once (3.4–6.7 s → 0.8–1.6 s at sf0.1); form change,
-    # fresh row owed.
-    "doc_repetition_stats",
-    # Same profile pass: the signature frame now computed once and
-    # shared by the banding join and both est-side probes (was 3
-    # shingle+KM-hash passes; ~3.1 → ~2.6 s — the remaining cost is the
-    # exact-Jaccard audit arm the query exists to compare against).
-    # Form change, fresh row owed.
-    "minhash_estimate_error",
 )
 # 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The

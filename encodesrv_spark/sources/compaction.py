@@ -272,6 +272,32 @@ def _complete_pending(path: str) -> bool:
     return True
 
 
+def _sweep_orphan_staging(path: str) -> list[str]:
+    """Delete sibling staging dirs (`<table>__maintain_p<pid>` /
+    `<table>__merge_p<pid>`) left by a maintain pass that crashed BEFORE
+    writing its publish intent (ADVICE r09): such a dir is referenced by
+    nothing — `_complete_pending` only replays the intent recorded in
+    the manifest — so under the module's single-writer contract every
+    matching sibling found when NO intent is pending is an orphan, and
+    repeated pre-intent crashes (each under a new pid) would otherwise
+    leak unbounded table-sized copies next to the table.  Called by
+    `zorder_maintain` after `_complete_pending`, i.e. exactly when no
+    pending intent can reference any staging dir.  Returns the deleted
+    dir names."""
+    import glob
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    gone = []
+    for pat in (f"{base}__maintain_p*", f"{base}__merge_p*"):
+        for d in glob.glob(pat):
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                gone.append(os.path.basename(d))
+    return sorted(gone)
+
+
 def _publish(
     path: str, staging: str, delete_files: list[str], final_meta: dict
 ) -> list[str]:
@@ -373,6 +399,9 @@ def zorder_maintain(
     import os
 
     _complete_pending(path)
+    # any staging sibling still on disk now is a pre-intent crash orphan
+    # (the completed intent's dir was just consumed) — reclaim it
+    _sweep_orphan_staging(path)
     meta = read_zmeta(path)
     clustered = set(meta["clustered_files"])
     delta = [f for f in _data_files(path) if f not in clustered]

@@ -72,6 +72,17 @@ def scd2_apply_cdc(
     silently and a late commit with real changes — which would write a
     version into the past of current history — fails loudly per-row.
 
+    Commit identity IS the timestamp: ``ts_col`` is both the ordering
+    key and the version stamp written into history, so two genuinely
+    distinct commits sharing one timestamp are indistinguishable from a
+    redelivery (the second folds against the first's applied values and,
+    if it carries real changes, fails the no-op-only guard) — same-ts
+    distinct commits are out of contract.  A NULL ``ts_col`` therefore
+    has no place in the feed at all: it names no commit and would
+    otherwise be mis-routed (or crash ``sorted`` with an opaque
+    None-vs-datetime TypeError), so it is rejected loudly up front
+    (ADVICE r09).
+
     The ``distinct().collect()`` on ``ts_col`` is a deliberate
     driver-side scalar read of the AGGREGATED frame — its cardinality is
     the number of CDC commit timestamps in the slice (one, in a healthy
@@ -80,9 +91,14 @@ def scd2_apply_cdc(
     batch ``scd2_apply`` calls, so each costs one key shuffle and drops
     no-ops; a re-delivered commit therefore leaves the history
     byte-identical."""
-    stamps = sorted(
-        r[0] for r in cdc.select(ts_col).distinct().collect()
-    )
+    stamps = [r[0] for r in cdc.select(ts_col).distinct().collect()]
+    if any(s is None for s in stamps):
+        raise ValueError(
+            f"CDC slice contains NULL {ts_col!r}: the commit timestamp "
+            "is the commit's identity and version stamp — a NULL names "
+            "no commit and cannot be ordered. Fix the feed upstream."
+        )
+    stamps.sort()
     for ts in stamps:
         late = max_applied_ts is not None and ts <= max_applied_ts
         folded = fold_last_write_wins(
@@ -114,7 +130,38 @@ class Scd2Stream:
 
     Each micro-batch runs ``scd2_apply_cdc`` and re-checkpoints the
     result, truncating lineage so the logical plan stays constant-size
-    over an unbounded stream."""
+    over an unbounded stream.
+
+    Restart contract (ADVICE r09): the sink's state (``hist``,
+    ``max_applied_ts``) lives in driver memory only, so a restarted
+    stream MUST pair a fresh sink with a FRESH checkpoint — against an
+    existing checkpoint Spark silently skips every already-committed
+    micro-batch, and a fresh sink starting from ``hist0`` would end with
+    history missing all of them, with no guard ever firing (the skipped
+    batches never reach ``__call__``).  The sink enforces this: the
+    first batch a FRESH sink observes must be batch 0, else it raises
+    and points at the two valid recoveries (replay the CDC log into a
+    new checkpoint, or persist/restore ``hist`` + ``max_applied_ts``
+    alongside the checkpoint).  Re-using one sink OBJECT across a
+    restart is fine — its state is exactly the committed prefix.
+
+    ``state_dir`` makes the second recovery real: the sink persists its
+    state INSIDE ``__call__`` — i.e. before Spark marks the micro-batch
+    committed — so the persisted state is always at or AHEAD of the
+    checkpoint's committed offset, never behind it.  After a crash or
+    stop, ``Scd2Stream.restore`` rebuilds the sink from the last
+    persisted snapshot and the restarted query replays at most the one
+    batch whose commit didn't land; that redelivery folds to the
+    already-applied values and drops as a no-op through the late-commit
+    guard — at-least-once composed with idempotent applies, the same
+    story as the versioned JobStore.  (The ordering is the whole
+    invariant: persist-then-commit can only over-persist, which
+    redelivery absorbs; commit-then-persist could under-persist, which
+    is silent history loss.)  Cost: one history-sized parquet write per
+    micro-batch — the single-writer stand-in for a table format's MERGE
+    per batch, which is the deployment answer."""
+
+    _STATE_FILE = "_scd2_state.json"
 
     def __init__(
         self,
@@ -123,16 +170,30 @@ class Scd2Stream:
         tracked: list[str],
         ts_col: str,
         order_col: str,
+        state_dir: str | None = None,
     ) -> None:
         self.hist = hist0.localCheckpoint(eager=True)
         self.key = key
         self.tracked = list(tracked)
         self.ts_col = ts_col
         self.order_col = order_col
+        self.state_dir = state_dir
         self.batches_applied = 0
         self.max_applied_ts = None  # late-commit guard high-water mark
+        self._batches_seen = 0  # incl. empty ones — arms the restart guard
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._batches_seen == 0 and batch_id != 0:
+            raise RuntimeError(
+                f"Scd2Stream: fresh sink observed first batch_id="
+                f"{batch_id}, not 0 — the stream resumed from an "
+                "existing checkpoint whose committed micro-batches were "
+                "skipped, so this sink's history would silently miss "
+                "them. Either replay the CDC log into a NEW checkpoint "
+                "location, or restore the sink's hist/max_applied_ts "
+                "persisted alongside the old checkpoint."
+            )
+        self._batches_seen += 1
         if batch_df.isEmpty():
             return
         new_hist, new_max = scd2_apply_cdc(
@@ -143,3 +204,78 @@ class Scd2Stream:
         self.hist = new_hist.localCheckpoint(eager=True)
         self.max_applied_ts = new_max
         self.batches_applied += 1
+        if self.state_dir is not None:
+            self._persist(batch_id)
+
+    def _persist(self, batch_id: int) -> None:
+        """Snapshot the sink state under ``state_dir``: history parquet
+        into a per-batch dir, then the pointer file via atomic replace —
+        a crash mid-snapshot leaves the pointer at the previous complete
+        snapshot, never at a half-written one.  Older snapshot dirs are
+        reclaimed after the pointer moves."""
+        import json
+        import os
+        import shutil
+
+        hist_name = f"hist_b{batch_id}"
+        self.hist.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, hist_name)
+        )
+        state = {
+            "batch_id": batch_id,
+            "batches_applied": self.batches_applied,
+            "max_applied_ts": (
+                None if self.max_applied_ts is None
+                else self.max_applied_ts.isoformat()
+            ),
+            "hist_dir": hist_name,
+        }
+        ptr = os.path.join(self.state_dir, self._STATE_FILE)
+        tmp = ptr + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, ptr)
+        for d in os.listdir(self.state_dir):
+            if d.startswith("hist_b") and d != hist_name:
+                shutil.rmtree(os.path.join(self.state_dir, d),
+                              ignore_errors=True)
+
+    @classmethod
+    def restore(
+        cls,
+        spark,
+        state_dir: str,
+        key: str,
+        tracked: list[str],
+        ts_col: str,
+        order_col: str,
+    ) -> "Scd2Stream":
+        """Rebuild a sink from the last persisted snapshot, ready to
+        resume against the EXISTING stream checkpoint: the restored sink
+        is bootstrapped (the fresh-sink batch-0 guard does not apply —
+        its state IS the committed prefix, or one redelivery ahead of
+        it, which the late-commit guard absorbs as a no-op)."""
+        import datetime
+        import json
+        import os
+
+        ptr = os.path.join(state_dir, cls._STATE_FILE)
+        try:
+            with open(ptr) as fh:
+                state = json.load(fh)
+        except OSError as e:
+            raise RuntimeError(
+                f"Scd2Stream.restore: no persisted state at {ptr} — the "
+                "sink never completed a persisted batch; replay the CDC "
+                "log into a fresh checkpoint instead"
+            ) from e
+        hist = spark.read.parquet(os.path.join(state_dir, state["hist_dir"]))
+        sink = cls(hist, key, tracked, ts_col, order_col,
+                   state_dir=state_dir)
+        sink.batches_applied = state["batches_applied"]
+        if state["max_applied_ts"] is not None:
+            sink.max_applied_ts = datetime.datetime.fromisoformat(
+                state["max_applied_ts"]
+            )
+        sink._batches_seen = 1  # bootstrapped: accepts any next batch_id
+        return sink

@@ -393,6 +393,65 @@ def test_zorder_maintain_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
     assert _data_files(path) == meta["clustered_files"]
 
 
+def test_zorder_maintain_reclaims_preintent_orphans(spark, sf_dir, tmp_path):
+    """ADVICE r09: a maintain/merge pass that crashes BEFORE writing its
+    publish intent leaves a pid-suffixed staging dir referenced by
+    nothing — `_complete_pending` only replays recorded intents, and the
+    next pass runs under a new pid — so repeated pre-intent crashes leak
+    unbounded table-sized staging copies next to the table.  Any
+    maintain pass (even a below-threshold no-op) must reclaim every
+    matching sibling, and must NOT touch the table or its manifest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.sources.compaction import (
+        read_zmeta,
+        write_zorder_clustered,
+        zorder_maintain,
+    )
+
+    path = str(tmp_path / "zorph")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    write_zorder_clustered(ev.filter(F.col("event_id") % 3 == 0), path, 4,
+                           "user_id", "value")
+    before_meta = read_zmeta(path)
+    total = spark.read.parquet(path).count()
+
+    # two generations of pre-intent crash debris, different pids/paths
+    for orphan in (f"{path}__maintain_p11111", f"{path}__merge_p22222"):
+        os.mkdir(orphan)
+        with open(os.path.join(orphan, "part-junk.parquet"), "w") as fh:
+            fh.write("orphaned staged copy")
+    # an unrelated sibling must survive (the glob is suffix-exact)
+    bystander = str(tmp_path / "zorph_backup")
+    os.mkdir(bystander)
+
+    assert zorder_maintain(spark, path, min_delta_files=4)["skipped"]
+    assert not os.path.exists(f"{path}__maintain_p11111")
+    assert not os.path.exists(f"{path}__merge_p22222")
+    assert os.path.isdir(bystander)
+    # table and manifest untouched
+    assert read_zmeta(path) == before_meta
+    assert spark.read.parquet(path).count() == total
+    # a LIVE intent's staging dir is never swept: _complete_pending
+    # consumes it (moves files in, removes the dir) before the sweep
+    # runs, so recovery-after-intent still works end-to-end — pin that
+    # ordering by checking the sweep helper is called after replay in
+    # the source (cheap structural guard against a reorder regression)
+    import inspect
+
+    from encodesrv_spark.sources import compaction
+
+    src = inspect.getsource(compaction.zorder_maintain)
+    assert src.index("_complete_pending(") < src.index(
+        "_sweep_orphan_staging("
+    )
+
+
 def test_zorder_publish_rejects_name_collision(tmp_path):
     """The collision guard must be a real exception (ADVICE r08: a bare
     assert is stripped under `python -O`), on BOTH publish paths — a
@@ -531,6 +590,21 @@ def test_decontaminate_broadcasts_bench_side(spark, sf_dir):
     df.collect()  # let AQE replan with runtime statistics
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_join_view_delta_terms_are_aqe_broadcast(spark, sf_dir):
+    """incremental_join_view carries NO forced hint (both deltas derive
+    from sf-scaled relations — the posture-guard rule), so the
+    broadcast decision is AQE's: at test SF the micro-batch-sized delta
+    sides replan to broadcast hash joins at runtime (the maintenance-
+    loop case), while a backfill-sized delta would degrade to an honest
+    shuffle join instead of a forced-broadcast OOM.  No cartesians
+    anywhere in the executed plan."""
+    df = QUERIES["incremental_join_view"].fn(spark, sf_dir)
+    df.collect()  # let AQE replan with runtime statistics
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_tfidf_rank_filter_is_predicate_not_sort(spark, sf_dir):

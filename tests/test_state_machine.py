@@ -398,6 +398,75 @@ def test_scd2_apply_cdc_late_guard_and_high_water_mark(spark):
         out.collect()
 
 
+def test_scd2_apply_cdc_rejects_null_ts(spark):
+    """ADVICE r09: a NULL commit timestamp names no commit — it cannot
+    be ordered (sorted() would raise an opaque None-vs-datetime
+    TypeError) and would otherwise be mis-routed.  The contract error
+    must be explicit and name the column."""
+    import datetime
+
+    import pytest
+
+    from encodesrv_spark.operators.scd import scd2_init
+    from encodesrv_spark.streaming.scd import scd2_apply_cdc
+
+    dim = spark.createDataFrame(
+        [(1, "mp4", 2000)], "id int, format_name string, video_bitrate int"
+    )
+    cdc = spark.createDataFrame(
+        [(1, "mp4", 2500, 1, datetime.datetime(2026, 2, 1)),
+         (1, "mp4", 2600, 1, None)],
+        "id int, format_name string, video_bitrate int, seq int, "
+        "change_ts timestamp",
+    )
+    with pytest.raises(ValueError, match="NULL 'change_ts'"):
+        scd2_apply_cdc(
+            scd2_init(dim, "2026-01-01 00:00:00"), cdc, "id",
+            ["format_name", "video_bitrate"], "change_ts", "seq",
+        )
+
+
+def test_scd2_stream_fresh_sink_rejects_reused_checkpoint(spark):
+    """ADVICE r09: Spark silently skips committed micro-batches when a
+    stream resumes from an existing checkpoint, so a FRESH Scd2Stream
+    paired with an old checkpoint would produce history missing every
+    one of them with no guard firing — the first batch a fresh sink
+    observes must therefore be batch 0.  A sink that has seen batches
+    (same object across a restart, state intact) accepts any id."""
+    import datetime
+
+    import pytest
+
+    from encodesrv_spark.operators.scd import scd2_init
+    from encodesrv_spark.streaming.scd import Scd2Stream
+
+    dim = spark.createDataFrame(
+        [(1, "mp4", 2000)], "id int, format_name string, video_bitrate int"
+    )
+    batch = spark.createDataFrame(
+        [(1, "mp4", 2500, 1, datetime.datetime(2026, 2, 1))],
+        "id int, format_name string, video_bitrate int, seq int, "
+        "change_ts timestamp",
+    )
+
+    fresh = Scd2Stream(
+        scd2_init(dim, "2026-01-01 00:00:00"), "id",
+        ["format_name", "video_bitrate"], ts_col="change_ts", order_col="seq",
+    )
+    with pytest.raises(RuntimeError, match="existing checkpoint"):
+        fresh(batch, 3)
+    assert fresh.batches_applied == 0  # nothing was applied
+
+    sink = Scd2Stream(
+        scd2_init(dim, "2026-01-01 00:00:00"), "id",
+        ["format_name", "video_bitrate"], ts_col="change_ts", order_col="seq",
+    )
+    sink(batch.limit(0), 0)  # an empty batch 0 still bootstraps the sink
+    sink(batch, 7)  # post-restart ids may jump; state is the committed prefix
+    assert sink.batches_applied == 1
+    assert sink.hist.filter("is_current AND video_bitrate = 2500").count() == 1
+
+
 def test_jobstore_time_travel(spark, tmp_path):
     """read_version reconstructs each retained snapshot exactly;
     history lists the retention window; GC'd versions raise."""

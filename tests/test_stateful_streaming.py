@@ -450,29 +450,13 @@ def test_cusum_stream_matches_batch_chart(spark, tmp_path):
     assert any(r["drift_alarm"] for r in out)
 
 
-def test_scd2_stream_matches_batch_replay(spark, tmp_path, sf_dir):
-    """Streaming SCD2 (VERDICT r08 #4): the CDC feed of the
-    part_scd2_cdc_replay twin — three commits plus a whole-commit
-    REDELIVERY of commit 2 — consumed file-by-file through
-    foreachBatch(Scd2Stream) must leave a history row-identical to the
-    batch twin's sequential applies (redelivery folds to current values
-    and drops as a no-op), and must have actually run as MULTIPLE
-    micro-batches (maxFilesPerTrigger=1), not one big apply."""
-    import os
-    import time
-
+def _scd2_cdc_fixture(spark, sf_dir):
+    """The part_scd2_cdc_replay CDC feed: dim plus the commit batches
+    (b1, b2, b3, and b2 again as a whole-commit redelivery)."""
     from pyspark.sql import functions as F
 
     from encodesrv_spark.catalog import load_table
-    from encodesrv_spark.plans.extended import (
-        _CDC_T1,
-        _CDC_T2,
-        _CDC_T3,
-        _SCD_T0,
-    )
-    from encodesrv_spark.operators.scd import scd2_init
-    from encodesrv_spark.plans.registry import all_queries
-    from encodesrv_spark.streaming.scd import Scd2Stream
+    from encodesrv_spark.plans.extended import _CDC_T1, _CDC_T2, _CDC_T3
 
     dim = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice"
@@ -504,26 +488,58 @@ def test_scd2_stream_matches_batch_replay(spark, tmp_path, sf_dir):
         (price + F.lit(10.0) + F.lit(10.0)).alias("p_retailprice"),
         F.lit(1).alias("seq"), ts(_CDC_T3),
     )
+    return dim, (b1, b2, b3, b2)
 
-    src = tmp_path / "cdc_feed"
-    # one file per commit, mtimes strictly increasing so the file source
-    # delivers them in commit order; the 4th file REDELIVERS commit 2
-    # after commit 3 — it must fold to the then-current values and drop
-    for i, b in enumerate((b1, b2, b3, b2)):
+
+def _write_commit_files(src, batches, start=0):
+    """One parquet dir per commit under `src`, mtimes strictly
+    increasing so the file source delivers them in commit order."""
+    import os
+    import time
+
+    for i, b in enumerate(batches, start=start):
         d = str(src / f"commit{i}")
         b.coalesce(1).write.mode("overwrite").parquet(d)
         stamp = time.time() + i  # monotone even on coarse-mtime filesystems
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (stamp, stamp))
 
+
+_CDC_STREAM_SCHEMA = (
+    "p_partkey long, p_brand string, p_retailprice double, "
+    "seq int, change_ts timestamp"
+)
+
+
+def test_scd2_stream_matches_batch_replay(spark, tmp_path, sf_dir):
+    """Streaming SCD2 (VERDICT r08 #4): the CDC feed of the
+    part_scd2_cdc_replay twin — three commits plus a whole-commit
+    REDELIVERY of commit 2 — consumed file-by-file through
+    foreachBatch(Scd2Stream) must leave a history row-identical to the
+    batch twin's sequential applies (redelivery folds to current values
+    and drops as a no-op), and must have actually run as MULTIPLE
+    micro-batches (maxFilesPerTrigger=1), not one big apply."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.plans.extended import _SCD_T0
+    from encodesrv_spark.operators.scd import scd2_init
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.scd import Scd2Stream
+
+    dim, batches = _scd2_cdc_fixture(spark, sf_dir)
+    k = F.col("p_partkey")
+    src = tmp_path / "cdc_feed"
+    # the 4th file REDELIVERS commit 2 after commit 3 — it must fold to
+    # the then-current values and drop
+    _write_commit_files(src, batches)
+
     sink = Scd2Stream(
         scd2_init(dim, _SCD_T0), "p_partkey",
         ["p_brand", "p_retailprice"], ts_col="change_ts", order_col="seq",
     )
-    stream = spark.readStream.schema(
-        "p_partkey long, p_brand string, p_retailprice double, "
-        "seq int, change_ts timestamp"
-    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    stream = spark.readStream.schema(_CDC_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
     q = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
@@ -559,3 +575,176 @@ def test_scd2_stream_matches_batch_replay(spark, tmp_path, sf_dir):
     # divisible by 49 too, but as a new key it rightly has one version)
     three = sink.hist.filter((k % 49 == 0) & (k >= 0)).groupBy("p_partkey").count()
     assert three.filter("count <> 3").isEmpty() and not three.isEmpty()
+
+def test_scd2_stream_restore_resumes_existing_checkpoint(spark, tmp_path, sf_dir):
+    """The persisted-state recovery the restart guard's error message
+    names (ADVICE r09 follow-through): phase 1 streams commits 1–2 with
+    a state_dir sink, the process "dies" (sink object discarded), phase
+    2 adds commit 3 plus a whole-commit REDELIVERY of commit 2,
+    restores the sink from disk, and resumes against the SAME
+    checkpoint.  Spark skips the committed batches (the restored state
+    IS that prefix — including the serialized high-water mark, which
+    must route the redelivery through the no-op-only guard), and the
+    final history must equal the batch twin row-for-row."""
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.plans.extended import _SCD_T0
+    from encodesrv_spark.operators.scd import scd2_init
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.scd import Scd2Stream
+
+    dim, (b1, b2, b3, _) = _scd2_cdc_fixture(spark, sf_dir)
+    src = tmp_path / "cdc_feed"
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "scd2_state")
+
+    def run(sink):
+        stream = spark.readStream.schema(_CDC_STREAM_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{src}/*")
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "stream did not finish within 600 s"
+
+    _write_commit_files(src, (b1, b2))
+    first = Scd2Stream(
+        scd2_init(dim, _SCD_T0), "p_partkey",
+        ["p_brand", "p_retailprice"], ts_col="change_ts", order_col="seq",
+        state_dir=state,
+    )
+    run(first)
+    assert first.batches_applied == 2
+    del first  # the crash: driver state gone, checkpoint + state_dir remain
+
+    _write_commit_files(src, (b3, b2), start=2)
+    sink = Scd2Stream.restore(
+        spark, state, "p_partkey", ["p_brand", "p_retailprice"],
+        ts_col="change_ts", order_col="seq",
+    )
+    assert sink.batches_applied == 2  # the committed prefix, restored
+    assert sink.max_applied_ts is not None
+    run(sink)
+    # only the two NEW files were delivered; the redelivered commit 2
+    # passed through the restored high-water mark's no-op-only path
+    assert sink.batches_applied == 4
+
+    fmt = lambda df: {  # noqa: E731
+        tuple(r) for r in df.select(
+            "p_partkey", "p_brand", "p_retailprice",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("vf"),
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("vt"),
+            "is_current",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in all_queries()["part_scd2_cdc_replay"].fn(spark, sf_dir).collect()
+    }
+    assert fmt(sink.hist) == want and len(want) > 0
+
+def test_join_view_stream_matches_batch_cdc(spark, tmp_path, sf_dir):
+    """Streaming join-view IVM (r10): the incremental_join_view_cdc
+    feed — base inserts for BOTH sides, then the retraction commit
+    (orders %13 deleted, linenumber-1 lineitems deleted), then the
+    duplicate re-insert commit — consumed file-per-trigger through
+    foreachBatch(JoinViewStream) must leave a consolidated view whose
+    group aggregate equals the batch query row-for-row, having run as
+    MULTIPLE micro-batches.  Bootstrap and steady state share one code
+    path (states start empty; the initial load is just the first
+    inserts)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from encodesrv_spark.catalog import load_table
+    from encodesrv_spark.plans.registry import all_queries
+    from encodesrv_spark.streaming.ivm import JoinViewStream, consolidate
+
+    one = F.lit(1).cast("long")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+    )
+    ok = F.col("o_orderkey")
+
+    def tag(df, side, m):
+        return df.withColumn("_side", F.lit(side)).withColumn(
+            "_mult", F.lit(m).cast("long")
+        )
+
+    ocols = ["o_orderkey", "o_orderpriority"]
+    lcols = ["l_orderkey", "l_returnflag", "qty", "price"]
+    types = {
+        "_side": "string", "o_orderkey": "long", "o_orderpriority": "string",
+        "l_orderkey": "long", "l_returnflag": "string",
+        "qty": "decimal(12,2)", "price": "decimal(14,2)", "_mult": "long",
+    }
+    full = ["_side", *ocols, *lcols, "_mult"]
+    align = lambda df: df.select(  # noqa: E731
+        *[(F.col(c) if c in df.columns else F.lit(None)).cast(types[c]).alias(c)
+          for c in full]
+    )
+    # commit 0: initial load of both tables; 1: retractions; 2: dup inserts
+    commits = (
+        align(tag(o, "o", 1)).unionByName(align(tag(li.drop("l_linenumber"), "l", 1))),
+        align(tag(o.filter(ok % 13 == 0), "o", -1)).unionByName(
+            align(tag(li.filter("l_linenumber = 1").drop("l_linenumber"), "l", -1))
+        ),
+        align(tag(o.filter((ok % 13 != 0) & (ok % 17 == 0)), "o", 1)),
+    )
+    src = tmp_path / "ivm_feed"
+    for i, b in enumerate(commits):
+        d = str(src / f"commit{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        stamp = time.time() + i
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (stamp, stamp))
+
+    sink = JoinViewStream(
+        spark, left_cols=ocols, right_cols=lcols,
+        on=F.col("o_orderkey") == F.col("l_orderkey"),
+        left_tag="o", right_tag="l",
+    )
+    stream = spark.readStream.schema(
+        "_side string, o_orderkey long, o_orderpriority string, "
+        "l_orderkey long, l_returnflag string, qty decimal(12,2), "
+        "price decimal(14,2), _mult long"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not finish within 600 s"
+    assert sink.batches_applied >= 2  # genuinely incremental
+
+    m = F.col("_mult")
+    agg = lambda v: {  # noqa: E731
+        tuple(r) for r in v.groupBy("o_orderpriority", "l_returnflag").agg(
+            F.sum(m).alias("n"),
+            F.round(F.sum(m * F.col("qty")), 2).cast("double").alias("qty"),
+            F.round(F.sum(m * F.col("price")), 2).cast("double").alias("revenue"),
+        ).collect()
+    }
+    got = agg(sink.view)
+    want = {
+        tuple(r) for r in
+        all_queries()["incremental_join_view_cdc"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+    # consolidation is a pure compaction: same aggregate, no net-zero
+    # rows, and the duplicate-insert keys really carry multiplicity 2
+    sink.consolidate_states()
+    assert agg(sink.view) == want
+    assert sink.view.filter("_mult = 2").count() > 0
+    assert sink.view.filter("_mult <= 0").isEmpty()

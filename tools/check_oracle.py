@@ -167,10 +167,17 @@ def main() -> int:
     failures: list[str] = []
     oracle_wall: dict[str, float] = {}
     control_start = _control_wall(con.cursor()) if not only else None
+    control_mid = None  # sampled once halfway through a full sweep
     load_start = os.getloadavg()[0]
     t_sweep = time.time()
+    mid_at = len(todo) // 2  # ADVICE r09: a start/end pair can miss a
+    # transient mid-sweep load spike entirely; one extra sample halfway
+    # (while the pool is still busy) makes control_sec read sustained
+    # mid-sweep contention too
     if jobs <= 1:
-        for name, q in todo:
+        for i, (name, q) in enumerate(todo):
+            if not only and i == mid_at:
+                control_mid = _control_wall(con.cursor())
             text, fails = _check_one(
                 spark, con.cursor(), sf_dir, name, q, oracle_wall
             )
@@ -184,10 +191,12 @@ def main() -> int:
                 )
                 for n, q in todo
             ]
-            for fut in futs:
+            for i, fut in enumerate(futs):
                 text, fails = fut.result()
                 print(text, flush=True)
                 failures.extend(fails)
+                if not only and i == mid_at:
+                    control_mid = _control_wall(con.cursor())
 
     # Persist per-query ORACLE-side wall for FULL sweeps (VERDICT r07
     # #6: the ~380 s/sweep DuckDB-side saving of the CTE audit was
@@ -222,11 +231,16 @@ def main() -> int:
         except (OSError, ValueError):
             record = {}
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        controls = [
+            c for c in (control_start, control_mid, control_end)
+            if c is not None
+        ]
         record[tag] = {
             "jobs": jobs,
             "sweep_wall_sec": sweep_wall,
-            "control_sec": max(control_start, control_end),
+            "control_sec": max(controls),
             "control_start_sec": control_start,
+            "control_mid_sec": control_mid,
             "control_end_sec": control_end,
             "loadavg_start": round(load_start, 2),
             "loadavg_end": round(os.getloadavg()[0], 2),
