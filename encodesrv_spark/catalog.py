@@ -108,6 +108,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata table from the parquet FOOTER —
+    ~0.2 ms of driver-side metadata I/O versus ~200 ms for the Spark
+    job `df.count()` launches (measured sf0.1, local[32]).  For query
+    paths that need the corpus size only to pick an algorithm knob
+    (df-cap census gate, derive_k), this removes one serial Spark job
+    per execution without caching anything: the footer is re-read from
+    the input on every call, so every run still computes from the
+    parquet inputs.  Valid ONLY for the size of a full table — a
+    filtered/derived frame must keep using .count()."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

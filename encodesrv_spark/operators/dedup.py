@@ -343,14 +343,23 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # start: every node labels itself
+    # Round 1 fused into the initialization: with identity labels, the
+    # first propagation round reduces algebraically to component =
+    # min(node, min(neighbors)) — ONE aggregate over the symmetrized
+    # edge list instead of a join + aggregate + convergence-count job
+    # (and round 1's `changed` is structurally > 0 on any non-empty
+    # edge set: the larger endpoint of any edge adopts the smaller id,
+    # so the skipped fixpoint check could never have fired).  The label
+    # sequence from round 2 on is identical to the unfused loop, and
+    # the total round bound is unchanged: 1 fused + (max_iters − 1)
+    # joined rounds.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("min_nbr"))
+        .select("node", F.least(F.col("node"), F.col("min_nbr")).alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    for _ in range(max_iters - 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")

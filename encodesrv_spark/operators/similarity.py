@@ -721,6 +721,7 @@ def semdedup(
     iters: int = 2,
     threshold: float = 0.25,
     target_cluster_size: int | None = None,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, public
     arXiv:2303.09540): k-means clusters block the candidate space, then
@@ -738,9 +739,17 @@ def semdedup(
     constant as the corpus grows and the pair pass is O(N · target).
     A fixed small k is only for oracle demos whose unrolled CTEs need
     a known seed set.  The member frame is localCheckpoint'ed once and
-    feeds both sides of the self-join plus the stats aggregate."""
+    feeds both sides of the self-join plus the stats aggregate.
+
+    ``n_vecs``, when the caller already knows the corpus size (e.g.
+    from the parquet footer via catalog.table_rows), skips the count()
+    job derive_k otherwise launches — the jaccard_pairs n_docs pattern."""
     if target_cluster_size is not None:
-        k = derive_k(embeddings.count(), target_cluster_size, floor=k)
+        k = derive_k(
+            n_vecs if n_vecs is not None else embeddings.count(),
+            target_cluster_size,
+            floor=k,
+        )
     assigned, _ = kmeans(embeddings, k=k, iters=iters, keep_emb=True)
     m = (
         assigned.select("vec_id", "cid", "emb", sq_norm(F.col("emb")).alias("nrm"))

@@ -845,7 +845,19 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles both sides on the block key (same-sized sides — no
     broadcast), and the quadratic work is bounded per bucket, which is
     the knob you tune at 100 TB (narrower buckets = fewer candidates).
-    Distance is integer, so cross-engine parity is exact."""
+    Distance is integer, so cross-engine parity is exact.
+
+    The distance runs in THRESHOLD form — levenshtein(ta, tb, 60) — so
+    Spark's banded DP (O(len·k) work instead of the full O(len²) matrix
+    per candidate pair, with early exit once the whole band exceeds k)
+    does the pruning; the call returns the exact distance when ≤ k and
+    -1 otherwise, so `dist >= 0` keeps exactly the rows `dist <= 60`
+    kept before, with identical values (oracle unchanged).  Catalyst
+    pushes the filter into the join condition and also re-evaluates the
+    expression in the output projection (the guide §4.4 duplicate-eval
+    shape) — cheap in threshold form: the condition eval is the banded
+    early-exit pass over all candidates, and the projection re-eval
+    touches only surviving (near-duplicate) pairs."""
     prep(spark)
     d = dedup.fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "lang", F.expr("n_chars DIV 16").alias("blk")
@@ -859,8 +871,8 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["lang", "blk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("long"))
-        .filter(F.col("edit_dist") <= _FUZZ_MAX)
+        .withColumn("edit_dist", F.levenshtein("ta", "tb", _FUZZ_MAX).cast("long"))
+        .filter(F.col("edit_dist") >= 0)
         .select("doc_a", "doc_b", "edit_dist")
     )
 

@@ -17,7 +17,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from encodesrv_spark.catalog import load_table
+from encodesrv_spark.catalog import load_table, table_rows
 from encodesrv_spark.operators import dedup, similarity
 from encodesrv_spark.plans.corpus import (
     _DOC_SHINGLES5,
@@ -399,7 +399,11 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the asymmetric case this corpus's exact-copy dups can't."""
     prep(spark)
     return dedup.containment_pairs(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=0.8, df_cap=10000
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.8,
+        df_cap=10000,
+        n_docs=table_rows(sf_dir, "documents"),
     )
 
 
@@ -726,6 +730,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=2,
         threshold=_SEMDEDUP_THRESHOLD,
         target_cluster_size=_SEMDEDUP_TARGET,
+        n_vecs=table_rows(sf_dir, "embeddings"),
     )
 
 
@@ -899,9 +904,13 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(matches / 8.0, 4).alias("est_jaccard"))
     )
-    exact = dedup.jaccard_pairs(docs, k=3, threshold=0.0, df_cap=10000).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    exact = dedup.jaccard_pairs(
+        docs,
+        k=3,
+        threshold=0.0,
+        df_cap=10000,
+        n_docs=table_rows(sf_dir, "documents"),
+    ).select("doc_a", "doc_b", "jaccard")
     return (
         est.join(exact, ["doc_a", "doc_b"], "left")
         .select(

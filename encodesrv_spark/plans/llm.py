@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from encodesrv_spark.catalog import load_table
+from encodesrv_spark.catalog import load_table, table_rows
 from encodesrv_spark.functions import text as T
 from encodesrv_spark.functions.exact import (
     exact_sum,
@@ -107,10 +107,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted-index
-    self-join — only co-shingled documents ever meet."""
+    self-join — only co-shingled documents ever meet.  Corpus size for
+    the df-cap census gate comes from the parquet footer (n_docs),
+    not a count() job — one fewer serial Spark job per execution."""
     prep(spark)
     return dedup.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5, df_cap=10000
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        df_cap=10000,
+        n_docs=table_rows(sf_dir, "documents"),
     )
 
 
@@ -1409,7 +1415,11 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from encodesrv_spark.functions.hashing import stable_hash64
 
     d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = dedup.jaccard_pairs(d, k=3, threshold=0.5)
+    # fan_out preserves cardinality, so the footer row count is the
+    # frame's exact size — no count() job for the census gate
+    pairs = dedup.jaccard_pairs(
+        d, k=3, threshold=0.5, n_docs=table_rows(sf_dir, "documents")
+    )
     bucket = stable_hash64(
         F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
     ) % 100

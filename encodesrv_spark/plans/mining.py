@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from encodesrv_spark.catalog import load_table
+from encodesrv_spark.catalog import load_table, table_rows
 from encodesrv_spark.functions.exact import (
     _units,
     exact_sum,
@@ -691,7 +691,11 @@ def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(
-        docs, k=3, threshold=0.0, df_cap=_CURVE_DF_CAP
+        docs,
+        k=3,
+        threshold=0.0,
+        df_cap=_CURVE_DF_CAP,
+        n_docs=table_rows(sf_dir, "documents"),
     ).localCheckpoint(eager=True)
     thr = F.array(*[F.lit(t) for t in _CURVE_THRESHOLDS])
     hits = pairs.select(
@@ -1737,7 +1741,11 @@ def doc_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(
-        docs, k=3, threshold=0.0, df_cap=_CURVE_DF_CAP
+        docs,
+        k=3,
+        threshold=0.0,
+        df_cap=_CURVE_DF_CAP,
+        n_docs=table_rows(sf_dir, "documents"),
     ).localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("doc_a").alias("doc_id"),
@@ -2711,7 +2719,11 @@ def source_dup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(
-        docs, k=3, threshold=0.5, df_cap=_CURVE_DF_CAP
+        docs,
+        k=3,
+        threshold=0.5,
+        df_cap=_CURVE_DF_CAP,
+        n_docs=table_rows(sf_dir, "documents"),
     )
     src = docs.select("doc_id", "source")
     lab = (

@@ -83,6 +83,32 @@ _HOISTED = (
     # referenced by no manifest intent) at the start of every pass
     # (ADVICE r09) — same rows, extended maintenance protocol.
     "events_zorder_append_maintain",
+    # --- Optimization round (r10) rotation: forms changed for SPEED,
+    # results identical (every entry below re-verified green against
+    # the oracle in the same session as its edit; OPTIMIZATION_r10.md
+    # carries the before/after evidence).
+    # Threshold-banded levenshtein (O(len·k) per candidate pair):
+    "fuzzy_pairs_levenshtein",
+    # count()-job removal: corpus size for the df-cap census gate /
+    # derive_k now comes from the parquet footer (catalog.table_rows):
+    "neardup_jaccard",
+    "split_leakage",
+    "neardup_threshold_curve",
+    "doc_nearest_neighbor",
+    "source_dup_crosstab",
+    "neardup_containment",
+    "minhash_estimate_error",
+    "semdedup_prune",
+    # Helper-driven plan change (forms unchanged, hand-bumped):
+    # dedup.connected_components fuses propagation round 1 into the
+    # label initialization (one aggregate instead of join + aggregate +
+    # convergence-count job; fixpoint and round bound unchanged):
+    "dedup_clusters",
+    "neardup_removals",
+    "dedup_keep_best",
+    "dedup_cluster_size_hist",
+    "dedup_quality_gain",
+    "embedding_density_clusters",
 )
 # 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
