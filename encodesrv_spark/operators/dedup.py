@@ -320,7 +320,9 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, pairs_distinct: bool = False
+) -> DataFrame:
     """Connected components over an undirected pair graph
     ((doc_a, doc_b) edges) by iterative min-label propagation: every
     node repeatedly adopts the smallest label among itself and its
@@ -329,20 +331,46 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     This is the cluster step of dedup (candidate PAIRS from LSH →
     duplicate GROUPS → one keeper per group).  Convergence needs
-    O(graph diameter) joins — near-dup graphs are unions of small
+    O(graph diameter) rounds — near-dup graphs are unions of small
     cliques, so 2-3 iterations in practice; `max_iters` bounds
-    pathological chains.  Each iteration is one join + one aggregate
-    on (node, label) pairs — never materializing the transitive
-    closure — and `localCheckpoint` truncates the growing lineage so
-    iteration N doesn't re-execute iterations 1..N-1 (the classic
-    iterative-DataFrame trap).  The driver-side loop checks a single
-    aggregate per round (a scalar, not a collect of data)."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    pathological chains.  (A pointer-jumping variant — Rastogi et al.
+    2012 — was measured: it cut rounds 7 → 5 on the densest in-repo
+    graph but its label-table re-key broke the co-partitioned loop
+    below and cost MORE exchanges overall; propagation-only with
+    pinned partitioning won the A/B.)
+
+    Both per-round joins carry SHUFFLE_HASH hints (§3.1 deliberate
+    strategy choice): checkpointed inputs surface no size statistics,
+    so the static planner falls back to sort-merge — re-SORTING the
+    edge list and the label table once per round for nothing — and AQE
+    then spends extra re-planning jobs converting stages.  Hinting
+    shuffled-hash (build = the narrow label/vote side) removed both:
+    39 vs 53 jobs per CC call on the embedding-density graph, measured
+    interleaved.  (Pinning a co-partitioned layout to delete the probe
+    exchange outright — §2.4 — was prototyped and does NOT survive
+    localCheckpoint under AQE: the materialized RDD scans report
+    UnknownPartitioning, so every round re-exchanges regardless; the
+    explicit repartition only added cost.)  `localCheckpoint` truncates
+    the growing lineage so iteration N doesn't re-execute iterations
+    1..N-1 (the classic iterative-DataFrame trap).  The driver-side
+    loop checks a single aggregate per round (a scalar, not a collect
+    of data).
+
+    ``pairs_distinct=True`` asserts the input pair list is already
+    duplicate-free with doc_a < doc_b (true for every in-repo producer:
+    LSH banding ends in .distinct(), the jaccard/containment families
+    group by the pair, cosine/hamming blocking joins emit each a<b pair
+    at most once) and skips the symmetrize-then-distinct exchange —
+    the two union branches cannot collide when a < b on every input
+    row.  Labels are identical either way; duplicates would only have
+    inflated min()-aggregate inputs, so the flag is purely a plan
+    change for callers that can prove uniqueness."""
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    if not pairs_distinct:
+        sym = sym.distinct()
+    edges = sym.localCheckpoint(eager=True)
     # Round 1 fused into the initialization: with identity labels, the
     # first propagation round reduces algebraically to component =
     # min(node, min(neighbors)) — ONE aggregate over the symmetrized
@@ -360,8 +388,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters - 1):
+        # SHUFFLE_HASH build on the narrow label side: no per-round
+        # re-sort of the edge list, no size-statistics guesswork on
+        # checkpointed inputs (see docstring)
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(labels.hint("SHUFFLE_HASH"), edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -374,7 +405,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             F.col("component"), F.coalesce("nbr_component", "component")
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            labels.join(
+                neighbor_min.hint("SHUFFLE_HASH"),
+                labels.node == neighbor_min.src,
+                "left",
+            )
             .select(
                 "node",
                 adopted.alias("new_component"),

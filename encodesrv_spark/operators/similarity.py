@@ -425,6 +425,7 @@ def kmeans(
     tol: float | None = None,
     return_info: bool = False,
     keep_emb: bool = False,
+    update_last: bool = True,
 ):
     """Deterministic Lloyd's k-means over the embedding column, fully
     as DataFrame ops: assignment is an argmin over a broadcast
@@ -450,18 +451,29 @@ def kmeans(
     order (the only non-reproducible float op here; the rounding
     absorbs the ~1 ulp partial-aggregation jitter).
 
-    Scale shape per iteration: one broadcast of k centroids, one
-    MAP-SIDE argmin (min_by partial aggregate over the broadcast cross
-    join — each vec_id lives in exactly one input partition, so the
-    k-way score fan-out collapses to one row per point before the
-    exchange and the shuffle never carries the k·N score rows, let
-    alone their embedding arrays; the old window argmin shuffled all of
-    them), one (cid, dim) mean — linear in N·k·d with no self-joins;
-    localCheckpoint truncates the iteration lineage (the
+    Scale shape per iteration: one broadcast of the k centroids
+    (collected into a SINGLE sorted array column), one fully MAP-SIDE
+    argmin — each row folds over the broadcast centroid array with a
+    higher-order `aggregate`, so assignment needs NO exchange at all
+    (the earlier min_by partial-aggregate still shuffled one row per
+    point; the fold shuffles nothing and never materializes the k·N
+    score rows), one (cid, dim) mean — linear in N·k·d with no
+    self-joins; localCheckpoint truncates the iteration lineage (the
     iterative-DataFrame rule, same as connected_components), and the
     assignment frame checkpoints lazily so the caller's reuse of the
     final assignment (semdedup's intra-cluster pass) does not replay
-    the scoring pass."""
+    the scoring pass.
+
+    ``update_last=False`` skips the centroid UPDATE of the final
+    iteration — callers that consume only the assignment (semdedup)
+    otherwise pay a full per-(cid, dim) mean + materialization for a
+    frame they throw away.  The assignment sequence is identical; the
+    returned centroid frame is then the one the final assignment was
+    scored against.  Incompatible with `tol`/`return_info` (both need
+    the last shift) — asserted."""
+    assert update_last or not (tol is not None or return_info), (
+        "update_last=False discards the final update; tol/return_info need it"
+    )
     # Both squared norms are constant per point / per centroid, so they
     # are computed ONCE here instead of once per (point, centroid)
     # score — the d2 value (and hence every rounded comparison the
@@ -480,22 +492,33 @@ def kmeans(
     history: list[tuple[int, float]] = []
     track_shift = tol is not None or return_info
     for i in range(iters):
-        d2 = F.round(
-            F.col("nrm") - 2 * dot(F.col("emb"), F.col("cemb")) + F.col("cnrm"),
-            4,
+        # The k centroids collapse to ONE broadcast row holding a
+        # struct array; each point then scores every centroid with a
+        # `transform` (one rounded d2 per centroid, evaluated once) and
+        # takes `array_min` over (d2, cid) structs — the same
+        # lexicographic ordering (and tiebreak-to-lowest-cid) the
+        # earlier min_by aggregate used, but with NO groupBy and NO
+        # exchange: assignment is now a pure map over the corpus.
+        packed = cent.agg(
+            F.collect_list(F.struct("cid", "cemb", "cnrm")).alias("cents")
         )
-        # argmin = min_by over (d2, cid): same ordering (and tiebreak)
-        # as the old row_number window, but partial-aggregable
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(
+                    F.col("nrm") - 2 * dot(F.col("emb"), c["cemb"]) + c["cnrm"],
+                    4,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
         assigned = (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "emb", "cid", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(F.struct("cid", "emb"), F.struct("d2", "cid")).alias("m")
-            )
-            .select("vec_id", F.col("m.emb").alias("emb"), F.col("m.cid").alias("cid"))
+            e.crossJoin(F.broadcast(packed))
+            .select("vec_id", "emb", F.array_min(scored)["cid"].alias("cid"))
             .localCheckpoint(eager=False)
         )
+        if i == iters - 1 and not update_last:
+            break
         cmeans = (
             assigned.select("cid", F.posexplode("emb").alias("dim", "v"))
             .groupBy("cid", "dim")
@@ -750,7 +773,9 @@ def semdedup(
             target_cluster_size,
             floor=k,
         )
-    assigned, _ = kmeans(embeddings, k=k, iters=iters, keep_emb=True)
+    assigned, _ = kmeans(
+        embeddings, k=k, iters=iters, keep_emb=True, update_last=False
+    )
     m = (
         assigned.select("vec_id", "cid", "emb", sq_norm(F.col("emb")).alias("nrm"))
         .localCheckpoint(eager=True)
@@ -771,17 +796,32 @@ def semdedup(
         .select("cid", "drop_id")
         .distinct()
     )
+    # Aggregate-then-join (never join-then-aggregate): member counts
+    # and drop counts are each ONE map-side-partial aggregate down to
+    # cluster cardinality, joined at that size — the earlier full-
+    # member left join shuffled the whole corpus by (cid, vec_id) just
+    # to count matches per cid.  drops is already distinct, so its
+    # count(*) == the old count(drop_id) over the join.
+    members = m.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_members")
+    )
+    dropped = drops.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_dropped")
+    )
     return (
-        m.join(
-            drops,
-            (m.cid == drops.cid) & (m.vec_id == drops.drop_id),
-            "left",
+        members.join(dropped, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
         )
-        .groupBy(m.cid.alias("cluster_id"))
-        .agg(
-            F.count("*").alias("n_members"),
-            F.count("drop_id").alias("n_dropped"),
-            F.round(1.0 - F.count("drop_id") / F.count("*"), 4).alias("keep_rate"),
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_dropped",
+            F.round(1.0 - F.col("n_dropped") / F.col("n_members"), 4).alias(
+                "keep_rate"
+            ),
         )
     )
 
@@ -830,7 +870,9 @@ def density_clusters(
         .join(cores.select(F.col("node").alias("vec_b")), "vec_b", "left_semi")
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     )
-    comp = dedup.connected_components(core_edges).select(
+    # core_edges keeps vec_a < vec_b and the semi-joins only filter, so
+    # the pair list stays duplicate-free — skip CC's defensive distinct
+    comp = dedup.connected_components(core_edges, pairs_distinct=True).select(
         F.col("doc_id").alias("node"), F.col("component").alias("cluster")
     )
     # isolated cores (no core neighbor) anchor their own cluster
@@ -847,19 +889,21 @@ def density_clusters(
         .agg(F.min("cluster").alias("cluster"))
         .localCheckpoint(eager=True)
     )
-    out_core = core_clusters.select(
+    # One left join against the union of the two (disjoint) label
+    # frames replaces the old 3-branch union whose noise arm needed two
+    # anti-joins over the corpus: every vector appears exactly once on
+    # the left, cores/borders pick up their label, everything unmatched
+    # IS the noise set (role coalesces to 'noise', cluster stays NULL)
+    # — same rows, two corpus-scale joins fewer.
+    labeled = core_clusters.select(
         F.col("node").alias("vec_id"), F.lit("core").alias("role"), "cluster"
-    )
-    out_border = border.select(
-        F.col("node").alias("vec_id"), F.lit("border").alias("role"), "cluster"
-    )
-    out_noise = (
-        e.join(core_clusters.select(F.col("node").alias("vec_id")), "vec_id", "left_anti")
-        .join(border.select(F.col("node").alias("vec_id")), "vec_id", "left_anti")
-        .select(
-            "vec_id",
-            F.lit("noise").alias("role"),
-            F.lit(None).cast("long").alias("cluster"),
+    ).unionByName(
+        border.select(
+            F.col("node").alias("vec_id"), F.lit("border").alias("role"), "cluster"
         )
     )
-    return out_core.unionByName(out_border).unionByName(out_noise)
+    return e.join(labeled, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+        "cluster",
+    )

@@ -1130,7 +1130,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), k=3, n_hashes=8, band_size=2
     )
-    return dedup.connected_components(pairs)
+    return dedup.connected_components(pairs, pairs_distinct=True)
 
 
 _SPLIT_H = stable_hash64_sql("concat('split:', doc_id::VARCHAR)") + " % 100"
@@ -1353,7 +1353,7 @@ def neardup_removals(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), k=3, n_hashes=8, band_size=2
     )
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components(pairs, pairs_distinct=True)
     return cc.filter(F.col("component") != F.col("doc_id")).select(
         "doc_id", F.col("component").alias("keeper_doc_id")
     )
@@ -1500,7 +1500,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, k=3, n_hashes=8, band_size=2)
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components(pairs, pairs_distinct=True)
     j = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
     wc = W.partitionBy("component")
     wr = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))

@@ -99,16 +99,27 @@ _HOISTED = (
     "neardup_containment",
     "minhash_estimate_error",
     "semdedup_prune",
-    # Helper-driven plan change (forms unchanged, hand-bumped):
-    # dedup.connected_components fuses propagation round 1 into the
-    # label initialization (one aggregate instead of join + aggregate +
-    # convergence-count job; fixpoint and round bound unchanged):
+    # Helper-driven plan changes (hand-bumped where the registered form
+    # is unchanged): dedup.connected_components fuses propagation
+    # round 1 into the label initialization, skips the defensive
+    # symmetrize-distinct for provably-unique pair inputs
+    # (pairs_distinct=True at all four call sites) and hints both
+    # per-round joins SHUFFLE_HASH (no per-round sorts of checkpointed
+    # stat-less inputs); fixpoint and round bound unchanged:
     "dedup_clusters",
     "neardup_removals",
     "dedup_keep_best",
     "dedup_cluster_size_hist",
     "dedup_quality_gain",
+    # density_clusters additionally folds the 3-branch core/border/
+    # noise union into ONE left join against the union'd label frames
+    # (two corpus-scale anti-joins removed):
     "embedding_density_clusters",
+    # kmeans assignment is now a pure map (broadcast centroid-array
+    # fold + array_min argmin — no groupBy exchange per iteration);
+    # semdedup additionally skips the discarded final centroid update
+    # (update_last=False) and aggregates-then-joins its cluster stats:
+    "embedding_kmeans",
 )
 # 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The

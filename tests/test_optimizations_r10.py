@@ -48,6 +48,64 @@ def test_threshold_levenshtein_filter_is_equivalent(spark):
     assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
 
 
+def test_kmeans_update_last_false_preserves_assignment(spark, sf_dir):
+    """kmeans(update_last=False) must return the exact assignment the
+    default path returns — the skipped work is only the final centroid
+    update nobody reads (semdedup's fast path)."""
+    from encodesrv_spark.operators.similarity import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full, _ = kmeans(emb, k=8, iters=2)
+    fast, _ = kmeans(emb, k=8, iters=2, update_last=False)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_kmeans_update_last_centroids_are_previous_round(spark, sf_dir):
+    """With update_last=False the returned centroids are the ones the
+    final assignment was scored against — i.e. the previous round's
+    update — matching the documented contract."""
+    from encodesrv_spark.operators.similarity import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cent_after_1 = kmeans(emb, k=8, iters=1)
+    _, cent_fast = kmeans(emb, k=8, iters=2, update_last=False)
+    a = {r["cid"]: list(r["cemb"]) for r in cent_after_1.collect()}
+    b = {r["cid"]: list(r["cemb"]) for r in cent_fast.collect()}
+    assert a == b
+
+
+def test_connected_components_pairs_distinct_equivalence(spark):
+    """pairs_distinct=True must label identically to the defensive
+    default — including on graphs with chains (multi-round), isolated
+    cliques, and a duplicate-pair input for the False path."""
+    import random
+
+    from encodesrv_spark.operators.dedup import connected_components
+
+    rng = random.Random(10)
+    # chain 0-1-2-...-9, clique {20..23}, pair {40,41}, plus shuffled
+    pairs = [(i, i + 1) for i in range(9)]
+    pairs += [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+    pairs += [(40, 41)]
+    rng.shuffle(pairs)
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    base = sorted(
+        map(tuple, connected_components(df).collect())
+    )
+    fast = sorted(
+        map(tuple, connected_components(df, pairs_distinct=True).collect())
+    )
+    assert base == fast
+    # ground truth: chain -> 0, clique -> 20, pair -> 40
+    want = {i: 0 for i in range(10)}
+    want |= {i: 20 for i in range(20, 24)}
+    want |= {40: 40, 41: 40}
+    assert dict(base) == want
+    # the defensive path must still de-duplicate a dirty input
+    dup = spark.createDataFrame(pairs + pairs, "doc_a long, doc_b long")
+    assert sorted(map(tuple, connected_components(dup).collect())) == base
+
+
 def test_semdedup_n_vecs_equals_counted_path(spark, sf_dir):
     """semdedup(n_vecs=footer count) must produce exactly the frame the
     count()-based path produces — same derived k, same clusters."""
