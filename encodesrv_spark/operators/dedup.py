@@ -84,12 +84,33 @@ def shingle_index(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def hashed_shingles(docs: DataFrame, k: int) -> DataFrame:
+    """ONE tokenize+shingle pass hashed for BOTH downstream consumers:
+    (doc_id, b1, b2, h) where b1/b2 are the Kirsch-Mitzenmacher md5
+    bases `minhash_signatures` derives its k hash functions from and
+    h is the xxhash64 join key the Jaccard inverted index uses.
+
+    Callers that run a signature arm AND an exact-Jaccard arm over the
+    same corpus (the estimator harness) materialize this once
+    (localCheckpoint) and hand it to both — the second full shingle
+    pass disappears, and because every column is a fixed-width long
+    the materialized bytes are 24/shingle regardless of shingle text
+    size (the §2.3 rule: share keys and hashes, never payloads)."""
+    return shingle_index(docs, k).select(
+        "doc_id",
+        stable_hash64("sh").alias("b1"),
+        stable_hash64(F.concat(F.lit("m:"), F.col("sh"))).alias("b2"),
+        F.xxhash64("sh").alias("h"),
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
     df_cap: int | None = 10000,
     n_docs: int | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact shingle-set Jaccard similarity.
 
@@ -111,9 +132,14 @@ def jaccard_pairs(
     `n_docs`, when the caller already knows the corpus size, skips the
     count() this function otherwise runs to decide whether the census
     prune is a no-op — one fewer scan per call on hot paths.
+
+    `hashed`, when the caller already materialized a
+    ``hashed_shingles`` frame for this corpus and k (see there), skips
+    this function's own shingle pass; only the (doc_id, h) columns are
+    read.
     """
     return (
-        _pair_overlap_counts(docs, k, df_cap, n_docs)
+        _pair_overlap_counts(docs, k, df_cap, n_docs, hashed)
         .select(
             "doc_a",
             "doc_b",
@@ -163,27 +189,36 @@ def _pair_overlap_counts(
     k: int,
     df_cap: int | None,
     n_docs: int | None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, common, n_a, n_b) over co-shingled pairs — the
     shared core of jaccard_pairs and containment_pairs (see
     jaccard_pairs for the df-cap and checkpoint rationale)."""
-    # the hash is join-internal (never in the output), so use the fast
-    # JVM xxhash64 — the oracle's own internal hash differs, outputs
-    # don't: Jaccard is computed from co-occurrence COUNTS
-    sh = fan_out(docs).select(
-        "doc_id", F.array_distinct(word_shingles("text", k)).alias("shs")
-    )
-    idx = (
-        sh.select("doc_id", F.explode_outer("shs").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .select("doc_id", F.xxhash64("s").alias("h"))
-        # materialize once: the index feeds the stop-shingle census,
-        # BOTH self-join sides, and the size aggregate; without this
-        # the shingle pipeline re-executes per consumer (ReuseExchange
-        # does not fire across the aliases). 3-4x wall-clock win
-        # measured at sf0.1.
-        .localCheckpoint(eager=True)
-    )
+    if hashed is not None:
+        # caller-materialized hashed_shingles frame: same xxhash64
+        # join key this function would have computed, already
+        # checkpointed by the caller — no second shingle pass and no
+        # second checkpoint (a column projection of a materialized
+        # frame is free).
+        idx = hashed.select("doc_id", "h")
+    else:
+        # the hash is join-internal (never in the output), so use the
+        # fast JVM xxhash64 — the oracle's own internal hash differs,
+        # outputs don't: Jaccard is computed from co-occurrence COUNTS
+        sh = fan_out(docs).select(
+            "doc_id", F.array_distinct(word_shingles("text", k)).alias("shs")
+        )
+        idx = (
+            sh.select("doc_id", F.explode_outer("shs").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .select("doc_id", F.xxhash64("s").alias("h"))
+            # materialize once: the index feeds the stop-shingle
+            # census, BOTH self-join sides, and the size aggregate;
+            # without this the shingle pipeline re-executes per
+            # consumer (ReuseExchange does not fire across the
+            # aliases). 3-4x wall-clock win measured at sf0.1.
+            .localCheckpoint(eager=True)
+        )
     # A shingle's df cannot exceed the document count, so the census +
     # prune is provably a no-op when n_docs <= df_cap — skip it then
     # (one cheap parquet-metadata count) and the small-corpus plan is
@@ -217,17 +252,30 @@ def _pair_overlap_counts(
     return common.join(sa, "doc_a").join(sb, "doc_b")
 
 
-def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = 8,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of the
     i-th Kirsch-Mitzenmacher hash (two md5s per shingle, k derived
     functions).  One explode + one grouped aggregation — the signature
     is constant-size however large the document set, which is what
-    makes the LSH join scale."""
-    idx = shingle_index(docs, k).select(
-        "doc_id",
-        stable_hash64("sh").alias("b1"),
-        stable_hash64(F.concat(F.lit("m:"), F.col("sh"))).alias("b2"),
-    )
+    makes the LSH join scale.
+
+    `hashed`, when the caller already materialized a
+    ``hashed_shingles`` frame for this corpus and k (see there), skips
+    this function's own shingle pass; only the (doc_id, b1, b2)
+    columns are read and the derived-hash values are bit-identical."""
+    if hashed is not None:
+        idx = hashed.select("doc_id", "b1", "b2")
+    else:
+        idx = shingle_index(docs, k).select(
+            "doc_id",
+            stable_hash64("sh").alias("b1"),
+            stable_hash64(F.concat(F.lit("m:"), F.col("sh"))).alias("b2"),
+        )
     aggs = [
         F.min(km_hash64(F.col("b1"), F.col("b2"), i)).alias(f"h{i}")
         for i in range(n_hashes)

@@ -878,15 +878,19 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature frame is computed ONCE, materialized, and shared by all
     three signature consumers (the banding join and both est-side
     probes) — left lazy, the shingle+KM-hash pass ran three times
-    (r09 A/B at sf0.1: ~3.1 s → ~2.6 s warm; the remaining cost is
-    the exact-Jaccard audit arm itself, ~2.4 s of df-capped
+    (r09 A/B at sf0.1: ~3.1 s → ~2.6 s warm).  The est arm and the
+    exact arm additionally share ONE tokenize+shingle pass via
+    ``hashed_shingles`` (r10 §2.3: 24 fixed bytes/shingle of hashes
+    materialized once instead of re-tokenizing the corpus per arm);
+    the remaining cost is the exact-Jaccard audit arm's df-capped
     inverted-index self-join, which is the thing this query exists to
-    measure the estimator against)."""
+    measure the estimator against."""
     prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs, k=3, n_hashes=8).localCheckpoint(
-        eager=True
-    )
+    hashed = dedup.hashed_shingles(docs, k=3).localCheckpoint(eager=True)
+    sig = dedup.minhash_signatures(
+        docs, k=3, n_hashes=8, hashed=hashed
+    ).localCheckpoint(eager=True)
     cand = dedup.minhash_lsh_pairs(docs, k=3, n_hashes=8, band_size=2, sig=sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -910,6 +914,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.0,
         df_cap=10000,
         n_docs=table_rows(sf_dir, "documents"),
+        hashed=hashed,
     ).select("doc_a", "doc_b", "jaccard")
     return (
         est.join(exact, ["doc_a", "doc_b"], "left")

@@ -106,6 +106,36 @@ def test_connected_components_pairs_distinct_equivalence(spark):
     assert sorted(map(tuple, connected_components(dup).collect())) == base
 
 
+def test_hashed_shingles_path_is_equivalent(spark, sf_dir):
+    """The shared hashed_shingles fast path (minhash_estimate_error's
+    one-tokenize-pass optimization) must reproduce BOTH consumers
+    bit-identically: minhash_signatures(hashed=) returns the exact
+    signatures of the self-computed path, and jaccard_pairs(hashed=)
+    the exact pair set and Jaccard values."""
+    from encodesrv_spark.operators.dedup import (
+        hashed_shingles,
+        jaccard_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = hashed_shingles(docs, k=3).localCheckpoint(eager=True)
+
+    sig_self = minhash_signatures(docs, k=3, n_hashes=8)
+    sig_shared = minhash_signatures(docs, k=3, n_hashes=8, hashed=hashed)
+    assert sorted(map(tuple, sig_self.collect())) == sorted(
+        map(tuple, sig_shared.collect())
+    )
+
+    jac_self = jaccard_pairs(docs, k=3, threshold=0.0, df_cap=10000)
+    jac_shared = jaccard_pairs(
+        docs, k=3, threshold=0.0, df_cap=10000, hashed=hashed
+    )
+    assert sorted(map(tuple, jac_self.collect())) == sorted(
+        map(tuple, jac_shared.collect())
+    )
+
+
 def test_semdedup_n_vecs_equals_counted_path(spark, sf_dir):
     """semdedup(n_vecs=footer count) must produce exactly the frame the
     count()-based path produces — same derived k, same clusters."""
