@@ -1735,9 +1735,15 @@ def doc_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     The expensive stage is the SAME df-capped shingle-index self-join
     as `neardup_jaccard` (no threshold, so every co-shingled pair
     scores); the pair set is checkpointed, symmetrized (each pair
-    serves both endpoints), and reduced by one per-doc window —
-    similarity rounded to 4 dp BEFORE ranking with an id tie-break, so
-    the argmax is deterministic cross-engine."""
+    serves both endpoints), and reduced by one per-doc ARGMAX
+    aggregate — max of struct(jaccard, −nn_doc_id), i.e. similarity
+    rounded to 4 dp compared first and ties broken to the SMALLEST
+    neighbor id, the exact (jaccard DESC, nn ASC) order the previous
+    row_number window used.  The aggregate form partial-aggregates
+    map-side, so the exchange carries at most one candidate row per
+    (doc, map partition) instead of every symmetrized pair, and the
+    per-partition sort the window needed disappears (§2.3
+    aggregate-before-shuffle; A/B identical 5000-row output)."""
     prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(
@@ -1758,11 +1764,17 @@ def doc_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
-    w = W.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("nn_doc_id"))
+    best = F.max(
+        F.struct(F.col("jaccard"), (-F.col("nn_doc_id")).alias("negnn"))
+    )
     return (
-        sym.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "nn_doc_id", "jaccard")
+        sym.groupBy("doc_id")
+        .agg(best.alias("b"))
+        .select(
+            "doc_id",
+            (-F.col("b.negnn")).alias("nn_doc_id"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
     )
 
 
