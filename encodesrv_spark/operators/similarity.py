@@ -218,27 +218,39 @@ def ivf_assign(
 
     `_projected` lets a caller (ivf_ann) hand in an already-
     materialized (vec_id, emb, nrm) frame so the embedding scan isn't
-    re-derived per consumer."""
+    re-derived per consumer.
+
+    Assignment is the kmeans map-only idiom (§2.3/§2.4, r10): the
+    centroids collapse to ONE broadcast row holding a struct array,
+    each vector scores them with a `transform` and takes `array_max`
+    over (csim, −cent_id) structs — the identical (csim DESC, cent
+    ASC) argmax the earlier row_number window computed, with NO
+    exchange: the window form shuffled n_centroids rows PER VECTOR,
+    each dragging the full embedding array, just to rank them."""
     e = _projected if _projected is not None else _norm_projection(embeddings)
     c = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"),
         F.col("emb").alias("cemb"),
         F.col("nrm").alias("cnrm"),
     )
-    scored = e.crossJoin(F.broadcast(c)).select(
+    packed = c.agg(
+        F.collect_list(F.struct("cent_id", "cemb", "cnrm")).alias("cents")
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda cc: F.struct(
+            F.round(
+                dot(F.col("emb"), cc["cemb"]) / F.sqrt(F.col("nrm") * cc["cnrm"]),
+                4,
+            ).alias("csim"),
+            (-cc["cent_id"]).alias("negcent"),
+        ),
+    )
+    return e.crossJoin(F.broadcast(packed)).select(
         "vec_id",
         "emb",
         "nrm",
-        "cent_id",
-        F.round(
-            dot(F.col("emb"), F.col("cemb")) / F.sqrt(F.col("nrm") * F.col("cnrm")), 4
-        ).alias("csim"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "nrm", F.col("cent_id").alias("cell"))
+        (-F.array_max(scored)["negcent"]).alias("cell"),
     )
 
 
@@ -261,11 +273,17 @@ def pq_encode(
     it without ever shuffling raw vectors.
 
     Scale shape: corpus explodes to N·m segment rows, the codebook
-    (m·n_sub tiny rows) broadcasts, and the arg-min is a window over
-    (vec_id, seg) — everything linear in N, no self-join.
+    (m·n_sub tiny rows) broadcasts COLLAPSED to one struct-array row
+    per segment, and the arg-min is a map-side `array_min` fold over
+    (d2, cent_id) structs — the kmeans/ivf assignment idiom (r10):
+    the earlier row_number window shuffled n_sub candidate rows per
+    segment, each dragging both sub-vectors, just to rank them.
+    Everything linear in N, no self-join, no assignment exchange.
 
     L2² is computed as dot(x,x) - 2·dot(x,y) + dot(y,y) with the same
-    sequential fold DuckDB's list_inner_product uses, and rounded to
+    sequential fold DuckDB's list_inner_product uses (both norms
+    hoisted and computed once per segment / per codebook entry —
+    identical values, 3 folds per pair down to 1), and rounded to
     4 dp before the arg-min, so code assignment is reproducible
     cross-engine (the established float rule)."""
     seglen = dims // m
@@ -280,19 +298,32 @@ def pq_encode(
         F.col("vec_id").alias("cent_id"),
         F.col("seg").alias("cseg_id"),
         F.col("vseg").alias("cseg"),
+        sq_norm(F.col("vseg")).alias("cnrm"),
     )
-    l2sq = F.round(
-        sq_norm(F.col("vseg"))
-        - 2 * dot(F.col("vseg"), F.col("cseg"))
-        + sq_norm(F.col("cseg")),
-        4,
+    packed = cb.groupBy("cseg_id").agg(
+        F.collect_list(F.struct("cent_id", "cseg", "cnrm")).alias("cands")
     )
-    w = W.partitionBy("vec_id", "seg").orderBy(F.asc("d2"), F.asc("cent_id"))
+    scored = F.transform(
+        F.col("cands"),
+        lambda cc: F.struct(
+            F.round(
+                F.col("vnrm") - 2 * dot(F.col("vseg"), cc["cseg"]) + cc["cnrm"],
+                4,
+            ).alias("d2"),
+            cc["cent_id"].alias("cent_id"),
+            cc["cseg"].alias("cseg"),
+        ),
+    )
+    best = F.array_min(scored)
     assign = (
-        segs.join(F.broadcast(cb), F.col("seg") == F.col("cseg_id"))
-        .select("vec_id", "seg", "cent_id", "cseg", l2sq.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        segs.withColumn("vnrm", sq_norm(F.col("vseg")))
+        .join(F.broadcast(packed), F.col("seg") == F.col("cseg_id"))
+        .select(
+            "vec_id",
+            "seg",
+            best["cent_id"].alias("cent_id"),
+            best["cseg"].alias("cseg"),
+        )
     )
     grouped = assign.groupBy("vec_id").agg(
         F.array_sort(

@@ -120,6 +120,18 @@ _HOISTED = (
     # semdedup additionally skips the discarded final centroid update
     # (update_last=False) and aggregates-then-joins its cluster stats:
     "embedding_kmeans",
+    # The same map-only assignment idiom applied to the other two
+    # assignment operators (hand-bumped; registered forms unchanged):
+    # ivf_assign and pq_encode replace their row_number-window argmax/
+    # argmin (which shuffled n_centroids / n_sub candidate rows per
+    # vector, embeddings included) with a broadcast packed-codebook
+    # fold + array_max/array_min — assignment is exchange-free;
+    # ordering contract (score, lowest-id tiebreak) pinned by
+    # tests/test_optimizations_r10.py::test_{ivf_assign,pq_encode}_matches_window_reference:
+    "embedding_ivf_ann",
+    "embedding_pq_codes",
+    "embedding_pq_ann",
+    "embedding_ivfpq_ann",
 )
 # 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The

@@ -136,6 +136,109 @@ def test_hashed_shingles_path_is_equivalent(spark, sf_dir):
     )
 
 
+def test_ivf_assign_matches_window_reference(spark, sf_dir):
+    """The map-only array_max assignment must reproduce the
+    row_number-window argmax exactly: max csim, ties to the LOWEST
+    centroid id."""
+    from pyspark.sql import Window as W
+
+    from encodesrv_spark.operators.similarity import (
+        _norm_projection,
+        dot,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        (r["vec_id"], r["cell"]) for r in ivf_assign(emb, n_centroids=16).collect()
+    )
+    e = _norm_projection(emb)
+    c = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cent_id",
+        F.round(
+            dot(F.col("emb"), F.col("cemb")) / F.sqrt(F.col("nrm") * F.col("cnrm")),
+            4,
+        ).alias("csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    ref = sorted(
+        (r["vec_id"], r["cent_id"])
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert got == ref
+
+
+def test_pq_encode_matches_window_reference(spark, sf_dir):
+    """The map-side array_min code assignment must reproduce the
+    window argmin exactly: min rounded L2², ties to the LOWEST
+    sub-centroid id — pinned end-to-end through codes AND the decoded
+    reconstruction."""
+    from pyspark.sql import Window as W
+
+    from encodesrv_spark.operators.similarity import dot, pq_encode, sq_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: (list(r["codes"]), [round(x, 9) for x in r["recon"]])
+        for r in pq_encode(emb, m=4, n_sub=16, dims=64).collect()
+    }
+    seglen = 16
+    from encodesrv_spark.operators.similarity import _as_double
+
+    e = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    segs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("emb", j * seglen + 1, seglen) for j in range(4)])
+        ).alias("seg", "vseg"),
+    )
+    cb = segs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("seg").alias("cseg_id"),
+        F.col("vseg").alias("cseg"),
+    )
+    l2sq = F.round(
+        sq_norm(F.col("vseg"))
+        - 2 * dot(F.col("vseg"), F.col("cseg"))
+        + sq_norm(F.col("cseg")),
+        4,
+    )
+    w = W.partitionBy("vec_id", "seg").orderBy(F.asc("d2"), F.asc("cent_id"))
+    assign = (
+        segs.join(F.broadcast(cb), F.col("seg") == F.col("cseg_id"))
+        .select("vec_id", "seg", "cent_id", "cseg", l2sq.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    ref_rows = (
+        assign.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seg", F.col("cent_id").alias("code"), "cseg"))
+            ).alias("sc")
+        )
+        .select(
+            "vec_id",
+            F.expr("transform(sc, x -> x.code)").alias("codes"),
+            F.flatten(F.expr("transform(sc, x -> x.cseg)")).alias("recon"),
+        )
+        .collect()
+    )
+    ref = {
+        r["vec_id"]: (list(r["codes"]), [round(x, 9) for x in r["recon"]])
+        for r in ref_rows
+    }
+    assert got == ref
+
+
 def test_semdedup_n_vecs_equals_counted_path(spark, sf_dir):
     """semdedup(n_vecs=footer count) must produce exactly the frame the
     count()-based path produces — same derived k, same clusters."""
