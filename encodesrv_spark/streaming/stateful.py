@@ -23,6 +23,18 @@ blocked, unchanged.
 Re-probed r09: `import google.protobuf` still ModuleNotFoundError;
 blocked, unchanged (applyInPandasWithState operators and tests carry
 over as-is).
+
+availableNow caveat (observed r10): every operator here arms a
+processing-time timeout on each key, and the micro-batch engine keeps
+scheduling no-data micro-batches while any timer is pending — so an
+`availableNow` (batch-replay) caller consumes its data and then loops
+empty batches until the farthest idle timer fires (hours).  Such
+callers must disable `spark.sql.streaming.noDataMicroBatches.enabled`
+for the query (streaming queries snapshot SQLConf at start, so setting
+it around `.start()` is per-query); data batches still process expired
+state exactly as before.  Continuous (processing-time-trigger)
+deployments are unaffected — there the no-data batches are precisely
+what makes idle-key expiry happen, so the conf stays on.
 """
 
 from __future__ import annotations

@@ -9,6 +9,32 @@ from pyspark.sql import functions as F
 from encodesrv_spark.streaming.stateful import running_user_totals
 
 
+def _start_terminating(spark, writer):
+    """Start an availableNow query over a ProcessingTimeTimeout stateful
+    operator so that it actually TERMINATES.
+
+    Every operator in streaming/stateful.py arms a processing-time
+    timeout (hours out) on each key it touches.  On this Spark build the
+    micro-batch engine keeps scheduling no-data micro-batches while any
+    timer is pending — so an availableNow query over such an operator
+    consumes its data and then loops empty batches until the farthest
+    timer fires, i.e. never inside a test budget (observed: the 10-row
+    repro ran 150+ empty batches before the 600 s assert killed it; the
+    'Python worker crashed' noise in that failure was only the session
+    teardown racing the still-running query).  Disabling no-data
+    micro-batches FOR THIS QUERY restores termination; data batches
+    still process timed-out state exactly as before, and the asserted
+    results never depended on idle-timeout expiry.  Streaming queries
+    snapshot SQLConf at start (StreamExecution runs on a cloned
+    session), so flipping the conf around .start() pins it per-query
+    without affecting the shared test session."""
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+
+
 def test_running_user_totals(spark, tmp_path, sf_dir):
     from encodesrv_spark.catalog import load_table
 
@@ -22,14 +48,14 @@ def test_running_user_totals(spark, tmp_path, sf_dir):
     stream = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string, value double"
     ).parquet(src)
-    q = (
+    q = _start_terminating(
+        spark,
         running_user_totals(stream)
         .writeStream.format("memory")
         .queryName("user_totals")
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     assert q.awaitTermination(600), "stream did not finish within 600 s"
 
@@ -77,14 +103,14 @@ def test_funnel_progress_matches_batch(spark, tmp_path, sf_dir):
     stream = spark.readStream.schema(
         "user_id long, event_id long, event_type string, tus long"
     ).parquet(src)
-    q = (
+    q = _start_terminating(
+        spark,
         funnel_progress(stream)
         .writeStream.format("memory")
         .queryName("funnel_state")
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     assert q.awaitTermination(600), "stream did not finish within 600 s"
 
@@ -131,14 +157,14 @@ def test_transition_increments_match_batch(spark, tmp_path, sf_dir):
     stream = spark.readStream.schema(
         "user_id long, event_id long, event_type string, tus long"
     ).parquet(src)
-    q = (
+    q = _start_terminating(
+        spark,
         transition_increments(stream)
         .writeStream.format("memory")
         .queryName("transition_state")
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     assert q.awaitTermination(600), "stream did not finish within 600 s"
 
@@ -185,15 +211,15 @@ def test_state_survives_stop_and_restart(spark, tmp_path, sf_dir):
         stream = spark.readStream.schema(schema).option(
             "pathGlobFilter", "*.parquet"
         ).option("recursiveFileLookup", "true").parquet(str(src))
-        q = (
+        q = _start_terminating(
+            spark,
             running_user_totals(stream)
             .writeStream.foreachBatch(
                 lambda df, _eid: df.write.mode("append").parquet(out_dir)
             )
             .outputMode("update")
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
         assert q.awaitTermination(600), "stream did not finish within 600 s"
 
@@ -260,14 +286,14 @@ def test_ewma_stream_matches_batch_within_truncation_tail(spark, tmp_path, sf_di
     stream = spark.readStream.schema(
         "event_id long, event_type string, value double, tus long"
     ).parquet(src)
-    q = (
+    q = _start_terminating(
+        spark,
         ewma_stream(stream)
         .writeStream.format("memory")
         .queryName("ewma_state")
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     assert q.awaitTermination(600), "stream did not finish within 600 s"
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow)
@@ -338,14 +364,14 @@ def test_change_points_stream_flags_planted_shift_and_matches_batch_means(
     stream = spark.readStream.schema(
         "event_id long, event_type string, value double, tus long"
     ).parquet(src)
-    q = (
+    q = _start_terminating(
+        spark,
         change_points_stream(stream)
         .writeStream.format("memory")
         .queryName("chg_points")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt_chg"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     assert q.awaitTermination(600), "stream did not finish within 600 s"
 
@@ -424,14 +450,14 @@ def test_cusum_stream_matches_batch_chart(spark, tmp_path):
     stream = spark.readStream.schema(
         "event_id long, event_type string, value double, tus long"
     ).parquet(src)
-    q = (
+    q = _start_terminating(
+        spark,
         cusum_stream(stream, baseline)
         .writeStream.format("memory")
         .queryName("cusum_chart")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     assert q.awaitTermination(600), "stream did not finish within 600 s"
 
