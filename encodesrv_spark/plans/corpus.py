@@ -183,18 +183,24 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     src0 scales with SF and a mandatory broadcast would OOM at 100 TB.
     Shingles are xxhash64'd before the join (fixed-width keys); the
     oracle joins the strings — outputs agree because both count
-    distinct co-occurrences."""
+    distinct co-occurrences.
+
+    Each side filters on `source` BEFORE shingling, so the source
+    predicate pushes into the scan and each document's text is
+    shingled exactly once (train and bench partition the corpus).  The
+    earlier shape shingled the WHOLE corpus once per side and dropped
+    the other side's rows afterwards via a doc_id semi-join — 2× the
+    Generate work, 2× the raw-text fan-out exchange, plus two
+    corpus-scale broadcast joins, all for rows that were about to be
+    discarded."""
     prep(spark)
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_index(d, 5)  # fan_out inside; (doc_id, sh)
-    src = d.select("doc_id", "source")
-    sh = sh.join(src, "doc_id").select(
-        "doc_id", "source", F.xxhash64("sh").alias("h")
+    bench = dedup.shingle_index(d.filter(F.col("source") == "src0"), 5).select(
+        F.col("doc_id").alias("bench_doc"), F.xxhash64("sh").alias("h")
     )
-    bench = sh.filter(F.col("source") == "src0").select(
-        F.col("doc_id").alias("bench_doc"), "h"
+    train = dedup.shingle_index(d.filter(F.col("source") != "src0"), 5).select(
+        "doc_id", F.xxhash64("sh").alias("h")
     )
-    train = sh.filter(F.col("source") != "src0").select("doc_id", "h")
     return (
         train.join(bench, "h")
         .groupBy("doc_id")

@@ -2098,7 +2098,18 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.a", "p.b")
         .localCheckpoint(eager=True)
     )
-    cb = bg.groupBy("a", "b").agg(F.count("*").cast("double").alias("cab"))
+    # materialize the bigram-count table ONCE: cb feeds the per-doc
+    # join, the history marginal (cu) and BOTH vocab union branches —
+    # without this the (a, b) aggregation re-executed four times, each
+    # with its own full exchange of the bigram stream (ReuseExchange
+    # does not fire across the four consumers; the executed plan showed
+    # 4 independent hashpartitioning(a, b) exchanges).  cb is
+    # vocab²-bounded, so the materialized bytes are tiny.
+    cb = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("cab"))
+        .localCheckpoint(eager=True)
+    )
     cu = cb.groupBy("a").agg(F.sum("cab").alias("ca"))
     v = (
         cb.select(F.col("a").alias("t"))

@@ -132,6 +132,19 @@ _HOISTED = (
     "embedding_pq_codes",
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
+    # Optimization round, pass 4: shared-subplan materialization and
+    # filter-before-explode (forms changed for speed, results identical,
+    # re-verified green at both SFs in the same session as the edit).
+    # bigram: the (a, b) count table is checkpointed once instead of
+    # being re-aggregated four times (per-doc join, history marginal,
+    # both vocab-union branches); decontaminate: each side filters on
+    # source BEFORE shingling so the corpus is shingled exactly once
+    # (was: two full-corpus shingle passes + two corpus-scale doc_id
+    # semi-joins); overlap_matrix: the distinct (source, h) frame is
+    # checkpointed so the self-join shares ONE shingle pipeline:
+    "bigram_lm_perplexity",
+    "decontaminate_overlap",
+    "source_overlap_matrix",
 )
 # 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
