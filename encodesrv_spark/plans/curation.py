@@ -452,14 +452,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 128-bit hash, not xxhash64: unlike jaccard_pairs (where the hash
     # is join-internal and only co-occurrence COUNTS survive), here the
     # count of DISTINCT hashes IS the reported metric, so a 64-bit
-    # birthday collision at corpus scale would undercount it.
-    # Materialized ONCE for both self-join sides: without the
-    # checkpoint the whole shingle pipeline (Generate + fan-out
-    # exchange + distinct) re-executed per side — the before-plan
-    # shows two parquet scans and two Generate nodes for one corpus
-    # (the jaccard_pairs index-checkpoint rationale; the materialized
-    # frame is the sources×vocab-bounded distinct, never raw text).
-    s = d.select("source", F.md5("sh").alias("h")).distinct().localCheckpoint(eager=True)
+    # birthday collision at corpus scale would undercount it
+    s = d.select("source", F.md5("sh").alias("h")).distinct()
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(

@@ -140,11 +140,14 @@ _HOISTED = (
     # both vocab-union branches); decontaminate: each side filters on
     # source BEFORE shingling so the corpus is shingled exactly once
     # (was: two full-corpus shingle passes + two corpus-scale doc_id
-    # semi-joins); overlap_matrix: the distinct (source, h) frame is
-    # checkpointed so the self-join shares ONE shingle pipeline:
+    # semi-joins).  (A third candidate, checkpointing
+    # source_overlap_matrix's distinct (source, h) frame to share one
+    # shingle pipeline across the self-join, LOST its interleaved A/B
+    # — the two pipeline subtrees execute concurrently inside one job
+    # and beat the serialized materialization — and was reverted;
+    # OPTIMIZATION_r10.md records the numbers.)
     "bigram_lm_perplexity",
     "decontaminate_overlap",
-    "source_overlap_matrix",
 )
 # 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
