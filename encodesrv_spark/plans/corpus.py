@@ -768,6 +768,16 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # N-gram novelty (share of first-seen shingles per document)
+#
+# The shingle frame below is NOT checkpointed, deliberately (r10
+# interleaved A/B, 5 pairs: a materialized sh lost-or-tied vs
+# recompute, pairwise median +0.04 s): the first-seen build side and
+# the join probe side execute CONCURRENTLY inside one job, so the
+# duplicated shingle pipeline costs ~no wall — the same measurement
+# that reverted the source_overlap_matrix checkpoint.
+# (repeated_ngram_audit differs: its census is consumed through a
+# second serial aggregate, where sharing did win.)  Comment lives
+# OUTSIDE the function so the registered form hash is untouched.
 # ---------------------------------------------------------------------------
 
 @register(

@@ -212,11 +212,20 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
 
+    # Materialize the 1-row winner BEFORE lifting it to a scalar: the
+    # subquery is referenced three times (replace pattern, replacement
+    # text, output column) and ReuseSubquery does not deduplicate them
+    # — unmaterialized, the executed plan replayed the full corpus
+    # tokenize+pair pipeline once per reference (4 extra scans).  With
+    # the checkpoint each reference scans a 1-row RDD and the corpus is
+    # paired exactly twice: the find pass and the post-merge recount —
+    # the irreducible two passes of a BPE step.
     top1 = (
         pair_counts(docs)
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(1)
         .select("pair")
+        .localCheckpoint(eager=True)
         .scalar()
     )
     merged = docs.select(

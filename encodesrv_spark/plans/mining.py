@@ -3806,13 +3806,20 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     d = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(_tokens_ne()).alias("t"))
-    first_seen = (
-        tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    # ONE tokenize pass: both frames derive from the per-(doc, token)
+    # count table (first_seen: min doc per token == min doc over the
+    # deduped rows; doc_tokens: count(*) over tok == sum(cnt)).  The
+    # earlier shape eagerly checkpointed each aggregate separately, so
+    # the corpus tokenize+explode pipeline executed twice (two serial
+    # jobs, each with its own full pass) — the unigram_lm_score/bm25
+    # shared-tf rationale applies verbatim.
+    tf = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    doc_tokens = tok.groupBy("doc_id").agg(F.count("*").alias("n")).localCheckpoint(
-        eager=True
-    )
+    first_seen = tf.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
     bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
     cps = (
         spark.range(1, _HEAPS_CHECKPOINTS + 1)

@@ -148,6 +148,16 @@ _HOISTED = (
     # OPTIMIZATION_r10.md records the numbers.)
     "bigram_lm_perplexity",
     "decontaminate_overlap",
+    # Pass 5: heaps_law_fit derives first-seen and per-doc counts from
+    # ONE checkpointed (doc, token) count table instead of two eager
+    # checkpoints that each re-ran the corpus tokenize (jobs 16 -> 15,
+    # A/B 4/5 pairs, median -0.46 s); bpe_merge_step materializes the
+    # 1-row winning pair before lifting it to a scalar subquery —
+    # ReuseSubquery does not deduplicate its three references, so the
+    # corpus pair pipeline replayed per reference (parquet scans in the
+    # executed plan 12 -> 2; A/B 3/5 pairs, median -0.24 s):
+    "heaps_law_fit",
+    "bpe_merge_step",
 )
 # 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The
