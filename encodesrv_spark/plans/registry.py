@@ -158,6 +158,16 @@ _HOISTED = (
     # executed plan 12 -> 2; A/B 3/5 pairs, median -0.24 s):
     "heaps_law_fit",
     "bpe_merge_step",
+    # Pass 6: q2 pushes its two selective dimension predicates BELOW
+    # the (partkey, suppkey) catalog aggregate as semi-joins — only
+    # ~0.6% of lineitem rows reach the per-row DECIMAL(18,10) quantize
+    # and the group exchange (18,612/600,000 pass the part filter ×
+    # 201/1000 regional suppliers at sf0.1); unit_cost is per-group and
+    # the window min ranges over one partkey's regional suppliers, so
+    # dropping whole never-surviving groups is result-identical
+    # (oracle re-verified green at both SFs; A/B 7/7 pairs,
+    # 1.93 s → 0.66 s):
+    "q2_min_cost_supplier",
 )
 # 15 parity + 5 hoisted; the remaining 30 window slots fill in module
 # order (llm → …), refreshing the oldest still-valid driver rows.  The

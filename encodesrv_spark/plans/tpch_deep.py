@@ -70,7 +70,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part↔supplier catalog derived from lineitem.  The catalog aggregate
     shuffles once on (partkey, suppkey); supplier/nation/region are all
     broadcast; the window min rides the same partkey partitioning
-    instead of a second self-join shuffle."""
+    instead of a second self-join shuffle.
+
+    The two selective dimension predicates are pushed BELOW the
+    catalog aggregate as semi-joins (opt guide §2.3/§3.2): only fact
+    rows whose part passes the p_type/p_size filter AND whose supplier
+    is regional ever reach the per-row DECIMAL(18,10) quantize + the
+    (partkey, suppkey) exchange — ~0.6% of lineitem at sf0.1
+    (18,612/600,000 pass the part filter × 201/1000 regional
+    suppliers).  Equivalent by construction: unit_cost is a per-group
+    aggregate and the min ranges over one partkey's REGIONAL suppliers
+    (the oracle's correlated subquery is over `eligible`), so dropping
+    whole groups that cannot survive the final inner joins changes
+    neither any surviving group's value nor any partition's min.  No
+    broadcast hints on the semi-joins — part/supplier are sf-scaled
+    (AQE broadcasts them at test scale; at 100 TB they degrade to an
+    honest shuffle or a runtime Bloom filter)."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
@@ -85,10 +100,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "n_name")
     )
+    wanted = p.filter((F.col("p_type") == "LARGE") & (F.col("p_size") < 10)).select(
+        "p_partkey", "p_name"
+    )
+    lf = l.join(
+        wanted.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "left_semi"
+    ).join(
+        regional.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey"), "left_semi"
+    )
     # The per-row quotient is not a finite decimal, so quantize each term
     # to DECIMAL(18,10) (identical per-row rounding on both engines) and
     # sum exactly — an order-independent mean; see functions/exact.py.
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+    ps = lf.groupBy("l_partkey", "l_suppkey").agg(
         F.round(
             F.sum(
                 (F.col("l_extendedprice") / F.col("l_quantity")).cast(
@@ -103,9 +126,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest = eligible.withColumn(
         "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
     ).filter(F.col("unit_cost") == F.col("min_cost"))
-    wanted = p.filter((F.col("p_type") == "LARGE") & (F.col("p_size") < 10)).select(
-        "p_partkey", "p_name"
-    )
     return (
         cheapest.join(wanted, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
