@@ -257,3 +257,85 @@ def test_semdedup_n_vecs_equals_counted_path(spark, sf_dir):
     assert sorted(map(tuple, counted.collect())) == sorted(
         map(tuple, footer.collect())
     )
+
+
+def test_q2_semi_join_pushdown_is_equivalent(spark):
+    """q2's rewrite: semi-joining the fact rows against the wanted-part
+    and regional-supplier key sets BEFORE the (partkey, suppkey)
+    unit-cost aggregate must reproduce the aggregate-then-filter
+    reference exactly — on a fixture built to spring both traps:
+
+    * the globally cheapest supplier of a WANTED part is NON-regional
+      (must not win: the min ranges over regional suppliers only, and
+      it must not win in EITHER form);
+    * the globally cheapest (part, supplier) pair overall is on a
+      NON-wanted part (pre-filtering must drop the whole group without
+      touching surviving groups' unit costs);
+    * a wanted part has two regional suppliers tied at the min (both
+      rows must survive in both forms).
+    """
+    from pyspark.sql import Window as W
+
+    # lineitem: (partkey, suppkey, extendedprice, quantity)
+    li = spark.createDataFrame(
+        [
+            # part 1 (wanted): s1 regional cost 10.0 (2 rows -> mean),
+            # s2 NON-regional cost 1.0 (cheapest overall for the part),
+            # s3 regional cost 10.0 (tie with s1)
+            (1, 1, 20.0, 2.0),
+            (1, 1, 10.0, 1.0),
+            (1, 2, 1.0, 1.0),
+            (1, 3, 10.0, 1.0),
+            # part 2 (NOT wanted): s1 cost 0.5 — cheapest group anywhere
+            (2, 1, 0.5, 1.0),
+            # part 3 (wanted): only a NON-regional supplier -> no output row
+            (3, 2, 4.0, 1.0),
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double, l_quantity double",
+    )
+    wanted_keys = spark.createDataFrame([(1,), (3,)], "p_partkey long")
+    regional_keys = spark.createDataFrame([(1,), (3,)], "s_suppkey long")
+
+    def unit_cost_agg(rows):
+        return rows.groupBy("l_partkey", "l_suppkey").agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                        "decimal(18,10)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("unit_cost")
+        )
+
+    def cheapest(ps):
+        eligible = ps.join(
+            regional_keys, ps.l_suppkey == regional_keys.s_suppkey
+        ).drop("s_suppkey")
+        return (
+            eligible.withColumn(
+                "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+            )
+            .filter(F.col("unit_cost") == F.col("min_cost"))
+            .join(wanted_keys, F.col("l_partkey") == F.col("p_partkey"))
+            .select("l_partkey", "l_suppkey", "unit_cost")
+        )
+
+    reference = cheapest(unit_cost_agg(li))
+    pushed = cheapest(
+        unit_cost_agg(
+            li.join(
+                wanted_keys, li.l_partkey == F.col("p_partkey"), "left_semi"
+            ).join(
+                regional_keys, li.l_suppkey == F.col("s_suppkey"), "left_semi"
+            )
+        )
+    )
+    ref_rows = sorted(map(tuple, reference.collect()))
+    got_rows = sorted(map(tuple, pushed.collect()))
+    assert got_rows == ref_rows
+    # the fixture's traps actually fired: part 1 keeps BOTH tied
+    # regional suppliers at 10.0 (the non-regional 1.0 never wins),
+    # part 2 and part 3 emit nothing
+    assert ref_rows == [(1, 1, 10.0), (1, 3, 10.0)]
