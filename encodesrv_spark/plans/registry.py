@@ -169,10 +169,12 @@ _HOISTED = (
     # 1.93 s → 0.66 s):
     "q2_min_cost_supplier",
 )
-# 15 parity + 5 hoisted; the remaining 30 window slots fill in module
-# order (llm → …), refreshing the oldest still-valid driver rows.  The
-# composition is pinned by
-# tests/test_plans.py::test_driver_window_composition.
+# Window composition: 15 parity rows, then the _HOISTED queue in
+# order, then the remaining slots (50 total) fill in module order
+# (llm → …), refreshing the oldest still-valid driver rows.  Pinned by
+# tests/test_plans.py::test_driver_window_composition; the queue must
+# stay ≤ 35 entries or hoisted rows would fall outside the window
+# (PROVENANCE.json's round debt is exactly this queue).
 
 
 def form_hash(q: Query) -> str:
