@@ -264,14 +264,39 @@ def main() -> None:
     extra: dict[str, float] = dict(controls)
     todo = [n for n in EXTRA if n in qs and n not in extra]
     segments = {"start": controls}
+    loadavg = {"start": round(os.getloadavg()[0], 2)}
     for i, name in enumerate(todo):
         if i == len(todo) // 2:
             # Control snapshot 2 of 3, mid-extras (VERDICT r06 #2).
             segments["middle"] = measure_controls(spark, qs, sf_dir)
+            loadavg["middle"] = round(os.getloadavg()[0], 2)
         warm(spark, qs, name, sf_dir)
         extra[name] = time_query(spark, qs, name, sf_dir, reps=1)
     # Control snapshot 3 of 3, after the extras loop.
     segments["end"] = measure_controls(spark, qs, sf_dir)
+    loadavg["end"] = round(os.getloadavg()[0], 2)
+
+    # Hiccup re-read pass (ADVICE r10): this VM's throughput collapses
+    # 5-20x for seconds at a time, so a 1-rep extras row can record a
+    # stall as if it were the query's cost (r10 committed ~10 such rows
+    # with the corrections living only in OPTIMIZATION_r10.md).  Every
+    # row above a self-scaling threshold (3x the run's median extras
+    # value — heavy queries and hiccups alike) gets two more measured
+    # reps; the published value is the median of all three and the raw
+    # triple is kept in `reread` so the artifact itself carries the
+    # evidence.  First reads are preserved (old methodology's number);
+    # the headline metric above is untouched (frozen median-of-3).
+    import statistics as _st
+
+    thresh = max(0.5, 3 * _st.median(v for k, v in extra.items() if k not in CONTROLS))
+    reread: dict[str, list[float]] = {}
+    for name in todo:
+        if extra[name] >= thresh:
+            reads = [extra[name]]
+            for _ in range(2):
+                reads.append(time_query(spark, qs, name, sf_dir, reps=1))
+            reread[name] = reads
+            extra[name] = round(_st.median(reads), 3)
 
     # The driver keeps a bounded TAIL of stdout and parses the LAST line as
     # the round's bench artifact.  Round 3 lost its headline number because
@@ -282,7 +307,13 @@ def main() -> None:
     # the same 16 queries since round 2).
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     extras_payload = json.dumps(
-        {"extra": extra, "controls_segments": segments, "sf": sf_val}
+        {
+            "extra": extra,
+            "controls_segments": segments,
+            "loadavg_1min": loadavg,
+            "reread": reread,
+            "sf": sf_val,
+        }
     )
     try:
         with open(

@@ -874,11 +874,21 @@ def density_clusters(
     and core filters are one aggregate each, and the component loop is
     the bounded-iteration min-label propagation from dedup — linear
     per round, lineage checkpointed.  The pair graph is built ONCE and
-    every derived frame that feeds multiple downstream branches
-    (cores ×5 uses, core_clusters ×3, border ×2) is materialized so
+    the two frames that still feed multiple downstream branches after
+    the r10 single-join assembly (pairs, cores ×4) are materialized so
     the core/border/noise branches never re-run a shared subtree
     (round-3 verdict: this was the suite's most expensive query purely
-    from subtree recomputation, not from any single bad join)."""
+    from subtree recomputation, not from any single bad join).
+
+    core_clusters and border are NOT checkpointed (r11): the r10
+    assembly left border with ONE consumer and core_clusters with two
+    that both live inside the final action, where the duplicated
+    subtree is two cheap joins of already-checkpointed frames executed
+    concurrently — cheaper than two more serialized materialization
+    jobs (the source_overlap_matrix lesson: concurrent recompute of
+    checkpoint-bounded subtrees beats serializing a materialization).
+    Measured at sf0.1: jobs/execution 54 → 46, interleaved A/B wall
+    see OPTIMIZATION_r11.md."""
     from encodesrv_spark.operators import dedup
 
     e = embeddings.select("vec_id")
@@ -907,10 +917,8 @@ def density_clusters(
         F.col("doc_id").alias("node"), F.col("component").alias("cluster")
     )
     # isolated cores (no core neighbor) anchor their own cluster
-    core_clusters = (
-        cores.join(comp, "node", "left")
-        .select("node", F.coalesce(F.col("cluster"), F.col("node")).alias("cluster"))
-        .localCheckpoint(eager=True)
+    core_clusters = cores.join(comp, "node", "left").select(
+        "node", F.coalesce(F.col("cluster"), F.col("node")).alias("cluster")
     )
     border = (
         sym.join(cores.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
@@ -918,7 +926,6 @@ def density_clusters(
         .join(core_clusters.withColumnRenamed("node", "nbr"), "nbr")
         .groupBy("node")
         .agg(F.min("cluster").alias("cluster"))
-        .localCheckpoint(eager=True)
     )
     # One left join against the union of the two (disjoint) label
     # frames replaces the old 3-branch union whose noise arm needed two

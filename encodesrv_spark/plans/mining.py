@@ -2277,7 +2277,17 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded parquet).  For a periodic load-validation gate that is the
     right default — the audit is cheap to re-run and the three probe
     passes dominate — but a deployment preferring fault-tolerant
-    re-scans can drop the checkpoints and take the 3× column reads."""
+    re-scans can drop the checkpoints and take the 3× column reads.
+
+    The per-edge `n_child` is the FULL-TABLE cardinality of the child,
+    so it comes from the parquet footer (catalog.table_rows — the r10
+    count()-removal idiom, valid exactly for whole-table frames): the
+    four eagerly-checkpointed count aggregates and the six one-row
+    crossJoins they fed are gone (r11; jobs/execution 39 → 27, plan
+    Exchanges 48 → 36).  At 100 TB this also drops four serial
+    count passes over the materialized key columns; the footer
+    metadata read costs ~0.2 ms per table and is re-read from the
+    input on every invocation."""
     prep(spark)
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -2296,11 +2306,12 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_keys = c.select("c_custkey", "c_nationkey").localCheckpoint(eager=True)
     s_keys = s.select("s_suppkey", "s_nationkey").localCheckpoint(eager=True)
 
+    # Full-table child cardinalities from the parquet footers (== the
+    # count(*) the oracle's scalar subqueries compute; LongType to match
+    # the ::BIGINT oracle schema).
     counts = {
-        "lineitem": l_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
-        "orders": o_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
-        "customer": c_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
-        "supplier": s_keys.agg(F.count("*").alias("n_child")).localCheckpoint(eager=True),
+        name: F.lit(table_rows(sf_dir, name)).cast("long")
+        for name in ("lineitem", "orders", "customer", "supplier")
     }
 
     def edge(name: str, child_name: str, child: DataFrame, ckey: str,
@@ -2310,14 +2321,10 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         if broadcast_parent:
             par = F.broadcast(par)
         orphans = child.select(ckey).join(par, ckey, "left_anti")
-        return (
-            counts[child_name]
-            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
-            .select(
-                F.lit(name).alias("fk_edge"),
-                "n_child",
-                "n_orphans",
-            )
+        return orphans.agg(F.count("*").alias("n_orphans")).select(
+            F.lit(name).alias("fk_edge"),
+            counts[child_name].alias("n_child"),
+            "n_orphans",
         )
 
     frames = [

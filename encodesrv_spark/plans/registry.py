@@ -60,113 +60,22 @@ _MODULE_ORDER = ("parity", "llm", "tpch", "tpch_deep", "corpus", "extended")
 # module: the newest operators that do not yet have a driver-green
 # CORRECTNESS row get priority slots right after the parity block.
 _HOISTED = (
-    # Round-10 rotation.  The r09 window cleared the whole queue (50/50
-    # green, all five r09-hoisted rows in-window), so this queue is
-    # exactly the round's debt — PROVENANCE.json +
-    # tests/test_provenance.py force every pending entry to appear here.
-    #
-    # NEW this round: join-view incremental maintenance — the join-side
-    # completion of the IVM family (aggregate: incremental_hourly_merge,
-    # anti-join: incremental_dedup).  ΔV = (ΔO ⋈ L) ∪ ((O∪ΔO) ⋈ ΔL),
-    # cross term counted exactly once; algebra pinned by
-    # tests/test_incremental.py::test_join_view_delta_equals_recompute_no_double_count.
-    "incremental_join_view",
-    # Its deletion-bearing twin: signed multiplicities (z-sets), the
-    # bilinear mult-product algebra — retractions, duplicate inserts,
-    # and the (−1)·(−1)=+1 cross term verified against a post-image
-    # multiset oracle; linear aggregates read the signed view without
-    # consolidation.
-    "incremental_join_view_cdc",
-    # Helper-driven behavior change (registered fn source and oracle
-    # UNCHANGED, hand-bumped via gen_provenance --bump): zorder_maintain
-    # now reclaims pre-intent crash orphans (pid-suffixed staging dirs
-    # referenced by no manifest intent) at the start of every pass
-    # (ADVICE r09) — same rows, extended maintenance protocol.
-    "events_zorder_append_maintain",
-    # --- Optimization round (r10) rotation: forms changed for SPEED,
-    # results identical (every entry below re-verified green against
-    # the oracle in the same session as its edit; OPTIMIZATION_r10.md
+    # Round-11 rotation (optimization round 2 of 2).  The r10 window
+    # cleared the whole 28-entry queue (CORRECTNESS_r10: 50/50 green,
+    # zero err), so every r10 entry rotates out and this queue is
+    # exactly the r11 debt — forms changed for SPEED or robustness,
+    # results identical (each re-verified green against the oracle at
+    # both SFs in the same session as its edit; OPTIMIZATION_r11.md
     # carries the before/after evidence).
-    # Threshold-banded levenshtein (O(len·k) per candidate pair):
-    "fuzzy_pairs_levenshtein",
-    # count()-job removal: corpus size for the df-cap census gate /
-    # derive_k now comes from the parquet footer (catalog.table_rows):
-    "neardup_jaccard",
-    "split_leakage",
-    "neardup_threshold_curve",
-    "doc_nearest_neighbor",
-    "source_dup_crosstab",
-    "neardup_containment",
-    "minhash_estimate_error",
-    "semdedup_prune",
-    # Helper-driven plan changes (hand-bumped where the registered form
-    # is unchanged): dedup.connected_components fuses propagation
-    # round 1 into the label initialization, skips the defensive
-    # symmetrize-distinct for provably-unique pair inputs
-    # (pairs_distinct=True at all four call sites) and hints both
-    # per-round joins SHUFFLE_HASH (no per-round sorts of checkpointed
-    # stat-less inputs); fixpoint and round bound unchanged:
-    "dedup_clusters",
-    "neardup_removals",
-    "dedup_keep_best",
-    "dedup_cluster_size_hist",
-    "dedup_quality_gain",
-    # density_clusters additionally folds the 3-branch core/border/
-    # noise union into ONE left join against the union'd label frames
-    # (two corpus-scale anti-joins removed):
-    "embedding_density_clusters",
-    # kmeans assignment is now a pure map (broadcast centroid-array
-    # fold + array_min argmin — no groupBy exchange per iteration);
-    # semdedup additionally skips the discarded final centroid update
-    # (update_last=False) and aggregates-then-joins its cluster stats:
-    "embedding_kmeans",
-    # The same map-only assignment idiom applied to the other two
-    # assignment operators (hand-bumped; registered forms unchanged):
-    # ivf_assign and pq_encode replace their row_number-window argmax/
-    # argmin (which shuffled n_centroids / n_sub candidate rows per
-    # vector, embeddings included) with a broadcast packed-codebook
-    # fold + array_max/array_min — assignment is exchange-free;
-    # ordering contract (score, lowest-id tiebreak) pinned by
-    # tests/test_optimizations_r10.py::test_{ivf_assign,pq_encode}_matches_window_reference:
-    "embedding_ivf_ann",
-    "embedding_pq_codes",
-    "embedding_pq_ann",
-    "embedding_ivfpq_ann",
-    # Optimization round, pass 4: shared-subplan materialization and
-    # filter-before-explode (forms changed for speed, results identical,
-    # re-verified green at both SFs in the same session as the edit).
-    # bigram: the (a, b) count table is checkpointed once instead of
-    # being re-aggregated four times (per-doc join, history marginal,
-    # both vocab-union branches); decontaminate: each side filters on
-    # source BEFORE shingling so the corpus is shingled exactly once
-    # (was: two full-corpus shingle passes + two corpus-scale doc_id
-    # semi-joins).  (A third candidate, checkpointing
-    # source_overlap_matrix's distinct (source, h) frame to share one
-    # shingle pipeline across the self-join, LOST its interleaved A/B
-    # — the two pipeline subtrees execute concurrently inside one job
-    # and beat the serialized materialization — and was reverted;
-    # OPTIMIZATION_r10.md records the numbers.)
-    "bigram_lm_perplexity",
-    "decontaminate_overlap",
-    # Pass 5: heaps_law_fit derives first-seen and per-doc counts from
-    # ONE checkpointed (doc, token) count table instead of two eager
-    # checkpoints that each re-ran the corpus tokenize (jobs 16 -> 15,
-    # A/B 4/5 pairs, median -0.46 s); bpe_merge_step materializes the
-    # 1-row winning pair before lifting it to a scalar subquery —
-    # ReuseSubquery does not deduplicate its three references, so the
-    # corpus pair pipeline replayed per reference (parquet scans in the
-    # executed plan 12 -> 2; A/B 3/5 pairs, median -0.24 s):
-    "heaps_law_fit",
-    "bpe_merge_step",
-    # Pass 6: q2 pushes its two selective dimension predicates BELOW
-    # the (partkey, suppkey) catalog aggregate as semi-joins — only
-    # ~0.6% of lineitem rows reach the per-row DECIMAL(18,10) quantize
-    # and the group exchange (18,612/600,000 pass the part filter ×
-    # 201/1000 regional suppliers at sf0.1); unit_cost is per-group and
-    # the window min ranges over one partkey's regional suppliers, so
-    # dropping whole never-surviving groups is result-identical
-    # (oracle re-verified green at both SFs; A/B 7/7 pairs,
-    # 1.93 s → 0.66 s):
+    #
+    # referential_integrity_audit: the per-edge n_child is a FULL-TABLE
+    # cardinality, so it now comes from the parquet footer
+    # (catalog.table_rows, the r10 count()-removal idiom) instead of
+    # four eagerly-checkpointed count aggregates fed through six
+    # one-row crossJoins — jobs/execution 39 → 27, Exchanges 48 → 36.
+    "referential_integrity_audit",
+    # q2_min_cost_supplier: semi-join keys bound to their right-side
+    # frames (ADVICE r10 robustness nit; resolved plan unchanged).
     "q2_min_cost_supplier",
 )
 # Window composition: 15 parity rows, then the _HOISTED queue in

@@ -103,10 +103,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     wanted = p.filter((F.col("p_type") == "LARGE") & (F.col("p_size") < 10)).select(
         "p_partkey", "p_name"
     )
-    lf = l.join(
-        wanted.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "left_semi"
-    ).join(
-        regional.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey"), "left_semi"
+    # Semi-join keys bound to their right-side frames (ADVICE r10):
+    # an unqualified F.col("p_partkey") resolves correctly today but
+    # becomes an ambiguous-reference failure if the left frame ever
+    # gains a column of the same name.
+    wk = wanted.select("p_partkey")
+    rk = regional.select("s_suppkey")
+    lf = l.join(wk, l.l_partkey == wk.p_partkey, "left_semi").join(
+        rk, l.l_suppkey == rk.s_suppkey, "left_semi"
     )
     # The per-row quotient is not a finite decimal, so quantize each term
     # to DECIMAL(18,10) (identical per-row rounding on both engines) and
