@@ -2875,7 +2875,14 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 'how long does the funnel take' readout that pairs with
     funnel_conversion's 'how many make it'.  Same stage-gate
     derivation (epoch-integer comparisons), converted-user cardinality
-    by the final join, percentile parity per the token_quantiles rule."""
+    by the final join, percentile parity per the token_quantiles rule.
+
+    Unlike funnel_conversion (where every stage table feeds both the
+    next stage AND the final count row), only `v` is consumed twice
+    here (the click gate and the final latency join) — so only `v` is
+    checkpointed; `c` has exactly one consumer and materializing it
+    was one serialized job per execution for zero avoided recompute
+    (r11; jobs/execution 11 → 9, stages 16 → 13)."""
     prep(spark)
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("tus")
@@ -2892,7 +2899,6 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tus") > F.col("vt"))
         .groupBy("user_id")
         .agg(F.min("tus").alias("ct"))
-        .localCheckpoint(eager=True)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

@@ -77,6 +77,17 @@ _HOISTED = (
     # q2_min_cost_supplier: semi-join keys bound to their right-side
     # frames (ADVICE r10 robustness nit; resolved plan unchanged).
     "q2_min_cost_supplier",
+    # funnel_latency: the click-stage checkpoint had exactly one
+    # consumer (unlike funnel_conversion, where every stage feeds two)
+    # — dropping it removes one serialized materialization job per
+    # execution with zero added recompute (jobs 11 → 9).
+    "funnel_latency",
+    # embedding_density_clusters is hand-bumped (helper-only change in
+    # operators/similarity.py::density_clusters): core_clusters/border
+    # lost their eager checkpoints — after the r10 single-join assembly
+    # they have 1-2 consumers that all live inside the final action
+    # (jobs 54 → 48, interleaved A/B 3/3 pairs, median −0.74 s).
+    "embedding_density_clusters",
 )
 # Window composition: 15 parity rows, then the _HOISTED queue in
 # order, then the remaining slots (50 total) fill in module order
