@@ -1507,21 +1507,37 @@ def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates are one-sided (cms_n >= exact_n, over-count only from
     collisions).  Probing joins the (broadcast) sketch on (row, cell)
     and takes the min across rows.  Completes the sketch family next
-    to HLL distinct (incremental ops) and the Bloom join filter."""
+    to HLL distinct (incremental ops) and the Bloom join filter.
+
+    The corpus is tokenized ONCE: both the top-20 ranking and the
+    sketch derive from the same materialized token-frequency table —
+    a cell's counter is the number of token OCCURRENCES hashing into
+    it, which equals sum(exact_n) over the tokens it receives, so the
+    sketch build is a vocab-scale aggregate, not a second pass over
+    the token stream (the r10 hashed_shingles rule: share counts,
+    never re-derive them)."""
     prep(spark)
     toks = (
         dedup.fan_out(load_table(spark, sf_dir, "documents"))
         .select(F.explode(_tokens_ne()).alias("tok"))
     )
-    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        # feeds BOTH the top-20 rank and the sketch build; without the
+        # materialization each consumer re-runs the corpus tokenize +
+        # explode (the broadcast side is its own AQE stage, so
+        # ReuseExchange does not bridge the two consumers)
+        .localCheckpoint(eager=True)
+    )
     top = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
     cells = F.array(
         *[H.seeded_hash64("tok", i) % _CMS_W for i in range(_CMS_D)]
     )
     sk = (
-        toks.select(F.posexplode(cells).alias("r", "cell"))
+        exact.select(F.posexplode(cells).alias("r", "cell"), "exact_n")
         .groupBy("r", "cell")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("exact_n").alias("n"))
     )
     probe = top.select(
         "tok",
@@ -1581,7 +1597,14 @@ def repeated_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tokenization pass (the jaccard/bm25 checkpoint rationale)
         .localCheckpoint(eager=True)
     )
-    census = idx.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    # (doc_id, h) rows are distinct by construction — shingle_index
+    # array_distincts per document before exploding — so the census is
+    # a plain count, not a two-level countDistinct (which plans an
+    # extra (h, doc_id) exchange over the whole shingle stream).  The
+    # only way count(*) could differ is two distinct shingles of ONE
+    # document colliding in xxhash64 — the same 2^-64 event class the
+    # hashed index already accepts across documents.
+    census = idx.groupBy("h").agg(F.count("*").alias("df"))
     shared = F.when(F.col("df") >= 2, 1).otherwise(0)
     return (
         idx.join(census, "h")

@@ -4073,6 +4073,16 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dataset card
 # ---------------------------------------------------------------------------
 
+# r11 A/B note (kept OUTSIDE the registered form): rewriting both of
+# corpus_dataset_card's multi-distinct aggregates two-level
+# (groupBy(lang, source) / groupBy(t) first, totals as sums of
+# per-group longs) to remove the Expand x3 / x2 was tried and MEASURED
+# WORSE — interleaved x10 at sf0.1: two-level lost 6/10 pairs,
+# pairwise median +0.28 s (the extra aggregate levels cost more than
+# Expand's row replication on map-side-combinable input at this
+# scale).  Reverted; at 100 TB both shapes shuffle only the tiny
+# partial-aggregate states, so Expand is not a shuffle-volume risk.
+
 
 @register(
     "corpus_dataset_card",

@@ -88,6 +88,18 @@ _HOISTED = (
     # they have 1-2 consumers that all live inside the final action
     # (jobs 54 → 48, interleaved A/B 3/3 pairs, median −0.74 s).
     "embedding_density_clusters",
+    # token_cms_topk: both the top-20 rank and the sketch now derive
+    # from ONE materialized token-frequency table (a cell's counter is
+    # sum(exact_n) over the tokens hashing into it) — the second
+    # corpus tokenize+explode pass is gone (final-frame Generate 8→4,
+    # interleaved A/B 4/4 pairs, medians 1.52 → 1.13 s).
+    "token_cms_topk",
+    # repeated_ngram_audit: the census over the per-document-distinct
+    # shingle index is a plain count, not a two-level countDistinct —
+    # one (h, doc_id) exchange over the whole shingle stream removed
+    # (Exchanges 8 → 6, stages 15 → 11; equivalence pinned by
+    # tests/test_optimizations_r11.py).
+    "repeated_ngram_audit",
 )
 # Window composition: 15 parity rows, then the _HOISTED queue in
 # order, then the remaining slots (50 total) fill in module order
